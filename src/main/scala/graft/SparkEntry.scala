@@ -1,13 +1,508 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Naming, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract: the queryable operator surface (SURVEY.md §2) plus the
+  * LLM-data-pipeline extensions (dedup / similarity / text analysis).
+  *
+  * Oracle-parity rules used throughout (the driver hash-compares against
+  * DuckDB on the same parquet):
+  *  - money/quantity doubles are 2-decimal by construction (FIXTURES.md) →
+  *    cast to DECIMAL(18,2) *before* aggregating and pin the result type on
+  *    both sides: decimal arithmetic is exact, so sums hash identically
+  *    regardless of partitioning/order;
+  *  - ratios are exposed as integer percents (exact), never raw doubles;
+  *  - every oracle query carries a total ORDER BY (ties broken by a key);
+  *  - integer outputs are pinned to BIGINT on both sides (Spark count/len
+  *    helpers differ from DuckDB's BIGINT defaults otherwise).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_nation_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------------
+  // Relational core
+  // ---------------------------------------------------------------------------
+
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    li.filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DecimalType(22, 4)).as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))) *
+            (lit(1) + dec2(col("l_tax"))))
+          .cast(DecimalType(24, 6)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private def q02(s: SparkSession, d: String): DataFrame = {
+    val c  = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o  = t(s, d, "orders")
+      .filter(to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1998-01-01")))
+    val li = t(s, d, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("1997-01-01")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+        .cast(DecimalType(22, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    val r  = t(s, d, "region").filter(col("r_name") === "EUROPE")
+    val n  = t(s, d, "nation")
+    val c  = t(s, d, "customer")
+    val o  = t(s, d, "orders")
+      .filter(to_date(col("o_orderdate")) >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+        to_date(col("o_orderdate")) < lit(java.sql.Date.valueOf("1998-01-01")))
+    val li = t(s, d, "lineitem")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast(DecimalType(22, 4)).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val sup = t(s, d, "supplier")
+    val li = t(s, d, "lineitem")
+      .filter(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("2001-01-01")))
+    sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  private def q06(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey"))
+      .limit(15)
+
+  private def q07(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    li.filter(col("l_returnflag") === "R")
+      .union(li.filter(col("l_returnflag") === "A"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private def q09(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private def q10(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(to_date(col("l_shipdate")), col("l_orderkey"), col("l_linenumber"))
+    t(s, d, "lineitem")
+      .filter(col("l_suppkey") < 5)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_qty",
+        sum(dec2(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DecimalType(18, 2)))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("rn"),
+        col("running_qty"))
+      .orderBy("l_suppkey", "rn")
+  }
+
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, d, "events")
+      .withColumn("v", dec2(col("value")))
+      .withColumn("prev_v", lag(col("v"), 1).over(w))
+      .withColumn("delta", (col("v") - col("prev_v")).cast(DecimalType(18, 2)))
+      .select(col("event_id"), col("user_id"), col("v"), col("prev_v"), col("delta"))
+      .orderBy("event_id")
+  }
+
+  private def q13(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total_value"),
+        min(dec2(col("value"))).cast(DecimalType(18, 2)).as("min_value"),
+        max(dec2(col("value"))).cast(DecimalType(18, 2)).as("max_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  private def q14(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+        col("o_orderpriority"))
+      .orderBy(col("o_date"), col("o_orderkey"))
+      .offset(40)
+      .limit(20)
+
+  /** Bbox "spatial" predicate over numeric coordinate columns (G3 form):
+    * pushed to the parquet scan as plain min/max comparisons.
+    */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .filter(col("p_size").between(10, 40) &&
+        dec2(col("p_retailprice")).between(lit(500), lit(1500)))
+      .select(col("p_partkey"), col("p_size").as("x"),
+        dec2(col("p_retailprice")).as("y"))
+      .orderBy("p_partkey")
+
+  private def q16(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("source")).distinct()
+      .withColumn("slug", Naming.slugifyCol(col("source")))
+      .withColumn("fc_name", Naming.generateFcNameCol(lit("DOCS"), col("source")))
+      .withColumn("sde_name", Naming.sanitizeSdeNameCol(col("source")))
+      .orderBy("source")
+
+  // ---------------------------------------------------------------------------
+  // Text analysis / LLM-data-pipeline
+  // ---------------------------------------------------------------------------
+
+  private def q17(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.punctCount(col("text")).as("n_punct"),
+        TextFunctions.stopwordCount(col("text")).as("n_stop"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy("doc_id")
+
+  private def q18(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  private def q19(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedupSummary(t(s, d, "documents"))
+      .orderBy("fp")
+
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardNearDupPairs(t(s, d, "documents"), thresholdPct = 80)
+      .orderBy("doc_a", "doc_b")
+
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, d, "embeddings"), queryId = 0L, k = 20)
+      .select(col("vec_id"))
+
+  // no-oracle (rows-only) LLM operators
+  private def q23(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDupPairs(t(s, d, "documents"))
+      .orderBy("doc_a", "doc_b")
+
+  private def q24(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupPairs(t(s, d, "documents"), maxHamming = 16)
+      .orderBy("doc_a", "doc_b")
+
+  private def q25(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(t(s, d, "embeddings"), queryId = 0L, k = 10)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_top_orders"      -> (q02 _),
+    "q03_nation_revenue"  -> (q03 _),
+    "q04_semi_suppliers"  -> (q04 _),
+    "q05_anti_customers"  -> (q05 _),
+    "q06_topk_orders"     -> (q06 _),
+    "q07_distinct_status" -> (q07 _),
+    "q08_union_flags"     -> (q08 _),
+    "q09_rollup_status"   -> (q09 _),
+    "q10_distinct_counts" -> (q10 _),
+    "q11_window_running"  -> (q11 _),
+    "q12_window_lag_events" -> (q12 _),
+    "q13_event_type_stats"  -> (q13 _),
+    "q14_page_orders"     -> (q14 _),
+    "q15_bbox_parts"      -> (q15 _),
+    "q16_names_slug"      -> (q16 _),
+    "q17_doc_stats"       -> (q17 _),
+    "q18_lang_id"         -> (q18 _),
+    "q19_quality"         -> (q19 _),
+    "q20_fingerprint_dedup" -> (q20 _),
+    "q21_jaccard_pairs"   -> (q21 _),
+    "q22_cosine_topk"     -> (q22 _),
+    "q23_minhash_pairs"   -> (q23 _),
+    "q24_simhash_pairs"   -> (q24 _),
+    "q25_lsh_ann"         -> (q25 _)
+  )
+
+  // ---------------------------------------------------------------------------
+  // DuckDB oracle SQL (ANSI-ish; DuckDB dialect where they differ).
+  // regexp_replace in DuckDB needs the 'g' flag (Spark's is global).
+  // ---------------------------------------------------------------------------
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  private def hitsSql(words: Seq[String]): String =
+    s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS BIGINT)"
+
+  private val tokensSql =
+    "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+
+  private val punctSql =
+    "CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT)"
+
+  private val fingerprintSql =
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  private val slugSqlBody = {
+    val translated = "lower(translate(source, 'åäöÅÄÖ', 'aaoAAO'))"
+    val repl       = s"regexp_replace($translated, '[^\\w\\-]+', '_', 'g')"
+    val collapsed  = s"regexp_replace($repl, '__+', '_', 'g')"
+    val stripped   = s"regexp_replace($collapsed, '^_+|_+$$', '', 'g')"
+    s"CASE WHEN length($stripped) = 0 THEN 'unnamed' ELSE $stripped END"
+  }
+
+  private val arcgisSqlBody = {
+    val s         = slugSqlBody
+    val hyph      = s"regexp_replace($s, '-', '_', 'g')"
+    val ascii     = s"regexp_replace($hyph, '[^A-Za-z0-9_]', '_', 'g')"
+    val collapsed = s"regexp_replace(regexp_replace($ascii, '__+', '_', 'g'), '^_+|_+$$', '', 'g')"
+    val guarded   = s"CASE WHEN regexp_matches($collapsed, '^[0-9]') THEN '_' || $collapsed ELSE $collapsed END"
+    val nonEmpty  = s"CASE WHEN length($guarded) = 0 THEN 'unnamed' ELSE $guarded END"
+    s"substring($nonEmpty, 1, 128)"
+  }
+
+  private val fcNameSqlBody = {
+    val auth = "'docs'"
+    val prefixed =
+      s"CASE WHEN starts_with(lower($arcgisSqlBody), $auth || '_') THEN $arcgisSqlBody " +
+        s"ELSE $auth || '_' || $arcgisSqlBody END"
+    s"regexp_replace(substring($prefixed, 1, 128), '_+$$', '', 'g')"
+  }
+
+  private val sdeSqlBody = {
+    val dashed    = "regexp_replace(source, '[-\\s\\.]+', '_', 'g')"
+    val swedish   = s"translate($dashed, 'åäö', 'aao')"
+    val word      = s"regexp_replace($swedish, '[^\\w]', '_', 'g')"
+    val collapsed = s"regexp_replace(regexp_replace($word, '_{2,}', '_', 'g'), '^_+|_+$$', '', 'g')"
+    val guarded   = s"CASE WHEN regexp_matches($collapsed, '^[0-9]') THEN 'fc_' || $collapsed ELSE $collapsed END"
+    s"CASE WHEN length($guarded) = 0 THEN 'unnamed_fc' ELSE $guarded END"
+  }
+
+  private val langIdSql = {
+    val cases =
+      s"""CASE WHEN greatest(en, de, fr, es, sv) = 0 THEN 'und'
+         | WHEN en >= de AND en >= fr AND en >= es AND en >= sv THEN 'en'
+         | WHEN de >= fr AND de >= es AND de >= sv THEN 'de'
+         | WHEN fr >= es AND fr >= sv THEN 'fr'
+         | WHEN es >= sv THEN 'es'
+         | ELSE 'sv' END""".stripMargin.replaceAll("\n", " ")
+    s"""SELECT doc_id, $cases AS lang_guess FROM (
+       | SELECT doc_id,
+       |  ${hitsSql(TextFunctions.StopwordsEn)} AS en,
+       |  ${hitsSql(TextFunctions.StopwordsDe)} AS de,
+       |  ${hitsSql(TextFunctions.StopwordsFr)} AS fr,
+       |  ${hitsSql(TextFunctions.StopwordsEs)} AS es,
+       |  ${hitsSql(TextFunctions.StopwordsSv)} AS sv
+       | FROM documents) ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+  }
+
+  private val qualitySql =
+    s"""SELECT doc_id, CAST(greatest(0, 100 - len_pen - punct_pen - stop_bonus) AS BIGINT) AS quality
+       |FROM (SELECT doc_id,
+       |  CASE WHEN toks < 5 THEN 40 WHEN toks < 20 THEN 10 ELSE 0 END AS len_pen,
+       |  CASE WHEN punct_pct > 20 THEN 30 WHEN punct_pct > 10 THEN 10 ELSE 0 END AS punct_pen,
+       |  CASE WHEN stop_pct > 0 THEN 0 ELSE 20 END AS stop_bonus
+       | FROM (SELECT doc_id, toks,
+       |   CASE WHEN chars = 0 THEN 100 ELSE CAST(floor(100.0 * punct / chars) AS BIGINT) END AS punct_pct,
+       |   CASE WHEN toks = 0 THEN 0 ELSE CAST(floor(100.0 * stops / toks) AS BIGINT) END AS stop_pct
+       |  FROM (SELECT doc_id, $tokensSql AS toks, CAST(length(text) AS BIGINT) AS chars,
+       |        $punctSql AS punct, ${hitsSql(TextFunctions.StopwordsEn)} AS stops
+       |        FROM documents)))
+       |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+         | CAST(SUM($discPrice) AS DECIMAL(22,4)) AS sum_disc_price,
+         | CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(24,6)) AS sum_charge,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+        .stripMargin.replaceAll("\n", " "),
+    "q02_top_orders" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+         | CAST(SUM($discPrice) AS DECIMAL(22,4)) AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         | AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         | AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    "q03_nation_revenue" ->
+      s"""SELECT n_name, CAST(SUM($discPrice) AS DECIMAL(22,4)) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         | AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         | AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replaceAll("\n", " "),
+    "q04_semi_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+        |                    WHERE CAST(l_shipdate AS DATE) >= DATE '2001-01-01')
+        |ORDER BY s_suppkey""".stripMargin.replaceAll("\n", " "),
+    "q05_anti_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin.replaceAll("\n", " "),
+    "q06_topk_orders" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 15""".stripMargin.replaceAll("\n", " "),
+    "q07_distinct_status" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin.replaceAll("\n", " "),
+    "q08_union_flags" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |FROM (SELECT * FROM lineitem WHERE l_returnflag = 'R'
+        |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
+    "q09_rollup_status" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin.replaceAll("\n", " "),
+    "q10_distinct_counts" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+    "q11_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(row_number() OVER w AS BIGINT) AS rn,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 5
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin.replaceAll("\n", " "),
+    "q12_window_lag_events" ->
+      """SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        | lag(CAST(value AS DECIMAL(18,2)), 1) OVER
+        |   (PARTITION BY user_id ORDER BY event_id) AS prev_v,
+        | CAST(CAST(value AS DECIMAL(18,2)) - lag(CAST(value AS DECIMAL(18,2)), 1) OVER
+        |   (PARTITION BY user_id ORDER BY event_id) AS DECIMAL(18,2)) AS delta
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q13_event_type_stats" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+        | CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_value,
+        | CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+    "q14_page_orders" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+        |FROM orders ORDER BY o_date, o_orderkey LIMIT 20 OFFSET 40"""
+        .stripMargin.replaceAll("\n", " "),
+    "q15_bbox_parts" ->
+      """SELECT p_partkey, p_size AS x, CAST(p_retailprice AS DECIMAL(18,2)) AS y
+        |FROM part WHERE p_size BETWEEN 10 AND 40
+        | AND CAST(p_retailprice AS DECIMAL(18,2)) BETWEEN 500 AND 1500
+        |ORDER BY p_partkey""".stripMargin.replaceAll("\n", " "),
+    "q16_names_slug" ->
+      s"""SELECT source, $slugSqlBody AS slug, $fcNameSqlBody AS fc_name, $sdeSqlBody AS sde_name
+         |FROM (SELECT DISTINCT source FROM documents) ORDER BY source"""
+        .stripMargin.replaceAll("\n", " "),
+    "q17_doc_stats" ->
+      s"""SELECT doc_id, $tokensSql AS n_tokens, $punctSql AS n_punct,
+         | ${hitsSql(TextFunctions.StopwordsEn)} AS n_stop,
+         | CAST(length(text) AS BIGINT) AS n_chars_m
+         |FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q18_lang_id" -> langIdSql,
+    "q19_quality" -> qualitySql,
+    "q20_fingerprint_dedup" ->
+      s"""SELECT $fingerprintSql AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin.replaceAll("\n", " "),
+    "q21_jaccard_pairs" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS word
+        |           FROM documents),
+        |     sizes AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY doc_id),
+        |     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |               FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |               GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_common, sa.nw AS n_a, sb.nw AS n_b
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE 100 * n_common >= 80 * (sa.nw + sb.nw - n_common)
+        |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
+    "q22_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(list_zip(embedding, qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(qe, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) AS cos
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 20"""
+        .stripMargin.replaceAll("\n", " ")
+  )
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for the LLM-data-pipeline surface:
+  * token counting, punctuation/stopword stats, quality scoring, n-gram
+  * language ID, and document fingerprinting.
+  *
+  * Everything here is a pure `functions._` Column chain (codegen'd, no
+  * UDFs) and — deliberately — exact-arithmetic (integer counts, md5,
+  * floor of int/int division), so each function is DuckDB-oracle
+  * checkable bit-for-bit. Ratios are exposed as scaled integers
+  * (percent) instead of doubles to keep hash parity across engines.
+  *
+  * Scale note: all functions are embarrassingly parallel per-row maps —
+  * no shuffle, fully pipelined inside WholeStageCodegen, safe at 100 TB.
+  */
+object TextFunctions {
+
+  /** ASCII punctuation class, spelled out so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree: `\p{Punct}` does not exist in RE2.
+    */
+  final val PunctClass = "[!-/:-@\\[-`{-~]"
+
+  private def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count; 0 for empty/blank text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(wsTokens(text)).cast("long"))
+
+  /** Number of ASCII punctuation characters. */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, PunctClass, ""))).cast("long")
+
+  /** Whole-word occurrences of `words` (case-insensitive). */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(lower(text), lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
+
+  final val StopwordsEn = Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for", "a")
+  final val StopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "den", "mit")
+  final val StopwordsFr = Seq("le", "la", "les", "et", "est", "une", "des", "du", "que", "pour")
+  final val StopwordsEs = Seq("el", "los", "las", "es", "una", "del", "por", "con", "para", "como")
+  final val StopwordsSv = Seq("och", "att", "det", "som", "en", "av", "är", "för", "med", "på")
+
+  def stopwordCount(text: Column): Column = wordHits(text, StopwordsEn)
+
+  /** Quality score ∈ [0,100]: 100 − penalties for punctuation-heavy,
+    * stopword-free, or too-short text. Exact integer arithmetic.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks    = tokenCount(text)
+    val chars   = length(text).cast("long")
+    val punct   = punctCount(text)
+    val stops   = stopwordCount(text)
+    // floor(100*punct/chars): exact — IEEE division of exact ints is
+    // correctly rounded and both engines floor the same value.
+    val punctPct = when(chars === 0, lit(100L))
+      .otherwise(floor(lit(100.0) * punct / chars).cast("long"))
+    val stopPct = when(toks === 0, lit(0L))
+      .otherwise(floor(lit(100.0) * stops / toks).cast("long"))
+    val lenPenalty   = when(toks < 5, lit(40L)).when(toks < 20, lit(10L)).otherwise(lit(0L))
+    val punctPenalty = when(punctPct > 20, lit(30L)).when(punctPct > 10, lit(10L)).otherwise(lit(0L))
+    val stopBonus    = when(stopPct > 0, lit(0L)).otherwise(lit(20L))
+    greatest(lit(0L), lit(100L) - lenPenalty - punctPenalty - stopBonus)
+  }
+
+  /** Stopword-profile language ID over {en,de,fr,es,sv}; 'und' when no
+    * profile matches. Deterministic ties: earlier language in the
+    * priority order wins (en > de > fr > es > sv).
+    */
+  def langId(text: Column): Column = {
+    val en = wordHits(text, StopwordsEn)
+    val de = wordHits(text, StopwordsDe)
+    val fr = wordHits(text, StopwordsFr)
+    val es = wordHits(text, StopwordsEs)
+    val sv = wordHits(text, StopwordsSv)
+    when(greatest(en, de, fr, es, sv) === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es && en >= sv, lit("en"))
+      .when(de >= fr && de >= es && de >= sv, lit("de"))
+      .when(fr >= es && fr >= sv, lit("fr"))
+      .when(es >= sv, lit("es"))
+      .otherwise(lit("sv"))
+  }
+
+  /** Canonical-form document fingerprint: md5 of lower-cased,
+    * whitespace-collapsed, trimmed text. The exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Distinct word set (lower-cased) — the 1-gram shingle set for
+    * set-similarity (Jaccard) dedup.
+    */
+  def wordSet(text: Column): Column =
+    array_distinct(split(lower(trim(text)), "\\s+"))
+
+  /** Word n-gram shingles (space-joined), distinct. For MinHash input. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = wsTokens(lower(text))
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    array_distinct(
+      transform(sequence(lit(0), count - 1), i =>
+        concat_ws(" ", slice(toks, i + 1, lit(n))))
+    )
+  }
+}

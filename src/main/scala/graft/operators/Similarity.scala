@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design (100 TB): the query side is always tiny (one vector or a
+  * small batch) → broadcast it; the corpus side streams through a
+  * map-only cosine scan (brute force) or is pre-bucketed by
+  * random-hyperplane LSH so each probe touches ~1/2^bits of the corpus.
+  * Top-k uses a single partial-agg-friendly sort-limit, not a global
+  * collect.
+  */
+object Similarity {
+
+  /** Exact brute-force top-k by cosine against the vector with id
+    * `queryId`. Broadcast single-row query → map-only scan → global
+    * top-k (Spark's TakeOrdered, partial per partition).
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    embeddings
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select("vec_id", "cos")
+      .limit(k)
+  }
+
+  /** Batch exact top-k: for every query vector (small table, broadcast),
+    * the k nearest corpus vectors. Window rank per query.
+    */
+  def bruteForceTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_embedding"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("q_embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** LSH-bucketed ANN: corpus pre-hashed into 2^nBits hyperplane buckets;
+    * a probe only scans its own bucket (plus Hamming-1 neighbors when
+    * multiProbe). At 100 TB the bucketed corpus is written once
+    * (partitioned by bucket) and each query is a pruned scan.
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nBits: Int = 4,
+      seed: Long = 42L,
+      dim: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
+    val planes = VectorFunctions.seededPlanes(seed, dim, nBits)
+    val bucketed = embeddings.withColumn(
+      "bucket", VectorFunctions.hyperplaneBucket(col("embedding"), planes))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket"))
+    val probeBuckets =
+      if (multiProbe)
+        explode(array(col("q_bucket") +:
+          (0 until nBits).map(i => col("q_bucket").bitwiseXOR(lit(1L << i))): _*))
+      else col("q_bucket")
+    val probes = q.select(col("q_embedding"), probeBuckets.as("bucket")).distinct()
+    bucketed
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), Seq("bucket"))
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select("vec_id", "cos")
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * restricted to LSH bucket collisions (the scale path — never n²).
+    */
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      minCosine: Double,
+      nBits: Int = 6,
+      seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    val planes = VectorFunctions.seededPlanes(seed, dim, nBits)
+    val bucketed = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val l = bucketed.as("l")
+    val r = bucketed.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", VectorFunctions.cosine(col("l.embedding"), col("r.embedding")))
+      .filter(col("cos") >= minCosine)
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("tokenCount") {
+    assert(one[Long](TextFunctions.tokenCount($"text"), "a b  c") == 3L)
+    assert(one[Long](TextFunctions.tokenCount($"text"), "") == 0L)
+    assert(one[Long](TextFunctions.tokenCount($"text"), "   ") == 0L)
+    assert(one[Long](TextFunctions.tokenCount($"text"), " one ") == 1L)
+  }
+
+  test("punctCount counts ASCII punctuation only") {
+    assert(one[Long](TextFunctions.punctCount($"text"), "a,b.c!") == 3L)
+    assert(one[Long](TextFunctions.punctCount($"text"), "plain words") == 0L)
+  }
+
+  test("stopword hits are whole-word, case-insensitive") {
+    // hits: "The", "of", "the" — "theme"/"day" are not whole-word matches
+    assert(one[Long](TextFunctions.stopwordCount($"text"), "The theme of the day") == 3L)
+  }
+
+  test("langId picks the densest stopword profile deterministically") {
+    assert(one[String](TextFunctions.langId($"text"), "the cat and the dog was here") == "en")
+    assert(one[String](TextFunctions.langId($"text"), "der hund ist nicht ein katze und") == "de")
+    assert(one[String](TextFunctions.langId($"text"), "xyzzy qwerty") == "und")
+  }
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val a = one[String](TextFunctions.fingerprint($"text"), "Hello   World")
+    val b = one[String](TextFunctions.fingerprint($"text"), "hello world ")
+    assert(a == b)
+    val c = one[String](TextFunctions.fingerprint($"text"), "hello worlds")
+    assert(a != c)
+  }
+
+  test("qualityScore rewards stopword-bearing prose, caps at [0,100]") {
+    val prose = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+    val junk  = "!!! ??? ### !!!"
+    val qProse = one[Long](TextFunctions.qualityScore($"text"), prose)
+    val qJunk  = one[Long](TextFunctions.qualityScore($"text"), junk)
+    assert(qProse > qJunk)
+    assert(qProse <= 100L && qJunk >= 0L)
+  }
+}

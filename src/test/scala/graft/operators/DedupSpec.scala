@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick brown fox jumps over the lazy dog"), // ws/case variant → exact dup
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near dup (1 word off)
+    (4L, "completely different text about spark engines"),
+    (5L, "the quick brown fox jumps over the lazy dog")   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDedupSummary clusters canonical-form duplicates, keeps min id") {
+    val out = Dedup.exactDedupSummary(docs).collect()
+    assert(out.length == 3)
+    val cluster = out.find(_.getAs[Long]("n_dups") == 3L).get
+    assert(cluster.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exactDedup keeps one row per canonical text") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L)))
+  }
+
+  test("jaccardNearDupPairs finds word-overlap pairs with exact arithmetic") {
+    val pairs = Dedup.jaccardNearDupPairs(docs, thresholdPct = 80)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // 1-2-5 have identical word sets (jaccard 1.0); 3 vs 1 is 7/9 ≈ 0.778
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(!pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val loose = Dedup.jaccardNearDupPairs(docs, thresholdPct = 70)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(loose.contains((1L, 3L)))
+  }
+
+  test("minhash candidates find identical docs, skip unrelated") {
+    val cands = Dedup.minhashCandidatePairs(docs, shingleN = 3, bands = 16, rows = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)) && cands.contains((1L, 5L)))
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashNearDupPairs estimates full agreement for identical docs") {
+    val out = Dedup.minhashNearDupPairs(docs).collect()
+    val id = out.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 5L).get
+    assert(id.getAs[Long]("n_match") == id.getAs[Long]("sig_len"))
+  }
+
+  test("simhash: identical texts hash equal; near-dups within small hamming") {
+    val sigs = docs.select($"doc_id", Dedup.simhash64($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(5L))
+    val ham13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val ham14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(ham13 < ham14)
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val sh = docs.filter($"doc_id" === 1L)
+      .select(TextFunctions.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh.contains("the quick brown") && sh.contains("over the lazy"))
+    assert(sh.length == 7)
+  }
+}

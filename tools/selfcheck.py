@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local correctness loop mimicking the driver's t2 gate:
+run graft.Verify at a given SF dir, then each oracle SQL in DuckDB over the
+same parquet tables, sort columns by name + rows, and compare values.
+
+Usage: python3 tools/selfcheck.py [sfdir] [outdir] [--skip-verify]
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_verify():
+    cp = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    for line in cp.stdout.splitlines():
+        if "[verify]" in line or "error" in line.lower():
+            print(line)
+    if cp.returncode != 0:
+        print(cp.stdout[-3000:]); print(cp.stderr[-2000:])
+        sys.exit(1)
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def table_rows(rel):
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
+    return [cols[i] for i in order], sorted(rows)
+
+
+def main():
+    if "--skip-verify" not in sys.argv:
+        run_verify()
+    oracle = json.loads(Path(f"{OUT}/oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name, sql in oracle.items():
+        spark_dir = Path(OUT) / name
+        if not spark_dir.exists():
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got_cols, got = table_rows(con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
+            exp_cols, exp = table_rows(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}"); n_fail += 1; continue
+        if got == exp:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            sg, se = set(got), set(exp)
+            for r in list(sg - se)[:3]:
+                print(f"   spark-only: {r}")
+            for r in list(se - sg)[:3]:
+                print(f"   oracle-only: {r}")
+            for i, (a, b) in enumerate(zip(got, exp)):
+                if a != b:
+                    print(f"   first diff at sorted row {i}:\n    spark : {a}\n    oracle: {b}")
+                    break
+    # queries without oracle → rows-only note
+    extra = [p.name for p in Path(OUT).iterdir()
+             if p.is_dir() and p.name not in oracle]
+    for name in sorted(extra):
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{OUT}/{name}/*.parquet'").fetchone()[0]
+            print(f"INFO {name}: rows-only check, {n} rows")
+        except Exception as e:
+            print(f"INFO {name}: unreadable ({e})")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
