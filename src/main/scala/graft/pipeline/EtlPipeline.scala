@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{GlobalConfig, OutputMapping, Source}
+import graft.functions.{Naming => Names}
+import graft.geo.{GeoFunctions, Geometry}
+import graft.sources.{GeoJsonSource, PagedRestSource}
+
+/** The end-to-end config-driven pipeline (SURVEY §3.1):
+  * Extract → Stage → Geoprocess → Publish, with the reference's
+  * continue-on-failure ledger semantics (R3) and run summary (A1/A3).
+  *
+  * Execution model: the per-source LOOP is driver-side plan construction
+  * (as in the reference, pipeline.py:203-294) — each source's DATA work
+  * is a Spark job. Sources are independent, so at cluster scale the loop
+  * can submit jobs concurrently (Spark's scheduler replaces the broken
+  * ThreadPoolExecutor fan-out, SURVEY §2.8); sequential here keeps the
+  * declared-order naming semantics (§7.4) deterministic.
+  */
+final class EtlPipeline(
+    spark: SparkSession,
+    cfg: GlobalConfig = GlobalConfig(),
+    mappings: MappingManager = new MappingManager(Seq.empty),
+    stagingDb: String = "staging") {
+
+  /** One ledger row per (source, phase) — the Summary surface (A1):
+    * phase ∈ {stage, geoprocess, publish}, status ∈ {done, skip, error}.
+    */
+  final case class LedgerRow(
+      source: String, authority: String, phase: String, status: String,
+      table: String, rows: Long, error: String)
+
+  private val ledger    = mutable.ArrayBuffer[LedgerRow]()
+  private val usedNames = mutable.Set[String]()
+
+  def results: Seq[LedgerRow] = ledger.toSeq
+
+  def resultsDf: DataFrame = {
+    import spark.implicits._
+    ledger.toSeq.toDF()
+  }
+
+  /** Summary counts per (phase, status) — run_summary.py:10-47. */
+  def summary: Map[(String, String), Long] =
+    ledger.groupBy(r => (r.phase, r.status)).map { case (k, v) => k -> v.size.toLong }
+
+  def firstErrors(n: Int = 10): Seq[String] =
+    ledger.filter(_.status == "error").take(n).toSeq
+      .map(r => s"${r.source}/${r.phase}: ${r.error}")
+
+  // -------------------------------------------------------------------------
+
+  private def record(s: Source, phase: String, status: String,
+      table: String = "", rows: Long = 0, error: String = ""): Unit =
+    ledger += LedgerRow(s.name, s.authority, phase, status, table, rows, error)
+
+  /** Extract+read one source into a normalized DataFrame (dispatch on
+    * type, HANDLER_MAP semantics — S8). URLs are file:// or plain paths
+    * (zero-egress; HTTP landing is a driver concern out of engine scope).
+    */
+  def readSource(source: Source): DataFrame = {
+    val path = source.url.stripPrefix("file://")
+    source.sourceType match {
+      case "file" | "atom_feed" =>
+        GeoJsonSource.read(spark, path)
+      case "rest_api" =>
+        val layerIds = source.raw.get("layer_ids") match {
+          case Some(l: java.util.List[_]) =>
+            import scala.jdk.CollectionConverters._
+            l.asScala.map(_.toString.toInt).toSeq
+          case Some(s: Seq[_]) => s.map(_.toString.toInt)
+          case _               => Seq.empty
+        }
+        val q = PagedRestSource.Query(
+          whereClause = source.raw.get("where_clause").map(_.toString),
+          outFields = source.raw.get("out_fields").map(_.toString)
+            .filter(_ != "*").map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty),
+          bbox = source.raw.get("bbox").map { b =>
+            val Array(a, c, d, e) = b.toString.split(",").map(_.trim.toDouble)
+            Geometry.BBox(a, c, d, e)
+          })
+        PagedRestSource.readService(spark, path, layerIds, q)
+      case other =>
+        throw new IllegalArgumentException(s"no reader for source type '$other'")
+    }
+  }
+
+  /** Stage one source: include-filter (T5), fc naming (F4/F6), lineage
+    * columns, write to the staging database (K1-K4).
+    */
+  def stageSource(source: Source): Option[String] = {
+    if (!source.enabled) { record(source, "stage", "skip"); return None } // T1
+    try {
+      val df0 = readSource(source)
+      // include-list semi-filter on the landed file stem (T5) — the stems
+      // are a handful of config strings: isin == broadcast by construction.
+      val df = source.includeStems match {
+        case Seq() => df0
+        case stems =>
+          val stemCol = lower(regexp_replace(
+            regexp_extract(col("_file"), "([^/]+)\\.[A-Za-z0-9]+$", 1), "^main\\.", ""))
+          df0.filter(stemCol.isin(stems.map(_.toLowerCase): _*))
+      }
+      val fcName = Names.ensureUniqueName(
+        Names.generateFcName(source.authority, source.name), usedNames)
+      val staged = df
+        .withColumn("source_id", lit(source.name))
+        .withColumn("authority", lit(source.authority))
+        .drop("_file")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$stagingDb`")
+      Cleanup.ensureWritable(spark, stagingDb, fcName)
+      staged.write.mode("overwrite").saveAsTable(s"`$stagingDb`.`$fcName`")
+      val n = spark.table(s"`$stagingDb`.`$fcName`").count() // T7 verification
+      record(source, "stage", "done", fcName, n)
+      Some(fcName)
+    } catch {
+      case e: Exception =>
+        record(source, "stage", "error", error = String.valueOf(e.getMessage))
+        if (!cfg.continueOnFailure) throw e
+        None
+    }
+  }
+
+  /** Geoprocess in place (G1+G2, pipeline.py:408-460): skip silently when
+    * no AOI is configured — the reference logs and no-ops
+    * (pipeline.py:424-429, the 0.001s phase in the shipped run log).
+    */
+  def geoprocess(source: Source, fcName: String): Unit = {
+    if (!cfg.geoprocessingEnabled || cfg.aoi.isEmpty) {
+      record(source, "geoprocess", "skip", fcName); return
+    }
+    try {
+      val (a, b, c, d) = cfg.aoi.get
+      val clipped = GeoFunctions.clipProject(
+        spark.table(s"`$stagingDb`.`$fcName`"),
+        Geometry.BBox(a, b, c, d), cfg.targetSrid)
+      // in-place replace (Delete + CopyFeatures, geoprocess.py:79-81):
+      // stage to temp then overwrite — Spark can't overwrite a table
+      // from a plan that reads the same table.
+      val tmp = s"${fcName}__gp_tmp"
+      clipped.write.mode("overwrite").saveAsTable(s"`$stagingDb`.`$tmp`")
+      spark.table(s"`$stagingDb`.`$tmp`").write.mode("overwrite")
+        .saveAsTable(s"`$stagingDb`.`$fcName`")
+      spark.sql(s"DROP TABLE `$stagingDb`.`$tmp`")
+      val n = spark.table(s"`$stagingDb`.`$fcName`").count()
+      record(source, "geoprocess", "done", fcName, n)
+    } catch {
+      case e: Exception =>
+        record(source, "geoprocess", "error", fcName, error = String.valueOf(e.getMessage))
+        if (!cfg.continueOnFailure) throw e
+    }
+  }
+
+  /** Publish one staged table through the mapping overlay (K5-K7). */
+  def publishTable(source: Source, fcName: String): Unit = {
+    try {
+      val mapping: OutputMapping = mappings.resolve(source, fcName)
+      if (!mapping.enabled) { record(source, "publish", "skip", fcName); return }
+      val n = Publish.publish(
+        spark, spark.table(s"`$stagingDb`.`$fcName`"),
+        mapping.sdeDataset, mapping.sdeFc, cfg.sdeLoadStrategy)
+      record(source, "publish", "done", s"${mapping.sdeDataset}.${mapping.sdeFc}", n)
+    } catch {
+      case e: Exception =>
+        record(source, "publish", "error", fcName, error = String.valueOf(e.getMessage))
+        if (!cfg.continueOnFailure) throw e
+    }
+  }
+
+  /** The full run (SURVEY §3.1 steps 3-8). Declared source order. */
+  def run(sources: Seq[Source]): Seq[LedgerRow] = {
+    val staged = sources.flatMap(s => stageSource(s).map(s -> _))
+    staged.foreach { case (s, fc) => geoprocess(s, fc) }
+    staged.foreach { case (s, fc) => publishTable(s, fc) }
+    results
+  }
+}

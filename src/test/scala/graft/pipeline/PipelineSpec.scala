@@ -1,0 +1,209 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.geo.{GeoFunctions, Geometry}
+import graft.sources.{AtomFeedSource, GeoJsonSource, PagedRestSource}
+
+/** End-to-end pipeline over the reference-shaped fixtures: stage →
+  * geoprocess → publish, plus idempotence of truncate-and-load (K5 run
+  * twice ⇒ same counts, SURVEY §5 test plan).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private val warehouse = Files.createTempDirectory("graft_wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("PipelineSpec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val res = "src/test/resources/geodata"
+
+  private val sources = Seq(
+    Source(name = "Sample Points", authority = "TEST", sourceType = "file",
+      url = s"$res/sample.geojson", stagedDataType = Some("geojson")),
+    Source(name = "Rest Layers", authority = "TST2", sourceType = "rest_api",
+      url = s"$res/rest_stub",
+      raw = Map("where_clause" -> "properties['category'] = 'A'",
+        "layer_ids" -> Seq(0, 1))),
+    Source(name = "Disabled Source", authority = "OFF", sourceType = "file",
+      url = s"$res/sample.geojson", enabled = false))
+
+  test("GeoJSON source: explode + normalize + bbox columns") {
+    val df = GeoJsonSource.read(spark, s"$res/sample.geojson")
+    assert(df.count() == 2)
+    val row = df.filter("properties['id'] = 1").collect().head
+    assert(row.getAs[String]("geom_type") == "Point")
+    assert(row.getAs[String]("geometry") == "POINT (18.0649 59.3293)")
+    assert(row.getAs[Int]("srid") == 3006)
+    assert(math.abs(row.getAs[Double]("xmin") - 18.0649) < 1e-9)
+  }
+
+  test("GeoJSON source: empty collection & mixed geometry detection") {
+    val empty = GeoJsonSource.read(spark, s"$res/empty.geojson")
+    assert(empty.filter("geometry is not null").count() == 0)
+    val mixed = GeoJsonSource.read(spark, s"$res/mixed.geojson")
+    assert(GeoFunctions.detectGeometryType(mixed) == "POLYGON") // mixed → default
+    val sample = GeoJsonSource.read(spark, s"$res/rest_stub/layer-0/page-0.json")
+    assert(GeoFunctions.detectGeometryType(sample) == "POINT")
+  }
+
+  test("paged REST source: pages union, where/outFields/bbox pushdown semantics") {
+    val all = PagedRestSource.readLayer(spark, s"$res/rest_stub/layer-0")
+    assert(all.count() == 4) // 2 pages unioned
+    val q = PagedRestSource.Query(
+      whereClause = Some("properties['category'] = 'A'"),
+      outFields = Seq("id", "name"),
+      bbox = Some(Geometry.BBox(17.9, 59.2, 18.2, 59.5)))
+    val filtered = PagedRestSource.readLayer(spark, s"$res/rest_stub/layer-0", q)
+    val rows = filtered.collect()
+    // category A ∧ inside bbox → ids 1,3 (4 is cat A but outside bbox)
+    assert(rows.map(_.getAs[Map[String, String]]("properties")("id")).sorted.toSeq == Seq("1", "3"))
+    assert(rows.head.getAs[Map[String, String]]("properties").keySet == Set("id", "name"))
+    // discovery finds both layers
+    assert(PagedRestSource.discoverLayers(s"$res/rest_stub") == Seq(0, 1))
+    assert(PagedRestSource.readService(spark, s"$res/rest_stub").count() == 5)
+  }
+
+  test("atom feed link extraction dedups preserving order") {
+    val xml = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$res/feed.atom")))
+    val links = AtomFeedSource.extractLinks(xml)
+    assert(links == Seq(
+      "https://example.se/data/a.zip",
+      "https://example.se/page/a.html",
+      "https://example.se/data/b.gpkg"))
+    assert(AtomFeedSource.dataLinks(links) ==
+      Seq("https://example.se/data/a.zip", "https://example.se/data/b.gpkg"))
+  }
+
+  test("full pipeline: stage, geoprocess (clip+reproject), publish; idempotent reload") {
+    val cfg = GlobalConfig(
+      aoi = Some((17.9, 59.2, 18.2, 59.5)),
+      targetSrid = 3006, // fixtures are already 3006; identity projection
+      sdeLoadStrategy = "truncate_and_load")
+    val pipe = new EtlPipeline(spark, cfg, stagingDb = "staging_t1")
+    val ledger = pipe.run(sources)
+
+    // T1: disabled source skipped at stage
+    assert(ledger.exists(r => r.source == "Disabled Source" && r.status == "skip"))
+    // staged names follow generate_fc_name
+    val stagedNames = ledger.filter(r => r.phase == "stage" && r.status == "done").map(_.table)
+    assert(stagedNames == Seq("test_sample_points", "tst2_rest_layers"))
+    // REST where-clause pushed: only category A rows staged (3 of 5);
+    // the table itself is later clipped in place, so assert via the ledger
+    assert(ledger.find(r => r.table == "tst2_rest_layers" && r.phase == "stage").get.rows == 3)
+    // geoprocess clipped the out-of-bbox feature (id=4 at 30,65)
+    val afterGp = spark.table("`staging_t1`.`tst2_rest_layers`")
+    assert(afterGp.count() == 2)
+    // publish landed in the default-pattern dataset/table
+    val pub = ledger.filter(r => r.phase == "publish" && r.status == "done")
+    assert(pub.map(_.rows).sum == afterGp.count() + spark.table("`staging_t1`.`test_sample_points`").count())
+    assert(spark.catalog.tableExists("`underlag_test`.`test_sample_data`") ||
+      spark.catalog.databaseExists("underlag_test"))
+
+    // run twice: truncate-and-load is idempotent (same counts, no dup rows)
+    val pipe2 = new EtlPipeline(spark, cfg, stagingDb = "staging_t2")
+    pipe2.run(sources)
+    val c1 = pipe.results.filter(r => r.phase == "publish" && r.status == "done").map(_.rows)
+    val c2 = pipe2.results.filter(r => r.phase == "publish" && r.status == "done").map(_.rows)
+    assert(c1 == c2)
+
+    // summary counters (A1)
+    assert(pipe.summary(("stage", "done")) == 2L)
+    assert(pipe.summary(("stage", "skip")) == 1L)
+  }
+
+  test("pipeline continues on per-source failure and ledgers the error") {
+    val bad = Source(name = "Broken", authority = "BAD", sourceType = "file",
+      url = "/nonexistent/file.geojson")
+    val pipe = new EtlPipeline(spark, GlobalConfig(), stagingDb = "staging_t3")
+    val ledger = pipe.run(Seq(bad, sources.head))
+    assert(ledger.exists(r => r.source == "Broken" && r.status == "error"))
+    assert(ledger.exists(r => r.source == "Sample Points" && r.phase == "stage" && r.status == "done"))
+    assert(pipe.firstErrors().nonEmpty)
+  }
+
+  test("mapping overlay: exact, partial, default; sde name split") {
+    val custom = Seq(OutputMapping(
+      stagingFc = "test_sample_points", sdeFc = "samples", sdeDataset = "Underlag_TEST"))
+    val mm = new MappingManager(custom)
+    val src = sources.head
+    assert(mm.resolve(src, "test_sample_points").sdeFc == "samples")        // exact
+    assert(mm.resolve(src, "test_sample").sdeFc == "samples")               // partial (substring)
+    val dflt = mm.resolve(src, "unmapped_fc")
+    assert(dflt.sdeDataset == "Underlag_TEST" || dflt.sdeDataset == "underlag_test")
+    // _get_sde_names split + LSTD special case
+    assert(SdeNaming.sdeNames("SKS_naturvarden_point", GlobalConfig()) ==
+      ("GNG.Underlag_SKS", "naturvarden_point"))
+    assert(SdeNaming.sdeNames("LSTD_gi_betesmark", GlobalConfig()) ==
+      ("GNG.Underlag_LstD", "gi_betesmark"))
+    assert(SdeNaming.sdeNames("noprefix", GlobalConfig()) == ("GNG.Underlag_MISC", "noprefix"))
+  }
+
+  test("publish strategies: replace and append") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Publish.publish(spark, df, "GNG.Underlag_X", "t1", "replace") == 2)
+    assert(Publish.publish(spark, df, "GNG.Underlag_X", "t1", "append") == 4)
+    assert(Publish.publish(spark, df, "GNG.Underlag_X", "t1", "truncate_and_load") == 2)
+    assert(Publish.publish(spark, df, "GNG.Underlag_X", "t1", "replace") == 2)
+    intercept[IllegalArgumentException] {
+      Publish.publish(spark, df, "GNG.Underlag_X", "t1", "bogus")
+    }
+  }
+
+  test("config YAML parsing: sources, mappings, global") {
+    val srcYaml =
+      """sources:
+        |  - name: "Test REST"
+        |    authority: "TST"
+        |    type: "rest_api"
+        |    url: "file:///tmp/rest"
+        |    enabled: true
+        |    staged_data_type: "geojson"
+        |    include: ["alpha;beta", "gamma"]
+        |    raw: { where_clause: "1=1", layer_ids: [0, 1] }
+        |""".stripMargin
+    val parsed = Configs.parseSources(srcYaml)
+    assert(parsed.length == 1)
+    assert(parsed.head.includeStems == Seq("alpha", "beta", "gamma"))
+    assert(parsed.head.raw("where_clause") == "1=1")
+
+    val (maps, settings) = Configs.parseMappings(
+      """mappings:
+        |  - staging_fc: "a_fc"
+        |    sde_fc: "fc"
+        |    sde_dataset: "Underlag_A"
+        |settings:
+        |  default_schema: "GNG"
+        |""".stripMargin)
+    assert(maps.head.sdeDataset == "Underlag_A")
+    assert(settings.defaultSchema == "GNG")
+
+    val g = Configs.parseGlobal(
+      """sde_schema: "GNG"
+        |sde_load_strategy: "replace"
+        |geoprocessing:
+        |  enabled: true
+        |  target_srid: 3010
+        |  aoi_bbox: "17.9, 59.2, 18.2, 59.5"
+        |sde_authority_mapping:
+        |  LSTD: "GNG.Underlag_LstD"
+        |""".stripMargin)
+    assert(g.sdeLoadStrategy == "replace")
+    assert(g.aoi.contains((17.9, 59.2, 18.2, 59.5)))
+    // invalid source type rejected
+    intercept[IllegalArgumentException] {
+      Source(name = "x", authority = "y", sourceType = "carrier_pigeon", url = "u")
+    }
+  }
+}
