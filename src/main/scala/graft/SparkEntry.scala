@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Naming, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Monitoring, Similarity}
 
 /** Driver contract: the queryable operator surface (SURVEY.md §2) plus the
   * LLM-data-pipeline extensions (dedup / similarity / text analysis).
@@ -257,6 +257,105 @@ object SparkEntry {
   private def q25(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(t(s, d, "embeddings"), queryId = 0L, k = 10)
 
+  /** F9: JSON parse of the open `props` column → typed value → agg. */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total_value"))
+      .orderBy("k")
+
+  private def q27(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total"))
+      .orderBy("month")
+
+  /** Conditional aggregation (pivot-style) over order status. */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+        sum(when(col("o_orderstatus") === "F", dec2(col("o_totalprice")))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DecimalType(18, 2)).as("f_total"))
+      .orderBy("o_orderpriority")
+
+  private def q29(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("qty"))
+      .filter(col("n_lines") >= 38) // HAVING
+      .orderBy("l_partkey")
+
+  private def q30(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val w  = Window.partitionBy("user_id").orderBy("event_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events")
+      .withColumn("first_v", first(dec2(col("value"))).over(wf))
+      .withColumn("last_v", last(dec2(col("value"))).over(wf))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("event_id"), col("user_id"), col("first_v"), col("last_v"), col("quartile"))
+      .orderBy("event_id")
+  }
+
+  private def q32(s: SparkSession, d: String): DataFrame =
+    t(s, d, "supplier")
+      .select(
+        col("s_suppkey"),
+        upper(col("s_name")).as("uname"),
+        substring(col("s_name"), 1, 8).as("prefix"),
+        length(col("s_name")).cast("long").as("name_len"),
+        regexp_extract(col("s_name"), "(\\d+)", 1).as("digits"),
+        concat_ws("-", col("s_name"), col("s_nationkey")).as("tagged"),
+        reverse(col("s_name")).as("rev"))
+      .orderBy("s_suppkey")
+
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").filter(col("l_orderkey") < 500)
+    val o  = t(s, d, "orders")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).cast("long").as("ship_y"),
+        month(col("l_shipdate")).cast("long").as("ship_m"),
+        dayofmonth(col("l_shipdate")).cast("long").as("ship_d"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_ship"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** A6 exact 2σ anomaly flags (Monitoring.exactSigmaAnomalies). */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Monitoring.exactSigmaAnomalies(
+      t(s, d, "events"), Seq("event_type"), "event_id", "value", sigmas = 2)
+      .orderBy("event_type", "event_id")
+
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val key = (round(col("value") * 100).cast("long") * 10000000L + col("event_id"))
+    t(s, d, "events")
+      .withColumn("k", key)
+      .groupBy("event_type")
+      .agg(
+        max_by(col("event_id"), col("k")).as("max_event"),
+        min_by(col("event_id"), col("k")).as("min_event"),
+        max(dec2(col("value"))).cast(DecimalType(18, 2)).as("max_value"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -282,7 +381,17 @@ object SparkEntry {
     "q22_cosine_topk"     -> (q22 _),
     "q23_minhash_pairs"   -> (q23 _),
     "q24_simhash_pairs"   -> (q24 _),
-    "q25_lsh_ann"         -> (q25 _)
+    "q25_lsh_ann"         -> (q25 _),
+    "q26_props_json"      -> (q26 _),
+    "q27_month_orders"    -> (q27 _),
+    "q28_status_pivot"    -> (q28 _),
+    "q29_hot_parts"       -> (q29 _),
+    "q30_cube_flags"      -> (q30 _),
+    "q31_user_windows"    -> (q31 _),
+    "q32_supplier_strings" -> (q32 _),
+    "q33_ship_dates"      -> (q33 _),
+    "q34_value_anomalies" -> (q34 _),
+    "q35_argmax_events"   -> (q35 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -503,6 +612,77 @@ object SparkEntry {
         |     sqrt(list_sum(list_transform(qe, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) AS cos
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+    "q26_props_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM events GROUP BY k ORDER BY k""".stripMargin.replaceAll("\n", " "),
+    "q27_month_orders" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin.replaceAll("\n", " "),
+    "q28_status_pivot" ->
+      """SELECT o_orderpriority,
+        | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS f_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+    "q29_hot_parts" ->
+      """SELECT l_partkey, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 38 ORDER BY l_partkey"""
+        .stripMargin.replaceAll("\n", " "),
+    "q30_cube_flags" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin.replaceAll("\n", " "),
+    "q31_user_windows" ->
+      """SELECT event_id, user_id,
+        | first_value(CAST(value AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+        | last_value(CAST(value AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+        | CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+    "q32_supplier_strings" ->
+      """SELECT s_suppkey, upper(s_name) AS uname, substring(s_name, 1, 8) AS prefix,
+        | CAST(length(s_name) AS BIGINT) AS name_len,
+        | regexp_extract(s_name, '(\d+)', 1) AS digits,
+        | concat_ws('-', s_name, s_nationkey) AS tagged,
+        | reverse(s_name) AS rev
+        |FROM supplier ORDER BY s_suppkey""".stripMargin.replaceAll("\n", " "),
+    "q33_ship_dates" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(year(l_shipdate) AS BIGINT) AS ship_y,
+        | CAST(month(l_shipdate) AS BIGINT) AS ship_m,
+        | CAST(day(l_shipdate) AS BIGINT) AS ship_d,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS days_to_ship
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber"""
+        .stripMargin.replaceAll("\n", " "),
+    "q34_value_anomalies" ->
+      """WITH s AS (SELECT event_type, event_id,
+        |             CAST(round(value*100) AS HUGEINT) AS c,
+        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |     g AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+        |             SUM(c) AS s1, SUM(c*c) AS q FROM s GROUP BY event_type)
+        |SELECT s.event_type, s.event_id, s.v
+        |FROM s JOIN g USING (event_type)
+        |WHERE (n*c - s1)*(n*c - s1) > 4*(n*q - s1*s1)
+        |ORDER BY s.event_type, s.event_id""".stripMargin.replaceAll("\n", " "),
+    "q35_argmax_events" ->
+      """SELECT event_type,
+        | arg_max(event_id, CAST(round(value*100) AS BIGINT)*10000000 + event_id) AS max_event,
+        | arg_min(event_id, CAST(round(value*100) AS BIGINT)*10000000 + event_id) AS min_event,
+        | CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

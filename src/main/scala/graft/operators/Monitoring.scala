@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Observability/regression operators (SURVEY §2.7 A1-A6) re-expressed as
+  * window/aggregate queries over a metrics-shaped table
+  * (etl/utils/regression_detector.py:26-199, etl/monitoring.py:124-247).
+  *
+  * Two forms of each statistic:
+  *  - the natural double form (mean/stddev/z-score) for analysis;
+  *  - an EXACT integer/decimal form for oracle-verifiable anomaly flags:
+  *    (x−μ)² > k²σ²  ⟺  (n·x−S)² > k²·(n·Q−S²)   with S=Σx, Q=Σx²
+  *    — cross-multiplied so no division/sqrt ever happens. Computed in
+  *    cent-scaled DECIMAL(38,0) so Spark and DuckDB agree bit-for-bit.
+  */
+object Monitoring {
+
+  /** Per-group baseline stats (regression_detector baseline mean/std). */
+  def baselineStats(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col(valueCol)).as("mean"),
+        stddev_samp(col(valueCol)).as("std"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** is_regression (regression_detector.py:37-60): current > 20% worse
+    * than baseline mean AND > 2σ above it (higher = worse).
+    */
+  def isRegression(current: Column, mean: Column, std: Column,
+      pctThreshold: Double = 0.20, sigmas: Double = 2.0): Column =
+    (current > mean * (1.0 + pctThreshold)) && (current > mean + std * sigmas)
+
+  /** Rolling mean over the trailing `window` rows (trend detection,
+    * regression_detector.py:123-143).
+    */
+  def rollingMean(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+      valueCol: String, window: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(-(window - 1), 0)
+    df.withColumn("rolling_mean", avg(col(valueCol)).over(w))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+  }
+
+  /** Z-score anomalies (regression_detector.py:155-175), double form. */
+  def zscores(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("grp_mean", avg(col(valueCol)).over(w))
+      .withColumn("grp_std", stddev_samp(col(valueCol)).over(w))
+      .withColumn("zscore",
+        when(col("grp_std") === 0.0, lit(0.0))
+          .otherwise((col(valueCol) - col("grp_mean")) / col("grp_std")))
+  }
+
+  /** EXACT k-sigma anomaly flags for a 2-decimal double column:
+    * works in integer cents via DECIMAL(38,0) (scale-0 decimals never
+    * round; population variance; both engines agree exactly).
+    * Emits only the flagged rows.
+    */
+  def exactSigmaAnomalies(
+      df: DataFrame, groupCols: Seq[String], idCol: String, valueCol: String,
+      sigmas: Int = 2): DataFrame = {
+    // round() before the integer cast: value*100 in IEEE can land an ulp
+    // below the true integer, and Spark's double→long cast truncates
+    // while DuckDB's rounds — round() first makes both engines agree.
+    val cents = round(col(valueCol) * 100).cast("long").cast(DecimalType(38, 0))
+    val w     = Window.partitionBy(groupCols.map(col): _*)
+    val n     = count(lit(1)).over(w).cast(DecimalType(38, 0))
+    val s     = sum(cents).over(w)
+    val q     = sum(cents * cents).over(w)
+    // (n·x − S)² > k²·(n·Q − S²)
+    val lhs = (n * cents - s) * (n * cents - s)
+    val rhs = lit(sigmas * sigmas) * (n * q - s * s)
+    df.withColumn("_flag", lhs > rhs)
+      .filter(col("_flag"))
+      .select((groupCols :+ idCol).map(col) :+
+        col(valueCol).cast(DecimalType(18, 2)).as("v"): _*)
+  }
+
+  /** Change-point scan (regression_detector.py:177-199): compare the
+    * trailing `w`-row mean to the preceding `w`-row mean; emit rows where
+    * the exact cross-multiplied difference exceeds pct% — integer cents,
+    * no division: |W2·pre − W1·post|·100 > pct·W2·pre  with
+    * W1=Σ trailing, W2=Σ preceding (window counts equal ⇒ cancels).
+    */
+  def changePoints(
+      df: DataFrame, partitionCols: Seq[String], orderCol: String,
+      valueCol: String, windowRows: Int, pct: Int): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long").cast(DecimalType(38, 0))
+    val base  = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val after  = base.rowsBetween(0, windowRows - 1)
+    val before = base.rowsBetween(-windowRows, -1)
+    val sumA = sum(cents).over(after)
+    val cntA = count(lit(1)).over(after).cast(DecimalType(38, 0))
+    val sumB = sum(cents).over(before)
+    val cntB = count(lit(1)).over(before).cast(DecimalType(38, 0))
+    df.withColumn("_sa", sumA).withColumn("_ca", cntA)
+      .withColumn("_sb", sumB).withColumn("_cb", cntB)
+      .filter(col("_cb") === windowRows && col("_ca") === windowRows)
+      // |mean_after − mean_before| > pct% of mean_before, cross-multiplied
+      .filter(abs(col("_sa") - col("_sb")) * 100 > lit(pct) * col("_sb"))
+      .select(partitionCols.map(col) :+ col(orderCol): _*)
+  }
+}
