@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Naming, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Monitoring, Similarity}
+import graft.operators.{Dedup, Monitoring, Multimodal, Similarity}
 
 /** Driver contract: the queryable operator surface (SURVEY.md §2) plus the
   * LLM-data-pipeline extensions (dedup / similarity / text analysis).
@@ -356,6 +356,23 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  // Multimodal pipeline (rows-only: media blobs are synthesized —
+  // deterministic seed — since the driver tables carry no binary columns;
+  // decode is a documented stub, the plumbing is the operator under test).
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeImages(Multimodal.syntheticMedia(s, 200, "image")).toDF()
+      .orderBy("media_id")
+
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val emb = Multimodal.embedMedia(Multimodal.syntheticMedia(s, 300, "image"))
+    Similarity.bruteForceTopK(emb, queryId = 0L, k = 10).select(col("vec_id"))
+  }
+
+  private def q38(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 50, "video"), everyNth = 2)
+      .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      .orderBy("media_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -391,7 +408,10 @@ object SparkEntry {
     "q32_supplier_strings" -> (q32 _),
     "q33_ship_dates"      -> (q33 _),
     "q34_value_anomalies" -> (q34 _),
-    "q35_argmax_events"   -> (q35 _)
+    "q35_argmax_events"   -> (q35 _),
+    "q36_media_decode"    -> (q36 _),
+    "q37_media_embed_ann" -> (q37 _),
+    "q38_frame_sample"    -> (q38 _)
   )
 
   // ---------------------------------------------------------------------------

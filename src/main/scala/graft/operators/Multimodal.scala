@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column operators.
+  *
+  * Data model: media are opaque `binary` columns + a typed metadata
+  * struct — the 100 TB-scale layout where blobs live in parquet/row
+  * groups next to their features, and everything that can be pruned is a
+  * plain column (kind, width, duration…), so a query that only needs
+  * metadata never deserializes a blob.
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
+  * so `FakeCodec` derives deterministic pseudo-content from the bytes
+  * (documented below, clearly marked). Everything AROUND the decode —
+  * schemas, `mapPartitions` batch shape, explode of frames, feature
+  * vectors feeding Similarity — is real, tested Spark plumbing; swapping
+  * `FakeCodec` for javax.imageio/ffmpeg bindings changes no plan shape.
+  *
+  * Execution model: per-row codec work runs in `mapPartitions` with a
+  * typed Encoder (one JVM object stream per partition — no per-row UDF
+  * setup, codec instances reused across the partition's rows, the Scala
+  * analog of `mapInPandas` batch processing).
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, data: Array[Byte])
+
+  final case class ImageMeta(width: Int, height: Int, channels: Int)
+  final case class DecodedImage(
+      media_id: Long, width: Int, height: Int, channels: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  final case class AudioMeta(sample_rate: Int, duration_ms: Long, rms: Double)
+  final case class DecodedAudio(media_id: Long, sample_rate: Int, duration_ms: Long, rms: Double)
+
+  final case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB codec: a deterministic pure function of the blob bytes.
+    * "Header" = first 16 bytes interpreted as big-endian ints
+    * (width, height, channels, extra); "content" = xxhash-style rolling
+    * stats over the remaining bytes. Replace with a real codec binding
+    * in production; signatures stay identical.
+    */
+  object FakeCodec {
+    private def beInt(b: Array[Byte], off: Int): Int =
+      if (b.length < off + 4) 0
+      else ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    def imageMeta(data: Array[Byte]): ImageMeta =
+      ImageMeta(
+        width = math.max(1, beInt(data, 0) % 4096),
+        height = math.max(1, beInt(data, 4) % 4096),
+        channels = math.max(1, beInt(data, 8) % 4 + 1))
+
+    /** per-"channel" byte means over the payload — deterministic. */
+    def channelMeans(data: Array[Byte]): (Double, Double, Double) = {
+      if (data.length <= 16) return (0.0, 0.0, 0.0)
+      var (r, g, b) = (0L, 0L, 0L)
+      var i = 16
+      while (i < data.length) {
+        (i % 3: @unchecked) match {
+          case 0 => r += data(i) & 0xff
+          case 1 => g += data(i) & 0xff
+          case 2 => b += data(i) & 0xff
+        }
+        i += 1
+      }
+      val n = math.max(1, (data.length - 16) / 3)
+      (r.toDouble / n, g.toDouble / n, b.toDouble / n)
+    }
+
+    def audioMeta(data: Array[Byte]): AudioMeta = {
+      val sr  = Seq(8000, 16000, 22050, 44100)(math.abs(beInt(data, 0)) % 4)
+      val dur = math.max(1L, (data.length - 16).toLong * 1000 / math.max(1, sr))
+      var acc = 0.0
+      var i   = 16
+      while (i < data.length) { val v = (data(i) & 0xff) - 128.0; acc += v * v; i += 1 }
+      AudioMeta(sr, dur, math.sqrt(acc / math.max(1, data.length - 16)))
+    }
+
+    /** "resize": deterministic re-synthesis at the target dims — new
+      * header + payload subsampled/repeated to w*h*ch bytes.
+      */
+    def resize(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val ch  = imageMeta(data).channels
+      val out = new Array[Byte](16 + w * h * ch)
+      out(0) = (w >> 24).toByte; out(1) = (w >> 16).toByte; out(2) = (w >> 8).toByte; out(3) = w.toByte
+      out(4) = (h >> 24).toByte; out(5) = (h >> 16).toByte; out(6) = (h >> 8).toByte; out(7) = h.toByte
+      out(11) = (ch - 1).toByte
+      val payload = math.max(1, data.length - 16)
+      var i = 16
+      while (i < out.length) { out(i) = data(16 + ((i - 16) * payload / (out.length - 16))); i += 1 }
+      out
+    }
+
+    /** video = concatenated fixed-size "frames" after the header. */
+    def frames(data: Array[Byte], frameBytes: Int = 64): Seq[Array[Byte]] =
+      data.drop(16).grouped(frameBytes).toSeq
+
+    /** deterministic feature embedding (the feature-extract step). */
+    def embed(data: Array[Byte], dim: Int = 64): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h   = 1125899906842597L
+      var i   = 0
+      while (i < data.length) { h = 31 * h + (data(i) & 0xff); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(j) = (h.toDouble / Long.MaxValue.toDouble).toFloat
+        j += 1
+      }
+      out
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // DataFrame operators (real plumbing)
+  // -------------------------------------------------------------------------
+
+  /** Decode image metadata + channel stats — one codec pass per
+    * partition stream (mapPartitions, not per-row UDF).
+    */
+  def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
+    implicit val enc = Encoders.product[DecodedImage]
+    media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.filter(_.kind == "image").map { r =>
+          val m             = FakeCodec.imageMeta(r.data)
+          val (mr, mg, mb)  = FakeCodec.channelMeans(r.data)
+          DecodedImage(r.media_id, m.width, m.height, m.channels, mr, mg, mb)
+        }
+      }
+  }
+
+  /** Resize images to target dims; returns (media_id, data) with the new
+    * blob — the write side would partition by size bucket.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val resize = udf((data: Array[Byte]) => FakeCodec.resize(data, w, h))
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), resize(col("data")).as("data"))
+  }
+
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    implicit val enc = Encoders.product[DecodedAudio]
+    media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.filter(_.kind == "audio").map { r =>
+          val m = FakeCodec.audioMeta(r.data)
+          DecodedAudio(r.media_id, m.sample_rate, m.duration_ms, m.rms)
+        }
+      }
+  }
+
+  /** Frame sampling: explode every Nth frame to its own row — the shape
+    * under video dedup/search (each frame then embeds independently).
+    */
+  def sampleFrames(media: DataFrame, everyNth: Int): Dataset[VideoFrame] = {
+    implicit val enc = Encoders.product[VideoFrame]
+    media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
+      .flatMap { r =>
+        if (r.kind != "video") Iterator.empty
+        else FakeCodec.frames(r.data).zipWithIndex.collect {
+          case (f, i) if i % everyNth == 0 => VideoFrame(r.media_id, i, f)
+        }.iterator
+      }
+  }
+
+  /** Feature extraction: blob → embedding column, ready for
+    * Similarity.bruteForceTopK / lshTopK / cosineNearDupPairs.
+    */
+  def embedMedia(media: DataFrame, dim: Int = 64): DataFrame = {
+    val embed = udf((data: Array[Byte]) => FakeCodec.embed(data, dim))
+    media.select(col("media_id").as("vec_id"), embed(col("data")).as("embedding"))
+  }
+
+  /** Deterministic synthetic media table for tests/bench (seeded). */
+  def syntheticMedia(spark: SparkSession, n: Int, kind: String, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val rnd  = new scala.util.Random(seed + i)
+      val size = 64 + rnd.nextInt(512)
+      val data = new Array[Byte](size)
+      rnd.nextBytes(data)
+      MediaRow(i.toLong, kind, data)
+    }.toDF()
+  }
+}

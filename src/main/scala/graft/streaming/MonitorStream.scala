@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming monitor (SURVEY §7 stretch: A2/A8) — the
+  * reference's in-memory metric time-series + alert rules
+  * (etl/monitoring.py:124-247, etl/utils/performance_monitor.py:47-99)
+  * re-expressed as a streaming job over an events stream.
+  *
+  * Streaming surface: file-source readStream (schema mandatory) →
+  * event-time watermark → sliding-window aggregates → threshold alert
+  * filter; plus a mapGroupsWithState per-user session accumulator for
+  * custom state. The same transforms run in batch (they're used that way
+  * in tests — batch/stream parity is the point of the unified API).
+  */
+object MonitorStream {
+
+  /** events schema as landed (ts = ns-since-epoch long under
+    * nanosAsLong; converted to a timestamp here).
+    */
+  def eventsWithTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time",
+      timestamp_micros((col("ts") / 1000).cast("long")))
+
+  /** Sliding-window per-type metric summaries (A2's window summaries:
+    * count / sum / min / max / avg).
+    */
+  def windowedStats(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    eventsWithTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("total"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        avg(col("value")).as("avg_v"))
+
+  /** A8 alert rule: windows whose aggregate crosses a threshold. */
+  def thresholdAlerts(stats: DataFrame, metric: String, threshold: Double): DataFrame =
+    stats.filter(col(metric) > threshold)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col(metric).as("observed"))
+      .withColumn("threshold", lit(threshold))
+
+  // ---- stateful per-user sessions (mapGroupsWithState) ----
+
+  final case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  final case class UserSession(user_id: Long, n_events: Long, total_value: Double, last_event: Long)
+
+  def sessionUpdate(
+      userId: Long,
+      events: Iterator[UserEvent],
+      state: GroupState[UserSession]): UserSession = {
+    val prev = state.getOption.getOrElse(UserSession(userId, 0L, 0.0, -1L))
+    val next = events.foldLeft(prev) { (acc, e) =>
+      UserSession(userId, acc.n_events + 1, acc.total_value + e.value,
+        math.max(acc.last_event, e.event_id))
+    }
+    state.update(next)
+    next
+  }
+
+  /** Running per-user session state over a stream of events. */
+  def userSessions(events: Dataset[UserEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserSession, UserSession](GroupStateTimeout.NoTimeout())(sessionUpdate)
+  }
+
+  /** Wire the whole monitor as a streaming query over a parquet dir,
+    * memory-sinked (for local drive/tests): returns the query name to
+    * select from.
+    */
+  def startMemoryMonitor(
+      spark: SparkSession,
+      eventsDir: String,
+      queryName: String = "monitor",
+      alertMetric: String = "n",
+      threshold: Double = 50.0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val alerts = thresholdAlerts(windowedStats(stream), alertMetric, threshold)
+    alerts.writeStream
+      .outputMode(OutputMode.Append) // watermark closes windows
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+}

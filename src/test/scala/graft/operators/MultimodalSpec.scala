@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val images = Multimodal.syntheticMedia(spark, 50, "image")
+  private lazy val audio  = Multimodal.syntheticMedia(spark, 20, "audio")
+  private lazy val videos = Multimodal.syntheticMedia(spark, 10, "video")
+
+  test("decodeImages: schema, coverage, determinism") {
+    val out = Multimodal.decodeImages(images)
+    assert(out.columns.toSeq == Seq(
+      "media_id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"))
+    assert(out.count() == 50)
+    val a = out.orderBy("media_id").collect()
+    val b = Multimodal.decodeImages(images).orderBy("media_id").collect()
+    assert(a.sameElements(b)) // codec is a pure function of the bytes
+    assert(a.forall(r => r.width >= 1 && r.channels <= 4))
+    // non-image rows are ignored
+    assert(Multimodal.decodeImages(audio).count() == 0)
+  }
+
+  test("resizeImages re-synthesizes blobs at target dims") {
+    val out = Multimodal.resizeImages(images, 32, 16).collect()
+    assert(out.length == 50)
+    for (r <- out) {
+      val blob = r.getAs[Array[Byte]]("data")
+      val meta = Multimodal.FakeCodec.imageMeta(blob)
+      assert(meta.width == 32 && meta.height == 16)
+      assert(blob.length == 16 + 32 * 16 * meta.channels)
+    }
+  }
+
+  test("decodeAudio produces plausible metadata") {
+    val out = Multimodal.decodeAudio(audio).collect()
+    assert(out.length == 20)
+    assert(out.forall(a => a.duration_ms >= 1 && a.rms >= 0.0))
+    assert(out.forall(a => Seq(8000, 16000, 22050, 44100).contains(a.sample_rate)))
+  }
+
+  test("sampleFrames explodes every Nth frame with stable indices") {
+    val all  = Multimodal.sampleFrames(videos, 1)
+    val some = Multimodal.sampleFrames(videos, 3)
+    val perVideoAll  = all.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perVideoSome = some.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, n) <- perVideoAll)
+      assert(perVideoSome(id) == (n + 2) / 3, s"video $id: $n frames → every-3rd")
+    assert(some.select("frame_idx").as[Int].collect().forall(_ % 3 == 0))
+  }
+
+  test("embedMedia feeds the similarity operators end-to-end") {
+    val emb = Multimodal.embedMedia(images, dim = 64)
+    assert(emb.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(emb.select(size($"embedding")).as[Int].head() == 64)
+    // identical blobs embed identically → near-dup pair search finds them
+    val dup = images.limit(1).withColumn("media_id", lit(999L))
+    val withDup = Multimodal.embedMedia(images.unionByName(dup))
+    val top = Similarity.bruteForceTopK(withDup, queryId = 999L, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(top == 0L) // media 0's clone is its own nearest neighbor
+  }
+}

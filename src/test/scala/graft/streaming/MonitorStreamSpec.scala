@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MonitorStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val eventsDir = s"${sf()}/events.parquet"
+
+  test("windowedStats in batch mode: windows partition event time per type") {
+    val batch = spark.read.parquet(eventsDir)
+    val stats = MonitorStream.windowedStats(batch, "1 hour", "1 hour", "0 seconds")
+    val total = stats.agg(sum("n")).as[Long].head()
+    assert(total == batch.count()) // tumbling windows cover every event once
+    assert(stats.columns.contains("window"))
+  }
+
+  test("thresholdAlerts keep only crossing windows") {
+    val batch  = spark.read.parquet(eventsDir)
+    val stats  = MonitorStream.windowedStats(batch, "1 hour", "1 hour", "0 seconds")
+    val alerts = MonitorStream.thresholdAlerts(stats, "n", 2.0)
+    assert(alerts.filter($"observed" <= 2.0).count() == 0)
+    assert(alerts.count() == stats.filter($"n" > 2.0).count())
+  }
+
+  test("streaming query over the events fixture fires alerts via memory sink") {
+    // the file-stream source wants a directory; stage the fixture file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsDir),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    // threshold 0: sf0.001 has ~0.7 events per 1h window, so any higher
+    // cut would (correctly) emit nothing — the filter logic itself is
+    // covered by the batch-mode test above.
+    val q = MonitorStream.startMemoryMonitor(spark, dir,
+      queryName = "monitor_t", alertMetric = "n", threshold = 0.0)
+    try {
+      q.processAllAvailable()
+      // append mode emits a window only once the watermark passes it; a
+      // single batch never closes its own windows — feed a later
+      // heartbeat event to advance event time, then drain again.
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+      val maxTs = batch.agg(max("ts")).head().getLong(0)
+      batch.limit(1).withColumn("ts", lit(maxTs + 24L * 3600 * 1000000000L))
+        .write.mode("append").parquet(dir) // lands beside events.parquet
+
+      q.processAllAvailable()
+      val streamed = spark.table("monitor_t")
+      // append-mode emits only watermark-closed windows; every emitted
+      // alert must genuinely cross the threshold
+      assert(streamed.filter($"observed" <= 0.0).count() == 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user sessions (batch parity checked)") {
+    val ue = spark.read.parquet(eventsDir)
+      .select($"user_id", $"event_id", $"value").as[MonitorStream.UserEvent]
+    val sessions = MonitorStream.userSessions(ue).collect().map(s => s.user_id -> s).toMap
+    val expected = ue.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("t"), max("event_id").as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(sessions.keySet == expected.keySet)
+    for ((uid, (n, t, m)) <- expected) {
+      assert(sessions(uid).n_events == n)
+      assert(math.abs(sessions(uid).total_value - t) < 1e-6)
+      assert(sessions(uid).last_event == m)
+    }
+  }
+}
