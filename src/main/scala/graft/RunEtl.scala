@@ -38,6 +38,7 @@ object RunEtl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
 
     val t0     = System.nanoTime()
     val pipe   = new EtlPipeline(spark, cfg, mappings)

@@ -27,9 +27,11 @@ object GeoFunctions {
 
   // --- UDFs over WKT (exact geometry work after the bbox prefilter) ---
 
+  // the name matters: graft.plans.GeomFilterRule recognizes this UDF in
+  // filter conditions and injects the scan-pushable bbox-column guard.
   private val intersectsUdf = udf { (wkt: String, bxmin: Double, bymin: Double, bxmax: Double, bymax: Double) =>
     Geometry.fromWkt(wkt).exists(g => Geometry.intersectsBBox(g, BBox(bxmin, bymin, bxmax, bymax)))
-  }
+  }.withName("st_intersects_bbox")
 
   private val clipUdf = udf { (wkt: String, bxmin: Double, bymin: Double, bxmax: Double, bymax: Double) =>
     Geometry.fromWkt(wkt)
