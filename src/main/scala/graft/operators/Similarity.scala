@@ -28,7 +28,7 @@ object Similarity {
     embeddings
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("q_embedding")))
+      .withColumn("cos", VectorFunctions.cosineFused(col("embedding"), col("q_embedding")))
       .orderBy(col("cos").desc, col("vec_id"))
       .select("vec_id", "cos")
       .limit(k)
@@ -42,7 +42,7 @@ object Similarity {
       .crossJoin(broadcast(queries.select(
         col("vec_id").as("query_id"), col("embedding").as("q_embedding"))))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("q_embedding")))
+      .withColumn("cos", VectorFunctions.cosineFused(col("embedding"), col("q_embedding")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -77,7 +77,7 @@ object Similarity {
     bucketed
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(probes), Seq("bucket"))
-      .withColumn("cos", VectorFunctions.cosine(col("embedding"), col("q_embedding")))
+      .withColumn("cos", VectorFunctions.cosineFused(col("embedding"), col("q_embedding")))
       .orderBy(col("cos").desc, col("vec_id"))
       .select("vec_id", "cos")
       .limit(k)
@@ -99,7 +99,7 @@ object Similarity {
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
-      .withColumn("cos", VectorFunctions.cosine(col("l.embedding"), col("r.embedding")))
+      .withColumn("cos", VectorFunctions.cosineFused(col("l.embedding"), col("r.embedding")))
       .filter(col("cos") >= minCosine)
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("cos"))
   }

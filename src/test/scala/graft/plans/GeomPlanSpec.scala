@@ -36,13 +36,17 @@ class GeomPlanSpec extends SparkSpec {
   }
 
   test("expression participates in whole-stage codegen") {
-    val df = parts.filter(
-      BboxIntersectsExpr($"xmin", $"ymin", $"xmax", $"ymax", box))
-    val codegen = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
-    // doGenCode emitted fused comparisons inside a WholeStageCodegen stage
-    assert(codegen.contains("WholeStageCodegen"), s"no codegen stage:\n${codegen.take(800)}")
-    assert(!codegen.contains("Found 0 WholeStageCodegen"), codegen.take(200))
+    // AQE reports zero codegen subtrees on unexecuted plans — disable it
+    // so the inspection sees the real stages.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = parts.filter(
+        BboxIntersectsExpr($"xmin", $"ymin", $"xmax", $"ymax", box))
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!codegen.contains("Found 0 WholeStageCodegen"), codegen.take(300))
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("GeomFilterRule injects a pushable bbox guard before the geometry UDF") {
