@@ -384,6 +384,49 @@ object SparkEntry {
       .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
       .orderBy("media_id")
 
+  /** Set operations: customers in BUILDING ∩ with-urgent-orders, and
+    * nations EXCEPT those with suppliers.
+    */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(urgent).orderBy("c_custkey")
+  }
+
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation").select(col("n_nationkey").as("k"))
+    val sup = t(s, d, "supplier")
+      .filter(dec2(col("s_acctbal")) > 8000) // nations w/o a high-balance supplier
+      .select(col("s_nationkey").cast("int").as("k"))
+    n.except(sup).orderBy("k")
+  }
+
+  /** Correlated EXISTS with an extra predicate (decorrelates to a
+    * filtered semi join).
+    */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val o  = t(s, d, "orders")
+    val li = t(s, d, "lineitem").filter(col("l_quantity") > 45)
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Scalar subquery: orders within 10% of the global max price (max is
+    * exact on decimals, unlike avg).
+    */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val o      = t(s, d, "orders").withColumn("total", dec2(col("o_totalprice")))
+    val maxRow = o.agg(max(col("total")).as("mx"))
+    o.crossJoin(broadcast(maxRow))
+      .filter(col("total") * 10 >= col("mx") * 9)
+      .select(col("o_orderkey"), col("total"))
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -422,7 +465,11 @@ object SparkEntry {
     "q35_argmax_events"   -> (q35 _),
     "q36_media_decode"    -> (q36 _),
     "q37_media_embed_ann" -> (q37 _),
-    "q38_frame_sample"    -> (q38 _)
+    "q38_frame_sample"    -> (q38 _),
+    "q39_intersect_custs" -> (q39 _),
+    "q40_except_nations"  -> (q40 _),
+    "q41_exists_orders"   -> (q41 _),
+    "q42_scalar_subquery" -> (q42 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -714,6 +761,27 @@ object SparkEntry {
         | arg_min(event_id, CAST(round(value*100) AS BIGINT)*10000000 + event_id) AS min_event,
         | CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+    "q39_intersect_custs" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin.replaceAll("\n", " "),
+    "q40_except_nations" ->
+      """SELECT n_nationkey AS k FROM nation
+        |EXCEPT SELECT CAST(s_nationkey AS INTEGER) AS k FROM supplier
+        |       WHERE CAST(s_acctbal AS DECIMAL(18,2)) > 8000
+        |ORDER BY k""".stripMargin.replaceAll("\n", " "),
+    "q41_exists_orders" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+    "q42_scalar_subquery" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 10 >=
+        |  (SELECT MAX(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) * 9
+        |ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -84,6 +84,19 @@ final class EtlPipeline(
             Geometry.BBox(a, c, d, e)
           })
         PagedRestSource.readService(spark, path, layerIds, q)
+      case "ogc_api" =>
+        val collections = source.raw.get("collections") match {
+          case Some(l: java.util.List[_]) =>
+            import scala.jdk.CollectionConverters._
+            l.asScala.map(_.toString).toSeq
+          case Some(s: Seq[_]) => s.map(_.toString)
+          case _               => Seq.empty
+        }
+        val bbox = source.raw.get("bbox").map { b =>
+          val Array(x0, y0, x1, y1) = b.toString.split(",").map(_.trim.toDouble)
+          Geometry.BBox(x0, y0, x1, y1)
+        }
+        graft.sources.OgcApiSource.readService(spark, path, collections, bbox)
       case other =>
         throw new IllegalArgumentException(s"no reader for source type '$other'")
     }

@@ -40,16 +40,20 @@ object GeoJsonSource {
     */
   def parseSrid(crsJson: String, dflt: Int = 4326): Int = {
     if (crsJson == null) return dflt
-    val epsg = "EPSG:{0,2}(\\d+)".r
+    // urn:ogc:def:crs:EPSG::3006 | EPSG:3006 | …/def/crs/EPSG/0/3006
+    val epsg = "EPSG(?:/\\d+/|:{1,2})(\\d+)".r
     epsg.findFirstMatchIn(crsJson).map(_.group(1).toInt)
       .getOrElse(if (crsJson.contains("CRS84")) 4326 else dflt)
   }
 
-  def read(spark: SparkSession, path: String, defaultSrid: Int = 4326): DataFrame = {
+  def read(spark: SparkSession, path: String, defaultSrid: Int = 4326): DataFrame =
+    readPaths(spark, Seq(path), defaultSrid)
+
+  def readPaths(spark: SparkSession, paths: Seq[String], defaultSrid: Int = 4326): DataFrame = {
     val raw = spark.read
       .schema(featureCollectionSchema)
       .option("multiLine", "true")
-      .json(path)
+      .json(paths: _*)
       .withColumn("_file", input_file_name())
     val exploded = raw
       .select(col("_file"), col("crs"), posexplode_outer(col("features")))

@@ -1,0 +1,97 @@
+package graft.util
+
+import java.io.{BufferedOutputStream, FileOutputStream, InputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.zip.ZipInputStream
+
+/** File-landing utilities (SURVEY §2.1 S1/S2 + §2.5 F7): the driver-side
+  * concerns around getting bytes onto storage Spark can scan —
+  * idempotent cached copy (the "download" in a zero-egress environment
+  * is stream-to-disk), zip extraction into a staging dir, and
+  * Content-Disposition filename parsing.
+  *
+  * References: etl/utils/io.py:25-91 (download cache check :28-30,
+  * 8 KiB chunking :56-79, extract_zip :87-91), etl/utils/http.py:19-48.
+  */
+object Landing {
+
+  final val ChunkSize = 8192 // io.py:12
+
+  /** Stream to `dest` unless it already exists non-empty (the cache
+    * check at io.py:28-30). Returns (path, bytes, fromCache).
+    */
+  def land(in: () => InputStream, dest: Path): (Path, Long, Boolean) = {
+    if (Files.exists(dest) && Files.size(dest) > 0)
+      return (dest, Files.size(dest), true)
+    Files.createDirectories(dest.getParent)
+    val tmp = dest.resolveSibling(dest.getFileName.toString + ".part")
+    val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile))
+    var total = 0L
+    try {
+      val stream = in()
+      try {
+        val buf = new Array[Byte](ChunkSize)
+        var n   = stream.read(buf)
+        while (n >= 0) {
+          if (n > 0) { out.write(buf, 0, n); total += n }
+          n = stream.read(buf)
+        }
+      } finally stream.close()
+    } finally out.close()
+    Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING) // atomic-ish commit
+    (dest, total, false)
+  }
+
+  /** Unpack a zip into `destDir` (io.py:87-91); entry names sanitized
+    * against path traversal. Returns extracted paths.
+    */
+  def extractZip(archive: Path, destDir: Path): Seq[Path] = {
+    Files.createDirectories(destDir)
+    val out = Seq.newBuilder[Path]
+    val zin = new ZipInputStream(Files.newInputStream(archive))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val target = destDir.resolve(e.getName).normalize()
+          require(target.startsWith(destDir.normalize()),
+            s"zip entry escapes destination: ${e.getName}")
+          Files.createDirectories(target.getParent)
+          Files.copy(zin, target, StandardCopyOption.REPLACE_EXISTING)
+          out += target
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.result()
+  }
+
+  /** Content-Disposition filename parse (http.py:19-48):
+    * `filename*=UTF-8''…` (RFC 5987) preferred over `filename=…`,
+    * quotes stripped, URL-decoded.
+    */
+  def filenameFromContentDisposition(header: String): Option[String] = {
+    if (header == null) return None
+    val ext   = "filename\\*\\s*=\\s*(?:UTF-8'')?([^;]+)".r
+    val plain = "filename\\s*=\\s*\"?([^\";]+)\"?".r
+    val raw = ext.findFirstMatchIn(header).map(_.group(1))
+      .orElse(plain.findFirstMatchIn(header).map(_.group(1)))
+    raw.map(v => java.net.URLDecoder.decode(v.trim.stripPrefix("\"").stripSuffix("\""), "UTF-8"))
+      .filter(_.nonEmpty)
+  }
+
+  /** stem/extension split used for staged-file naming (http.py:51-130). */
+  def stemAndExt(filename: String): (String, String) = {
+    val i = filename.lastIndexOf('.')
+    if (i <= 0) (filename, "") else (filename.substring(0, i), filename.substring(i + 1))
+  }
+
+  /** F8: authority = first path component under the staging root
+    * (etl/utils/paths.py:22-28), `UNKNOWN` fallback.
+    */
+  def authorityFromPath(stagingRoot: Path, file: Path): String = {
+    val rel = stagingRoot.normalize().relativize(file.normalize())
+    if (rel.getNameCount > 1) rel.getName(0).toString else "UNKNOWN"
+  }
+}
