@@ -427,6 +427,17 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Time functions over the ns-epoch events.ts (read as long under
+    * nanosAsLong; DuckDB reads the same column as timestamp_ns).
+    */
+  private def q43(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .groupBy(hour(col("event_time")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total_value"))
+      .orderBy("hr")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -469,7 +480,8 @@ object SparkEntry {
     "q39_intersect_custs" -> (q39 _),
     "q40_except_nations"  -> (q40 _),
     "q41_exists_orders"   -> (q41 _),
-    "q42_scalar_subquery" -> (q42 _)
+    "q42_scalar_subquery" -> (q42 _),
+    "q43_hourly_events"   -> (q43 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -782,6 +794,10 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 10 >=
         |  (SELECT MAX(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) * 9
-        |ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+    "q43_hourly_events" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM events GROUP BY hr ORDER BY hr""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -63,4 +63,9 @@ final case class GlobalConfig(
     targetSrid: Int = 3010,
     aoi: Option[(Double, Double, Double, Double)] = None,
     sdeAuthorityMapping: Map[String, String] = Map("LSTD" -> "GNG.Underlag_LstD"),
-    continueOnFailure: Boolean = true)
+    continueOnFailure: Boolean = true,
+    /** schemas are inferred on first load, then pinned: re-staging the
+      * same table with different columns/types is an error, not a silent
+      * rewrite (the reference's validation intent, config.py:104-116).
+      */
+    pinSchemas: Boolean = true)

@@ -136,18 +136,27 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       rows: Int = 4,
-      minEstJaccardPct: Int = 50): DataFrame = {
+      minEstJaccardPct: Int = 50,
+      maxBucketSize: Int = 100): DataFrame = {
     val sigLen = bands * rows
     val withSig = minhashSignatures(docs, shingleN, sigLen)
     // Carry the signature through the band explode: the self-join then has
     // two IDENTICAL child subtrees, which Spark plans as one exchange +
     // ReusedExchange — the signature aggregation runs once, not per branch.
-    val banded = withSig.select(
+    val banded0 = withSig.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+    // Skew guard: a band bucket with B members yields B²/2 candidates but
+    // carries almost no signal (it's the LSH analog of a stopword). Cap
+    // bucket size — same-key window, so the count rides the join shuffle.
+    val wBucket = Window.partitionBy("band", "band_hash")
+    val banded = banded0
+      .withColumn("_bn", count(lit(1)).over(wBucket))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,
@@ -189,14 +198,20 @@ object Dedup {
     * of 4 16-bit bands (≤ hamming-distance-ish prefilter), verified by
     * popcount of the XOR. maxHamming bounds the reported distance.
     */
-  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 8,
+      maxBucketSize: Int = 100): DataFrame = {
     val withSig = docs.select(col("doc_id"), simhash64(col("text")).as("sig"))
-    val banded = withSig.select(
+    val banded0 = withSig.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
+    val wBucket = Window.partitionBy("band", "band_val")
+    val banded = banded0
+      .withColumn("_bn", count(lit(1)).over(wBucket))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,

@@ -21,7 +21,7 @@ import graft.sources.{GeoJsonSource, PagedRestSource}
   * ThreadPoolExecutor fan-out, SURVEY §2.8); sequential here keeps the
   * declared-order naming semantics (§7.4) deterministic.
   */
-final class EtlPipeline(
+class EtlPipeline( // extensible: override readSource to plug custom readers (S8)
     spark: SparkSession,
     cfg: GlobalConfig = GlobalConfig(),
     mappings: MappingManager = new MappingManager(Seq.empty),
@@ -125,6 +125,14 @@ final class EtlPipeline(
         .withColumn("authority", lit(source.authority))
         .drop("_file")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$stagingDb`")
+      if (cfg.pinSchemas && spark.catalog.tableExists(s"`$stagingDb`.`$fcName`")) {
+        val existing = spark.table(s"`$stagingDb`.`$fcName`").schema
+          .map(f => (f.name, f.dataType)).toSeq
+        val incoming = staged.schema.map(f => (f.name, f.dataType)).toSeq
+        if (existing != incoming)
+          throw new IllegalStateException(
+            s"schema drift on $fcName: staged ${incoming.mkString(",")} vs pinned ${existing.mkString(",")}")
+      }
       Cleanup.ensureWritable(spark, stagingDb, fcName)
       staged.write.mode("overwrite").saveAsTable(s"`$stagingDb`.`$fcName`")
       val n = spark.table(s"`$stagingDb`.`$fcName`").count() // T7 verification

@@ -122,6 +122,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.summary(("stage", "skip")) == 1L)
   }
 
+  test("schema pinning: re-staging with a drifted schema is an error") {
+    val pipe = new EtlPipeline(spark, GlobalConfig(), stagingDb = "staging_pin")
+    assert(pipe.stageSource(sources.head).isDefined)
+    // same source again: same schema → fine (truncate-and-load overwrite)
+    assert(pipe.stageSource(sources.head).isDefined)
+    // a source staging DIFFERENT columns under the same fc name → drift error
+    val drifted = sources.head.copy(url = s"$res/rest_stub/layer-1/page-0.json")
+    val pipe2 = new EtlPipeline(spark, GlobalConfig(), stagingDb = "staging_pin")
+    // pipe2 reuses the already-pinned table name for "Sample Points"
+    val out = pipe2.stageSource(drifted)
+    // layer-1 page has identical normalized schema, so it stages fine;
+    // force drift via an extra column instead
+    assert(out.isDefined)
+    import org.apache.spark.sql.functions._
+    val extra = spark.table("`staging_pin`.`test_sample_points`").withColumn("extra", lit(1))
+    extra.createOrReplaceTempView("drift_src")
+    val pipe3 = new EtlPipeline(spark, GlobalConfig(), stagingDb = "staging_pin") {
+      override def readSource(s: graft.config.Source) = spark.table("drift_src")
+    }
+    pipe3.stageSource(sources.head)
+    assert(pipe3.results.exists(r => r.status == "error" && r.error.contains("schema drift")))
+  }
+
   test("pipeline continues on per-source failure and ledgers the error") {
     val bad = Source(name = "Broken", authority = "BAD", sourceType = "file",
       url = "/nonexistent/file.geojson")
