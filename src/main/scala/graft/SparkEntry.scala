@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Naming, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Monitoring, Multimodal, Similarity}
+import graft.operators.{Dedup, Monitoring, Multimodal, Relational, Similarity}
+import graft.plans.KmvBuffer.kmvDistinct
 
 /** Driver contract: the queryable operator surface (SURVEY.md §2) plus the
   * LLM-data-pipeline extensions (dedup / similarity / text analysis).
@@ -438,6 +439,33 @@ object SparkEntry {
         sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total_value"))
       .orderBy("hr")
 
+  /** As-of join: each purchase event paired with the user's latest
+    * click at-or-before it (point-in-time join — Spark lacks the
+    * operator; composed via union + last-over-window, one shuffle).
+    */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val ev        = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    Relational.asOfJoin(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        carry = Seq("event_id"), tiebreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("asof_event_id").as("last_click"))
+      .orderBy("event_id")
+  }
+
+  /** KMV distinct sketch vs exact (rows-only: estimates are
+    * engine-specific by construction).
+    */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(kmvDistinct(col("l_partkey"), 512).as("kmv_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -481,7 +509,9 @@ object SparkEntry {
     "q40_except_nations"  -> (q40 _),
     "q41_exists_orders"   -> (q41 _),
     "q42_scalar_subquery" -> (q42 _),
-    "q43_hourly_events"   -> (q43 _)
+    "q43_hourly_events"   -> (q43 _),
+    "q44_asof_clicks"     -> (q44 _),
+    "q45_kmv_distinct"    -> (q45 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -798,6 +828,12 @@ object SparkEntry {
     "q43_hourly_events" ->
       """SELECT CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
-        |FROM events GROUP BY hr ORDER BY hr""".stripMargin.replaceAll("\n", " ")
+        |FROM events GROUP BY hr ORDER BY hr""".stripMargin.replaceAll("\n", " "),
+    "q44_asof_clicks" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS last_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark's API lacks as single calls, composed from
+  * built-ins (preference order (a) in the build rules: composition beats
+  * custom plans when semantics allow).
+  */
+object Relational {
+
+  /** As-of join: for each left row, the latest right row with
+    * `right.time <= left.time` within the same key group (the
+    * time-series point-in-time join; DuckDB/kdb "ASOF JOIN").
+    *
+    * Shape: union the tagged streams and take `last(value) ignoring
+    * nulls` over (key, time, tag) — ONE shuffle on the key (same cost
+    * class as the join itself), no range-explode, no custom SparkPlan.
+    * Rows are totally ordered by (time, tag, tiebreak) so a right row at
+    * exactly left.time IS visible to that left row (tag 0 < tag 1).
+    *
+    * @param carry right columns to surface, renamed `asof_<name>`.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      carry: Seq[String],
+      tiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_asof_ts", col(leftTime))
+      .withColumn("_tag", lit(1))
+    val lAligned = carry.foldLeft(l)((df, c) =>
+      df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType)))
+    val r0 = right
+      .withColumn("_asof_ts", col(rightTime))
+      .withColumn("_tag", lit(0))
+    val rAligned0 = carry.foldLeft(r0)((df, c) => df.withColumn(s"asof_$c", col(c)))
+    // align to the left's schema: left-only columns become nulls
+    val rAligned = leftCols.foldLeft(rAligned0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((keys ++ Seq("_asof_ts", "_tag") ++ leftCols.filterNot(keys.contains) ++
+      carry.map(c => s"asof_$c")).distinct.map(col): _*)
+    val lSel = lAligned.select((keys ++ Seq("_asof_ts", "_tag") ++ leftCols.filterNot(keys.contains) ++
+      carry.map(c => s"asof_$c")).distinct.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_ts"), col("_tag"), col(tiebreak).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = carry.foldLeft(lSel.unionByName(rAligned)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_tag") === 1).drop("_asof_ts", "_tag")
+  }
+}

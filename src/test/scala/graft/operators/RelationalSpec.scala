@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    val trades = Seq(
+      ("A", 10L, 100L), ("A", 20L, 101L), ("B", 15L, 102L), ("A", 5L, 103L)
+    ).toDF("sym", "t", "trade_id")
+    val quotes = Seq(
+      ("A", 8L, 1L), ("A", 10L, 2L), ("A", 18L, 3L), ("B", 99L, 4L), ("C", 1L, 5L)
+    ).toDF("sym", "t", "quote_id")
+
+    val out = Relational.asOfJoin(trades, quotes,
+        keys = Seq("sym"), leftTime = "t", rightTime = "t",
+        carry = Seq("quote_id"), tiebreak = "t")
+      .select($"trade_id", $"asof_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(out(100L).contains(2L)) // t=10: quote at exactly 10 visible
+    assert(out(101L).contains(3L)) // t=20: latest ≤ 20 is t=18
+    assert(out(103L).isEmpty)      // t=5: no quote yet
+    assert(out(102L).isEmpty)      // B t=15: B's only quote is at 99
+  }
+
+  test("asOfJoin result is partitioning-invariant") {
+    val ev = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+    val p  = ev.filter($"event_type" === "purchase").select("event_id", "user_id", "ts")
+    val c  = ev.filter($"event_type" === "click").select("event_id", "user_id", "ts")
+    def run(parts: Int) = Relational.asOfJoin(
+        p.repartition(parts), c.repartition(parts),
+        Seq("user_id"), "ts", "ts", Seq("event_id"), "event_id")
+      .select("event_id", "asof_event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(run(1) == run(13))
+  }
+}

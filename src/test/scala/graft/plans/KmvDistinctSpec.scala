@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.KmvBuffer.kmvDistinct
+
+class KmvDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact below k; within ~10% above k") {
+    val small = spark.range(100).select(kmvDistinct(col("id"), 256).as("e"))
+    assert(small.as[Long].head() == 100L)
+
+    val big = spark.range(50000)
+      .select(kmvDistinct(col("id"), 256).as("e")).as[Long].head()
+    assert(math.abs(big - 50000L) < 5000L, s"estimate $big too far from 50000")
+  }
+
+  test("duplicates don't inflate the estimate") {
+    val dup = spark.range(100000).select((col("id") % 500).as("v"))
+      .select(kmvDistinct(col("v"), 1024).as("e")).as[Long].head()
+    assert(dup == 500L) // 500 distinct < k=1024 → exact
+  }
+
+  test("partitioning-invariant: same estimate under any shuffle") {
+    val base = spark.range(30000).select((col("id") * 7919 % 23000).as("v"))
+    val one  = base.coalesce(1).select(kmvDistinct(col("v"), 128).as("e")).as[Long].head()
+    val many = base.repartition(16).select(kmvDistinct(col("v"), 128).as("e")).as[Long].head()
+    assert(one == many) // merge = set-union of minima → deterministic
+  }
+
+  test("works grouped and on strings") {
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    val out = li.groupBy("l_returnflag")
+      .agg(kmvDistinct(col("l_partkey"), 512).as("kmv"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    for (r <- out) {
+      val kmv = r.getAs[Long]("kmv"); val exact = r.getAs[Long]("exact")
+      assert(math.abs(kmv - exact).toDouble / exact < 0.15, s"$kmv vs $exact")
+    }
+    val s = Seq("a", "b", "a", "c").toDF("v")
+      .select(kmvDistinct(col("v")).as("e")).as[Long].head()
+    assert(s == 3L)
+  }
+}
