@@ -50,6 +50,45 @@ object MonitorStream {
         col("event_type"), col(metric).as("observed"))
       .withColumn("threshold", lit(threshold))
 
+  /** Gap-based session windows per user (session_window): a session
+    * closes after `gap` of inactivity — the event-time analog of the
+    * reference's per-run activity grouping. Works identically in batch.
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    eventsWithTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("total"))
+
+  /** Alert delivery via foreachBatch: each micro-batch of closed alert
+    * windows appends to a managed table (the pattern for pushing to any
+    * batch-writable sink — JDBC, parquet, notification fan-out).
+    */
+  def startAlertTableSink(
+      spark: SparkSession,
+      eventsDir: String,
+      targetTable: String,
+      alertMetric: String = "n",
+      threshold: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val Array(db, tbl) =
+      if (targetTable.contains(".")) targetTable.split("\\.", 2)
+      else Array("default", targetTable)
+    graft.pipeline.Cleanup.ensureWritable(spark, db, tbl) // orphan-location guard
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val alerts = thresholdAlerts(windowedStats(stream), alertMetric, threshold)
+    alerts.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").saveAsTable(targetTable)
+      }
+      .start()
+  }
+
   // ---- stateful per-user sessions (mapGroupsWithState) ----
 
   final case class UserEvent(user_id: Long, event_id: Long, value: Double)

@@ -55,6 +55,37 @@ class MonitorStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows: gap-separated activity, batch mode") {
+    val batch = spark.read.parquet(eventsDir)
+    val sessions = MonitorStream.sessionStats(batch, gap = "30 minutes", watermark = "0 seconds")
+    assert(sessions.agg(sum("n")).as[Long].head() == batch.count()) // partition of events
+    // sessions for one user never overlap
+    val oneUser = sessions.filter($"user_id" === 0)
+      .orderBy("session_start")
+      .select($"session_start".cast("long"), $"session_end".cast("long"))
+      .as[(Long, Long)].collect()
+    for (pair <- oneUser.toSeq.sliding(2) if pair.length == 2)
+      assert(pair(0)._2 <= pair(1)._1, "overlapping sessions")
+  }
+
+  test("foreachBatch alert sink lands closed windows in a table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_fb").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsDir),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val q = MonitorStream.startAlertTableSink(spark, dir, "alert_sink_t", "n", 0.0)
+    try {
+      q.processAllAvailable()
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+      val maxTs = batch.agg(max("ts")).head().getLong(0)
+      batch.limit(1).withColumn("ts", lit(maxTs + 24L * 3600 * 1000000000L))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("alert_sink_t").count() > 0)
+      assert(spark.table("alert_sink_t").filter($"observed" <= 0.0).count() == 0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user sessions (batch parity checked)") {
     val ue = spark.read.parquet(eventsDir)
       .select($"user_id", $"event_id", $"value").as[MonitorStream.UserEvent]
