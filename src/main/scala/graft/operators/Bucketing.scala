@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: the co-located-join path for repeated big
+  * joins (SURVEY §"Partitioning & shuffle").
+  *
+  * Writing both sides bucketed+sorted on the join key makes every
+  * subsequent equi-join on that key shuffle-free AND sort-free: the scan
+  * reports the bucket partitioning, so SortMergeJoin consumes the files
+  * directly. At 100 TB this converts the fact⋈fact join from the
+  * dominant network cost to a local merge — pay the bucketing once at
+  * ingest, reuse it every query. (Bucket count is a layout decision:
+  * aim for bucket files in the 100 MB-1 GB range at target scale.)
+  */
+object Bucketing {
+
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Seq.empty): Unit = {
+    val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** True when the executed plan of `df` contains no shuffle exchange —
+    * the observable guarantee bucketing buys.
+    */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle; results match the shuffled join") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan inspection
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      val o  = spark.read.parquet(s"${sf()}/orders.parquet")
+      Bucketing.writeBucketed(li, "li_bkt", 8, Seq("l_orderkey"))
+      Bucketing.writeBucketed(o, "o_bkt", 8, Seq("o_orderkey"))
+
+      val bucketed = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), $"l_orderkey" === $"o_orderkey")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      // join itself is exchange-free (only the final agg shuffles)
+      val joinOnly = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), $"l_orderkey" === $"o_orderkey")
+        .select("l_orderkey")
+      assert(Bucketing.isShuffleFree(joinOnly),
+        s"bucketed join still shuffles:\n${joinOnly.queryExecution.executedPlan}")
+
+      val plain = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      assert(!Bucketing.isShuffleFree(plain.select(lit(1))) ||
+        plain.count() == bucketed.count()) // non-bucketed path shuffles; results equal
+      assert(bucketed.collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+        plain.collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
