@@ -22,6 +22,9 @@ object Bucketing {
       bucketCols: Seq[String],
       sortCols: Seq[String] = Seq.empty): Unit = {
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    val Array(db, tbl) =
+      if (table.contains(".")) table.split("\\.", 2) else Array("default", table)
+    graft.pipeline.Cleanup.ensureWritable(df.sparkSession, db, tbl)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
