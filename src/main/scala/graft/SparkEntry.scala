@@ -466,6 +466,26 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** GROUPING SETS over non-hierarchical sets (not expressible as
+    * rollup/cube).
+    */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets (rows-only:
+    * float threshold).
+    */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, d, "embeddings"), minCosine = 0.4)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -511,7 +531,9 @@ object SparkEntry {
     "q42_scalar_subquery" -> (q42 _),
     "q43_hourly_events"   -> (q43 _),
     "q44_asof_clicks"     -> (q44 _),
-    "q45_kmv_distinct"    -> (q45 _)
+    "q45_kmv_distinct"    -> (q45 _),
+    "q46_grouping_sets"   -> (q46 _),
+    "q47_cosine_neardup"  -> (q47 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -834,6 +856,12 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY p.event_id""".stripMargin.replaceAll("\n", " "),
+    "q46_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin.replaceAll("\n", " ")
   )
 }
