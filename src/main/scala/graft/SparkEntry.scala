@@ -486,6 +486,17 @@ object SparkEntry {
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
 
+  /** Jaccard with document-frequency pruning on the FULL corpus: words
+    * appearing in > maxDf docs are excluded from candidate generation
+    * (they carry no similarity signal and cause the quadratic fan-out)
+    * while set sizes stay exact — the realistic full-scale variant of
+    * q21, oracle-mirrored including the df cut.
+    */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardNearDupPairs(t(s, d, "documents"), thresholdPct = 5,
+        maxDf = Some(100L))
+      .orderBy("doc_a", "doc_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -533,7 +544,8 @@ object SparkEntry {
     "q44_asof_clicks"     -> (q44 _),
     "q45_kmv_distinct"    -> (q45 _),
     "q46_grouping_sets"   -> (q46 _),
-    "q47_cosine_neardup"  -> (q47 _)
+    "q47_cosine_neardup"  -> (q47 _),
+    "q48_jaccard_rarewords" -> (q48 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -862,6 +874,19 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+    "q48_jaccard_rarewords" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS word
+        |           FROM documents),
+        |     rare AS (SELECT word FROM w GROUP BY word HAVING COUNT(*) <= 100),
+        |     f AS (SELECT w.doc_id, w.word FROM w JOIN rare USING (word)),
+        |     sizes AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY doc_id),
+        |     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |               FROM f a JOIN f b ON a.word = b.word AND a.doc_id < b.doc_id
+        |               GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_common, sa.nw AS n_a, sb.nw AS n_b
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE 100 * n_common >= 5 * (sa.nw + sb.nw - n_common)
+        |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
   )
 }
