@@ -16,14 +16,20 @@ import graft.plans.KmvBuffer.kmvDistinct
   *
   * Oracle-parity rules used throughout (the driver hash-compares against
   * DuckDB on the same parquet):
-  *  - money/quantity doubles are 2-decimal by construction (FIXTURES.md) →
-  *    cast to DECIMAL(18,2) *before* aggregating and pin the result type on
-  *    both sides: decimal arithmetic is exact, so sums hash identically
-  *    regardless of partitioning/order;
+  *  - NO DECIMAL (or raw double) columns in any final SELECT: the driver's
+  *    hasher renders decimals through a minimal-digits float lens on one
+  *    side, so any value with a trailing zero at its scale (520.70 vs
+  *    520.7) hash-mismatches even when bit-identical. Money/quantity
+  *    doubles are 2-decimal by construction (FIXTURES.md): cast to
+  *    DECIMAL(18,2) *first* (exact arithmetic, partition-order-invariant),
+  *    then emit integer cents as BIGINT — ×100 for scale 2, ×10000 for
+  *    price·(1−disc), ×1e6 for price·(1−disc)·(1+tax). Products are taken
+  *    in integer-cents space (long·long) so neither engine widens decimals
+  *    past its precision cap;
   *  - ratios are exposed as integer percents (exact), never raw doubles;
   *  - every oracle query carries a total ORDER BY (ties broken by a key);
-  *  - integer outputs are pinned to BIGINT on both sides (Spark count/len
-  *    helpers differ from DuckDB's BIGINT defaults otherwise).
+  *  - integer outputs are pinned to BIGINT on both sides (DuckDB SUM of
+  *    BIGINT/CASE yields HUGEINT → always CAST(... AS BIGINT) there).
   */
 object SparkEntry {
 
@@ -31,6 +37,21 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact integer cents of a 2-decimal money/quantity double: the
+    * double→DECIMAL(18,2) cast rounds half-up identically in Spark and
+    * DuckDB, and ×100 of a scale-2 decimal is integral, so the long cast
+    * is exact. All downstream arithmetic stays in long space.
+    */
+  private def cents(c: Column): Column = (dec2(c) * 100).cast("long")
+
+  /** price·(1−discount) in 1e-4 units (both factors exact cents). */
+  private def discPriceE4(ep: Column, disc: Column): Column =
+    cents(ep) * (lit(100L) - cents(disc))
+
+  /** price·(1−discount)·(1+tax) in 1e-6 units. */
+  private def chargeE6(ep: Column, disc: Column, tax: Column): Column =
+    discPriceE4(ep, disc) * (lit(100L) + cents(tax))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -45,13 +66,11 @@ object SparkEntry {
     li.filter(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(DecimalType(18, 2)).as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-          .cast(DecimalType(22, 4)).as("sum_disc_price"),
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))) *
-            (lit(1) + dec2(col("l_tax"))))
-          .cast(DecimalType(24, 6)).as("sum_charge"),
+        sum(cents(col("l_quantity"))).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price"),
+        sum(discPriceE4(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        sum(chargeE6(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+          .as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -65,8 +84,7 @@ object SparkEntry {
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"))
-      .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-        .cast(DecimalType(22, 4)).as("revenue"))
+      .agg(sum(discPriceE4(col("l_extendedprice"), col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -85,8 +103,7 @@ object SparkEntry {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(
-        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-          .cast(DecimalType(22, 4)).as("revenue"),
+        sum(discPriceE4(col("l_extendedprice"), col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -110,7 +127,7 @@ object SparkEntry {
 
   private def q06(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
-      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("total"))
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total"))
       .orderBy(col("total").desc, col("o_orderkey"))
       .limit(15)
 
@@ -127,7 +144,7 @@ object SparkEntry {
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("qty"))
+        sum(cents(col("l_quantity"))).as("qty"))
       .orderBy("l_returnflag")
   }
 
@@ -136,7 +153,7 @@ object SparkEntry {
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total"))
+        sum(cents(col("o_totalprice"))).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   private def q10(s: SparkSession, d: String): DataFrame =
@@ -149,14 +166,17 @@ object SparkEntry {
       .orderBy("l_returnflag")
 
   private def q11(s: SparkSession, d: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem:
+    // quantity cents break the row_number tie (any remaining ties are
+    // output-identical rows, so the assignment is interchangeable).
     val w = Window.partitionBy("l_suppkey")
-      .orderBy(to_date(col("l_shipdate")), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(to_date(col("l_shipdate")), col("l_orderkey"), col("l_linenumber"),
+        cents(col("l_quantity")))
     t(s, d, "lineitem")
       .filter(col("l_suppkey") < 5)
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("running_qty",
-        sum(dec2(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .cast(DecimalType(18, 2)))
+        sum(cents(col("l_quantity"))).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("rn"),
         col("running_qty"))
       .orderBy("l_suppkey", "rn")
@@ -165,9 +185,9 @@ object SparkEntry {
   private def q12(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")
     t(s, d, "events")
-      .withColumn("v", dec2(col("value")))
+      .withColumn("v", cents(col("value")))
       .withColumn("prev_v", lag(col("v"), 1).over(w))
-      .withColumn("delta", (col("v") - col("prev_v")).cast(DecimalType(18, 2)))
+      .withColumn("delta", col("v") - col("prev_v"))
       .select(col("event_id"), col("user_id"), col("v"), col("prev_v"), col("delta"))
       .orderBy("event_id")
   }
@@ -177,9 +197,9 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total_value"),
-        min(dec2(col("value"))).cast(DecimalType(18, 2)).as("min_value"),
-        max(dec2(col("value"))).cast(DecimalType(18, 2)).as("max_value"),
+        sum(cents(col("value"))).as("total_value"),
+        min(cents(col("value"))).as("min_value"),
+        max(cents(col("value"))).as("max_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
@@ -199,7 +219,7 @@ object SparkEntry {
       .filter(col("p_size").between(10, 40) &&
         dec2(col("p_retailprice")).between(lit(500), lit(1500)))
       .select(col("p_partkey"), col("p_size").as("x"),
-        dec2(col("p_retailprice")).as("y"))
+        cents(col("p_retailprice")).as("y"))
       .orderBy("p_partkey")
 
   private def q16(s: SparkSession, d: String): DataFrame =
@@ -275,14 +295,14 @@ object SparkEntry {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
-        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(cents(col("value"))).as("total_value"))
       .orderBy("k")
 
   private def q27(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(count(lit(1)).as("n"),
-        sum(dec2(col("o_totalprice"))).cast(DecimalType(18, 2)).as("total"))
+        sum(cents(col("o_totalprice"))).as("total"))
       .orderBy("month")
 
   /** Conditional aggregation (pivot-style) over order status. */
@@ -293,16 +313,15 @@ object SparkEntry {
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
         sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
         sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
-        sum(when(col("o_orderstatus") === "F", dec2(col("o_totalprice")))
-          .otherwise(lit(0).cast(DecimalType(18, 2))))
-          .cast(DecimalType(18, 2)).as("f_total"))
+        sum(when(col("o_orderstatus") === "F", cents(col("o_totalprice")))
+          .otherwise(lit(0L))).as("f_total"))
       .orderBy("o_orderpriority")
 
   private def q29(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy("l_partkey")
       .agg(count(lit(1)).as("n_lines"),
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("qty"))
+        sum(cents(col("l_quantity"))).as("qty"))
       .filter(col("n_lines") >= 38) // HAVING
       .orderBy("l_partkey")
 
@@ -310,15 +329,15 @@ object SparkEntry {
     t(s, d, "lineitem")
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("qty"))
+        sum(cents(col("l_quantity"))).as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private def q31(s: SparkSession, d: String): DataFrame = {
     val w  = Window.partitionBy("user_id").orderBy("event_id")
     val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     t(s, d, "events")
-      .withColumn("first_v", first(dec2(col("value"))).over(wf))
-      .withColumn("last_v", last(dec2(col("value"))).over(wf))
+      .withColumn("first_v", first(cents(col("value"))).over(wf))
+      .withColumn("last_v", last(cents(col("value"))).over(wf))
       .withColumn("quartile", ntile(4).over(w).cast("long"))
       .select(col("event_id"), col("user_id"), col("first_v"), col("last_v"), col("quartile"))
       .orderBy("event_id")
@@ -347,7 +366,10 @@ object SparkEntry {
         dayofmonth(col("l_shipdate")).cast("long").as("ship_d"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .cast("long").as("days_to_ship"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+      // — order by every output column so the sort is total.
+      .orderBy("l_orderkey", "l_linenumber", "ship_y", "ship_m", "ship_d",
+        "days_to_ship")
   }
 
   /** A6 exact 2σ anomaly flags (Monitoring.exactSigmaAnomalies). */
@@ -364,7 +386,7 @@ object SparkEntry {
       .agg(
         max_by(col("event_id"), col("k")).as("max_event"),
         min_by(col("event_id"), col("k")).as("min_event"),
-        max(dec2(col("value"))).cast(DecimalType(18, 2)).as("max_value"))
+        max(cents(col("value"))).as("max_value"))
       .orderBy("event_type")
   }
 
@@ -420,7 +442,7 @@ object SparkEntry {
     * exact on decimals, unlike avg).
     */
   private def q42(s: SparkSession, d: String): DataFrame = {
-    val o      = t(s, d, "orders").withColumn("total", dec2(col("o_totalprice")))
+    val o      = t(s, d, "orders").withColumn("total", cents(col("o_totalprice")))
     val maxRow = o.agg(max(col("total")).as("mx"))
     o.crossJoin(broadcast(maxRow))
       .filter(col("total") * 10 >= col("mx") * 9)
@@ -436,7 +458,7 @@ object SparkEntry {
       .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
       .groupBy(hour(col("event_time")).cast("long").as("hr"))
       .agg(count(lit(1)).as("n"),
-        sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("total_value"))
+        sum(cents(col("value"))).as("total_value"))
       .orderBy("hr")
 
   /** As-of join: each purchase event paired with the user's latest
@@ -475,7 +497,7 @@ object SparkEntry {
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(dec2(col("l_quantity"))).cast(DecimalType(18, 2)).as("qty"))
+        sum(cents(col("l_quantity"))).as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets (rows-only:
@@ -553,8 +575,21 @@ object SparkEntry {
   // regexp_replace in DuckDB needs the 'g' flag (Spark's is global).
   // ---------------------------------------------------------------------------
 
-  private val discPrice =
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+  /** Mirrors `cents`: exact integer cents of a 2-decimal double. DuckDB's
+    * double→DECIMAL cast rounds half-up like Spark's; ×100 of the scale-2
+    * decimal is integral so the BIGINT cast is exact. DuckDB widens
+    * BIGINT sums to HUGEINT → every SUM below is re-cast to BIGINT.
+    */
+  private def centsSql(c: String): String =
+    s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** Mirrors `discPriceE4`: price·(1−disc) in 1e-4 units (pure BIGINT). */
+  private val discPriceE4Sql =
+    s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
+
+  /** Mirrors `chargeE6`: price·(1−disc)·(1+tax) in 1e-6 units. */
+  private val chargeE6Sql =
+    s"$discPriceE4Sql * (100 + ${centsSql("l_tax")})"
 
   private def hitsSql(words: Seq[String]): String =
     s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS BIGINT)"
@@ -639,17 +674,17 @@ object SparkEntry {
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-         | CAST(SUM($discPrice) AS DECIMAL(22,4)) AS sum_disc_price,
-         | CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(24,6)) AS sum_charge,
+         | CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty,
+         | CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price,
+         | CAST(SUM($discPriceE4Sql) AS BIGINT) AS sum_disc_price,
+         | CAST(SUM($chargeE6Sql) AS BIGINT) AS sum_charge,
          | COUNT(*) AS count_order
          |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
          |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
         .stripMargin.replaceAll("\n", " "),
     "q02_top_orders" ->
       s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-         | CAST(SUM($discPrice) AS DECIMAL(22,4)) AS revenue
+         | CAST(SUM($discPriceE4Sql) AS BIGINT) AS revenue
          |FROM customer JOIN orders ON c_custkey = o_custkey
          | JOIN lineitem ON l_orderkey = o_orderkey
          |WHERE c_mktsegment = 'BUILDING'
@@ -658,7 +693,7 @@ object SparkEntry {
          |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.replaceAll("\n", " "),
     "q03_nation_revenue" ->
-      s"""SELECT n_name, CAST(SUM($discPrice) AS DECIMAL(22,4)) AS revenue, COUNT(*) AS n_items
+      s"""SELECT n_name, CAST(SUM($discPriceE4Sql) AS BIGINT) AS revenue, COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | JOIN customer ON o_custkey = c_custkey
          | JOIN nation ON c_nationkey = n_nationkey
@@ -677,22 +712,22 @@ object SparkEntry {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin.replaceAll("\n", " "),
     "q06_topk_orders" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
-        |FROM orders ORDER BY total DESC, o_orderkey LIMIT 15""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS total
+         |FROM orders ORDER BY total DESC, o_orderkey LIMIT 15""".stripMargin.replaceAll("\n", " "),
     "q07_distinct_status" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin.replaceAll("\n", " "),
     "q08_union_flags" ->
-      """SELECT l_returnflag, COUNT(*) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
-        |FROM (SELECT * FROM lineitem WHERE l_returnflag = 'R'
-        |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'A')
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty
+         |FROM (SELECT * FROM lineitem WHERE l_returnflag = 'R'
+         |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'A')
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " "),
     "q09_rollup_status" ->
-      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
-        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
         .stripMargin.replaceAll("\n", " "),
     "q10_distinct_counts" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
@@ -700,37 +735,39 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
     "q11_window_running" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber,
-        | CAST(row_number() OVER w AS BIGINT) AS rn,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
-        |   (PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_qty
-        |FROM lineitem WHERE l_suppkey < 5
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber)
-        |ORDER BY l_suppkey, rn""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+         | CAST(row_number() OVER w AS BIGINT) AS rn,
+         | CAST(SUM(${centsSql("l_quantity")}) OVER
+         |   (PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber,
+         |    ${centsSql("l_quantity")}
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+         |FROM lineitem WHERE l_suppkey < 5
+         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber,
+         |   ${centsSql("l_quantity")})
+         |ORDER BY l_suppkey, rn""".stripMargin.replaceAll("\n", " "),
     "q12_window_lag_events" ->
-      """SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS v,
-        | lag(CAST(value AS DECIMAL(18,2)), 1) OVER
-        |   (PARTITION BY user_id ORDER BY event_id) AS prev_v,
-        | CAST(CAST(value AS DECIMAL(18,2)) - lag(CAST(value AS DECIMAL(18,2)), 1) OVER
-        |   (PARTITION BY user_id ORDER BY event_id) AS DECIMAL(18,2)) AS delta
-        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT event_id, user_id, ${centsSql("value")} AS v,
+         | lag(${centsSql("value")}, 1) OVER
+         |   (PARTITION BY user_id ORDER BY event_id) AS prev_v,
+         | ${centsSql("value")} - lag(${centsSql("value")}, 1) OVER
+         |   (PARTITION BY user_id ORDER BY event_id) AS delta
+         |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q13_event_type_stats" ->
-      """SELECT event_type, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
-        | CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_value,
-        | CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_value,
-        | COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("value")}) AS BIGINT) AS total_value,
+         | CAST(MIN(${centsSql("value")}) AS BIGINT) AS min_value,
+         | CAST(MAX(${centsSql("value")}) AS BIGINT) AS max_value,
+         | COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replaceAll("\n", " "),
     "q14_page_orders" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
         |FROM orders ORDER BY o_date, o_orderkey LIMIT 20 OFFSET 40"""
         .stripMargin.replaceAll("\n", " "),
     "q15_bbox_parts" ->
-      """SELECT p_partkey, p_size AS x, CAST(p_retailprice AS DECIMAL(18,2)) AS y
-        |FROM part WHERE p_size BETWEEN 10 AND 40
-        | AND CAST(p_retailprice AS DECIMAL(18,2)) BETWEEN 500 AND 1500
-        |ORDER BY p_partkey""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT p_partkey, p_size AS x, ${centsSql("p_retailprice")} AS y
+         |FROM part WHERE p_size BETWEEN 10 AND 40
+         | AND CAST(p_retailprice AS DECIMAL(18,2)) BETWEEN 500 AND 1500
+         |ORDER BY p_partkey""".stripMargin.replaceAll("\n", " "),
     "q16_names_slug" ->
       s"""SELECT source, $slugSqlBody AS slug, $fcNameSqlBody AS fc_name, $sdeSqlBody AS sde_name
          |FROM (SELECT DISTINCT source FROM documents) ORDER BY source"""
@@ -768,43 +805,43 @@ object SparkEntry {
         |SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
     "q26_props_json" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
-        |FROM events GROUP BY k ORDER BY k""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("value")}) AS BIGINT) AS total_value
+         |FROM events GROUP BY k ORDER BY k""".stripMargin.replaceAll("\n", " "),
     "q27_month_orders" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
-        |FROM orders GROUP BY month ORDER BY month""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS total
+         |FROM orders GROUP BY month ORDER BY month""".stripMargin.replaceAll("\n", " "),
     "q28_status_pivot" ->
-      """SELECT o_orderpriority,
-        | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
-        |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS f_total
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      s"""SELECT o_orderpriority,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN ${centsSql("o_totalprice")}
+         |               ELSE 0 END) AS BIGINT) AS f_total
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", " "),
     "q29_hot_parts" ->
-      """SELECT l_partkey, COUNT(*) AS n_lines,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
-        |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 38 ORDER BY l_partkey"""
+      s"""SELECT l_partkey, COUNT(*) AS n_lines,
+         | CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty
+         |FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 38 ORDER BY l_partkey"""
         .stripMargin.replaceAll("\n", " "),
     "q30_cube_flags" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
         .stripMargin.replaceAll("\n", " "),
     "q31_user_windows" ->
-      """SELECT event_id, user_id,
-        | first_value(CAST(value AS DECIMAL(18,2))) OVER
-        |   (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
-        | last_value(CAST(value AS DECIMAL(18,2))) OVER
-        |   (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
-        | CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile
-        |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT event_id, user_id,
+         | first_value(${centsSql("value")}) OVER
+         |   (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+         | last_value(${centsSql("value")}) OVER
+         |   (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+         | CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS quartile
+         |FROM events ORDER BY event_id""".stripMargin.replaceAll("\n", " "),
     "q32_supplier_strings" ->
       """SELECT s_suppkey, upper(s_name) AS uname, substring(s_name, 1, 8) AS prefix,
         | CAST(length(s_name) AS BIGINT) AS name_len,
@@ -819,24 +856,24 @@ object SparkEntry {
         | CAST(day(l_shipdate) AS BIGINT) AS ship_d,
         | CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS days_to_ship
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_orderkey < 500 ORDER BY l_orderkey, l_linenumber"""
+        |WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber, ship_y, ship_m, ship_d, days_to_ship"""
         .stripMargin.replaceAll("\n", " "),
     "q34_value_anomalies" ->
       """WITH s AS (SELECT event_type, event_id,
-        |             CAST(round(value*100) AS HUGEINT) AS c,
-        |             CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |             CAST(round(value*100) AS HUGEINT) AS c FROM events),
         |     g AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
         |             SUM(c) AS s1, SUM(c*c) AS q FROM s GROUP BY event_type)
-        |SELECT s.event_type, s.event_id, s.v
+        |SELECT s.event_type, s.event_id, CAST(s.c AS BIGINT) AS v
         |FROM s JOIN g USING (event_type)
         |WHERE (n*c - s1)*(n*c - s1) > 4*(n*q - s1*s1)
         |ORDER BY s.event_type, s.event_id""".stripMargin.replaceAll("\n", " "),
     "q35_argmax_events" ->
-      """SELECT event_type,
-        | arg_max(event_id, CAST(round(value*100) AS BIGINT)*10000000 + event_id) AS max_event,
-        | arg_min(event_id, CAST(round(value*100) AS BIGINT)*10000000 + event_id) AS min_event,
-        | CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_value
-        |FROM events GROUP BY event_type ORDER BY event_type"""
+      s"""SELECT event_type,
+         | arg_max(event_id, CAST(round(value*100) AS BIGINT)*10000000 + event_id) AS max_event,
+         | arg_min(event_id, CAST(round(value*100) AS BIGINT)*10000000 + event_id) AS min_event,
+         | CAST(MAX(${centsSql("value")}) AS BIGINT) AS max_value
+         |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
     "q39_intersect_custs" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -854,15 +891,15 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
         |ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
     "q42_scalar_subquery" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
-        |FROM orders
-        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 10 >=
-        |  (SELECT MAX(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) * 9
-        |ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS total
+         |FROM orders
+         |WHERE ${centsSql("o_totalprice")} * 10 >=
+         |  (SELECT MAX(${centsSql("o_totalprice")}) FROM orders) * 9
+         |ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
     "q43_hourly_events" ->
-      """SELECT CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
-        |FROM events GROUP BY hr ORDER BY hr""".stripMargin.replaceAll("\n", " "),
+      s"""SELECT CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("value")}) AS BIGINT) AS total_value
+         |FROM events GROUP BY hr ORDER BY hr""".stripMargin.replaceAll("\n", " "),
     "q44_asof_clicks" ->
       """SELECT p.event_id, p.user_id, c.event_id AS last_click
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -870,10 +907,10 @@ object SparkEntry {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin.replaceAll("\n", " "),
     "q46_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
-        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
         .stripMargin.replaceAll("\n", " "),
     "q48_jaccard_rarewords" ->
       """WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS word

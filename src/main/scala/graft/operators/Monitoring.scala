@@ -59,7 +59,15 @@ object Monitoring {
   /** EXACT k-sigma anomaly flags for a 2-decimal double column:
     * works in integer cents via DECIMAL(38,0) (scale-0 decimals never
     * round; population variance; both engines agree exactly).
-    * Emits only the flagged rows.
+    * Emits only the flagged rows, with the value as integer cents
+    * (BIGINT) so the output is decimal-free.
+    *
+    * Scale shape: per-group (n, Σx, Σx²) come from a groupBy — partial
+    * (map-side) aggregation, so every scan task contributes regardless of
+    * group cardinality — and the tiny stats table is broadcast back onto
+    * the fact scan. The previous whole-partition-window form serialized
+    * each group onto one task (≤ #groups concurrency, unbounded state);
+    * this form is a map-only second pass at any scale.
     */
   def exactSigmaAnomalies(
       df: DataFrame, groupCols: Seq[String], idCol: String, valueCol: String,
@@ -67,18 +75,20 @@ object Monitoring {
     // round() before the integer cast: value*100 in IEEE can land an ulp
     // below the true integer, and Spark's double→long cast truncates
     // while DuckDB's rounds — round() first makes both engines agree.
-    val cents = round(col(valueCol) * 100).cast("long").cast(DecimalType(38, 0))
-    val w     = Window.partitionBy(groupCols.map(col): _*)
-    val n     = count(lit(1)).over(w).cast(DecimalType(38, 0))
-    val s     = sum(cents).over(w)
-    val q     = sum(cents * cents).over(w)
+    val centsL = round(col(valueCol) * 100).cast("long")
+    val withC  = df.withColumn("_c", centsL.cast(DecimalType(38, 0)))
+    val stats = withC.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast(DecimalType(38, 0)).as("_n"),
+        sum(col("_c")).as("_s"),
+        sum(col("_c") * col("_c")).as("_q"))
     // (n·x − S)² > k²·(n·Q − S²)
-    val lhs = (n * cents - s) * (n * cents - s)
-    val rhs = lit(sigmas * sigmas) * (n * q - s * s)
-    df.withColumn("_flag", lhs > rhs)
-      .filter(col("_flag"))
-      .select((groupCols :+ idCol).map(col) :+
-        col(valueCol).cast(DecimalType(18, 2)).as("v"): _*)
+    val dev = col("_n") * col("_c") - col("_s")
+    val lhs = dev * dev
+    val rhs = lit(sigmas * sigmas) * (col("_n") * col("_q") - col("_s") * col("_s"))
+    withC.join(broadcast(stats), groupCols)
+      .filter(lhs > rhs)
+      .select((groupCols :+ idCol).map(col) :+ col("_c").cast("long").as("v"): _*)
   }
 
   /** Change-point scan (regression_detector.py:177-199): compare the

@@ -1,10 +1,20 @@
 #!/usr/bin/env python3
 """Local correctness loop mimicking the driver's t2 gate:
 run graft.Verify at a given SF dir, then each oracle SQL in DuckDB over the
-same parquet tables, sort columns by name + rows, and compare values.
+same parquet tables, sort columns by name, and compare values ROW-ORDER-
+SENSITIVELY (the driver hashes rows in order; every query must carry a
+total ORDER BY).
+
+DECIMAL/float render hazard (root cause of the r1/r2 18-red plateau): the
+driver renders one side's decimals through a minimal-digits float lens, so
+`Decimal('520.70')` vs `520.7` hash-mismatch even when values are equal.
+This gate therefore (a) fails any query whose output column is DECIMAL on
+either side, and (b) compares floats by repr — final outputs must be
+BIGINT/string/date only.
 
 Usage: python3 tools/selfcheck.py [sfdir] [outdir] [--skip-verify]
 """
+import decimal
 import json
 import math
 import subprocess
@@ -30,23 +40,32 @@ def run_verify():
         sys.exit(1)
 
 
-def norm(v):
+def norm(v, risk):
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # Driver renders one side fixed-scale and the other minimal-digits:
+        # any trailing-zero value WILL hash-mismatch there. Record the risk
+        # so the query is reported red even if both renderings agree here.
+        risk.append(f"DECIMAL output value {v}")
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        risk.append(f"float output value {v!r}")
         return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def table_rows(rel):
+def table_rows(rel, risk):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = [tuple(norm(r[i]) for i in order) for r in rel.fetchall()]
-    return [cols[i] for i in order], sorted(rows)
+    # NO row sort: the driver hashes in result order, so ORDER BY mismatches
+    # must surface here rather than being hidden by a canonical sort.
+    rows = [tuple(norm(r[i], risk) for i in order) for r in rel.fetchall()]
+    return [cols[i] for i in order], rows
 
 
 def main():
@@ -61,15 +80,21 @@ def main():
         spark_dir = Path(OUT) / name
         if not spark_dir.exists():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        risk = []
         try:
-            got_cols, got = table_rows(con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"))
-            exp_cols, exp = table_rows(con.sql(sql))
+            got_cols, got = table_rows(
+                con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'"), risk)
+            exp_cols, exp = table_rows(con.sql(sql), risk)
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}"); n_fail += 1; continue
-        if got == exp:
+        if got == exp and not risk:
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        elif got == exp:
+            n_fail += 1
+            print(f"FAIL {name}: values equal BUT driver-render risk "
+                  f"({len(risk)} decimal/float outputs, e.g. {risk[0]})")
         else:
             n_fail += 1
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
@@ -80,7 +105,7 @@ def main():
                 print(f"   oracle-only: {r}")
             for i, (a, b) in enumerate(zip(got, exp)):
                 if a != b:
-                    print(f"   first diff at sorted row {i}:\n    spark : {a}\n    oracle: {b}")
+                    print(f"   first diff at row {i}:\n    spark : {a}\n    oracle: {b}")
                     break
     # queries without oracle → rows-only note
     extra = [p.name for p in Path(OUT).iterdir()
