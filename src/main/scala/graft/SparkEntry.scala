@@ -7,9 +7,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{Naming, TextFunctions, VectorFunctions}
+import graft.functions.{Naming, PortableHash, TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, Monitoring, Multimodal, Relational, Similarity}
-import graft.plans.KmvBuffer.kmvDistinct
+import graft.plans.KmvBuffer.kmvDistinctPreHashed
 
 /** Driver contract: the queryable operator surface (SURVEY.md §2) plus the
   * LLM-data-pipeline extensions (dedup / similarity / text analysis).
@@ -478,13 +478,16 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
-  /** KMV distinct sketch vs exact (rows-only: estimates are
-    * engine-specific by construction).
+  /** KMV distinct sketch vs exact. The sketch hashes with the portable
+    * md5-derived 60-bit hash (one md5 per value, hex-prefix parse) so the
+    * k-th minimum — and therefore the estimate — is reproducible in the
+    * DuckDB oracle via row_number over the same hash values.
     */
   private def q45(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
+      .withColumn("h", PortableHash.md5Hex60(col("l_partkey").cast("string")))
       .groupBy("l_returnflag")
-      .agg(kmvDistinct(col("l_partkey"), 512).as("kmv_parts"),
+      .agg(kmvDistinctPreHashed(col("h"), 512, bits = 60).as("kmv_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
@@ -906,6 +909,22 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin.replaceAll("\n", " "),
+    "q45_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+         |   ${PortableHash.md5Hex60Sql("CAST(l_partkey AS VARCHAR)")} AS hv FROM lineitem),
+         | r AS (SELECT l_returnflag, hv,
+         |   row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+         |   COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM h),
+         | kmv AS (SELECT l_returnflag,
+         |   CAST(CASE WHEN MAX(n) < 512 THEN MAX(n)
+         |     ELSE FLOOR(511.0 / (CAST(MIN(CASE WHEN rn = 512 THEN hv END) AS DOUBLE)
+         |       / 1152921504606846976.0)) END AS BIGINT) AS kmv_parts
+         |   FROM r GROUP BY l_returnflag),
+         | ex AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+         |        FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, kmv_parts, exact_parts
+         |FROM kmv JOIN ex USING (l_returnflag) ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
     "q46_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          | CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty

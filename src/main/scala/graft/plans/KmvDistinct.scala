@@ -25,7 +25,8 @@ case class KmvDistinct(
     child: Expression,
     k: Int = 256,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    preHashedBits: Int = 0)
   extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
 
   override def dataType: DataType = LongType
@@ -36,13 +37,16 @@ case class KmvDistinct(
 
   override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(XxHash64Function.hash(v, child.dataType, 42L))
+    if (v != null) buf.add(
+      if (preHashedBits > 0) v.asInstanceOf[Long]
+      else XxHash64Function.hash(v, child.dataType, 42L))
     buf
   }
 
   override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = { a.mergeIn(b); a }
 
-  override def eval(buf: KmvBuffer): Any = java.lang.Long.valueOf(buf.estimate)
+  override def eval(buf: KmvBuffer): Any = java.lang.Long.valueOf(
+    if (preHashedBits > 0) buf.estimateInDomain(preHashedBits) else buf.estimate)
 
   override def serialize(buf: KmvBuffer): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvBuffer.fromBytes(bytes)
@@ -84,6 +88,20 @@ final class KmvBuffer(val k: Int) {
       math.round((k - 1).toDouble / r)
     }
 
+  /** Estimate over pre-hashed non-negative values drawn from [0, 2^bits):
+    * floor((k−1)/R), R = kth/2^bits. Every operation (long→double cast,
+    * two IEEE divisions, floor) is bit-reproducible in external SQL
+    * engines — the oracle-checkable variant (the default 64-bit path
+    * keeps its historical round()).
+    */
+  def estimateInDomain(bits: Int): Long =
+    if (mins.size < k) mins.size.toLong
+    else {
+      val kth = mins.last().longValue()
+      val r   = kth.toDouble / math.pow(2.0, bits)
+      math.floor((k - 1).toDouble / r).toLong
+    }
+
   def toBytes: Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + mins.size * 8)
     bb.putInt(k); bb.putInt(mins.size)
@@ -107,4 +125,14 @@ object KmvBuffer {
   def kmvDistinct(c: Column, k: Int = 256): Column =
     GraftColumnBridge.column(
       KmvDistinct(GraftColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** KMV over an already-hashed non-negative long column drawn from
+    * [0, 2^bits) — the caller picks a hash both engines can compute
+    * (e.g. [[graft.functions.PortableHash.md5Hex60]]) so the whole
+    * sketch, including the estimate, is oracle-checkable bit-for-bit.
+    */
+  def kmvDistinctPreHashed(c: Column, k: Int, bits: Int): Column =
+    GraftColumnBridge.column(
+      KmvDistinct(GraftColumnBridge.expression(c), k, preHashedBits = bits)
+        .toAggregateExpression())
 }
