@@ -272,22 +272,24 @@ object SparkEntry {
     Similarity.bruteForceTopK(t(s, d, "embeddings"), queryId = 0L, k = 20)
       .select(col("vec_id"))
 
-  // no-oracle (rows-only) LLM operators. The synthetic corpus is LSH's
-  // adversarial case — all docs draw on one small vocabulary, so band
-  // buckets are hot and the candidate set approaches all-pairs; a real
-  // web corpus spreads buckets. Bounded subsets keep bench honest about
-  // the operator cost rather than the corpus pathology.
+  // LSH near-dup operators, portable (md5-family) variants so the DuckDB
+  // oracle reproduces signatures → buckets → pair sets bit-for-bit. The
+  // synthetic corpus is LSH's adversarial case — all docs draw on one
+  // small vocabulary, so band buckets are hot and the candidate set
+  // approaches all-pairs; a real web corpus spreads buckets. Bounded
+  // subsets keep bench honest about the operator cost rather than the
+  // corpus pathology.
   private def q23(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashNearDupPairs(t(s, d, "documents").filter(col("doc_id") < 10000))
+    Dedup.minhashNearDupPairsPortable(t(s, d, "documents").filter(col("doc_id") < 10000))
       .orderBy("doc_a", "doc_b")
 
   private def q24(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupPairs(
+    Dedup.simhashNearDupPairsPortable(
       t(s, d, "documents").filter(col("doc_id") < 10000), maxHamming = 16)
       .orderBy("doc_a", "doc_b")
 
   private def q25(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(t(s, d, "embeddings"), queryId = 0L, k = 10)
+    Similarity.lshTopKPortable(t(s, d, "embeddings"), queryId = 0L, k = 10)
 
   /** F9: JSON parse of the open `props` column → typed value → agg. */
   private def q26(s: SparkSession, d: String): DataFrame =
@@ -390,20 +392,40 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
-  // Multimodal pipeline (rows-only: media blobs are synthesized —
-  // deterministic seed — since the driver tables carry no binary columns;
-  // decode is a documented stub, the plumbing is the operator under test).
+  // Multimodal pipeline over the committed parquet media fixture
+  // (fixtures/media.parquet, written by graft.tools.GenMediaFixture): the
+  // decode step is a documented stub (no codecs in this container), but
+  // it is a pure function of the blob bytes, so the DuckDB oracle reads
+  // the SAME parquet and recomputes header fields / byte-stream means /
+  // frame counts via hex-string slicing — full hash check, not rows-only.
+  // Means are emitted as floor(mean·1e6) BIGINT (both engines derive the
+  // mean from identical integer sums → identical IEEE doubles).
   private def q36(s: SparkSession, d: String): DataFrame =
-    Multimodal.decodeImages(Multimodal.syntheticMedia(s, 200, "image")).toDF()
+    Multimodal.decodeImages(Multimodal.mediaFixture(s).filter(col("media_id") < 200))
+      .toDF()
+      .select(
+        col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        floor(col("mean_r") * lit(1000000.0)).cast("long").as("mean_r_e6"),
+        floor(col("mean_g") * lit(1000000.0)).cast("long").as("mean_g_e6"),
+        floor(col("mean_b") * lit(1000000.0)).cast("long").as("mean_b_e6"))
       .orderBy("media_id")
 
+  /** Rows-only by design: the embedding stub mixes bytes through a
+    * wrapping-64-bit xorshift, which engines that raise on signed
+    * overflow (DuckDB) cannot reproduce — the ANN plumbing it feeds is
+    * oracle-checked via q25/q47 instead.
+    */
   private def q37(s: SparkSession, d: String): DataFrame = {
-    val emb = Multimodal.embedMedia(Multimodal.syntheticMedia(s, 300, "image"))
+    val emb = Multimodal.embedMedia(
+      Multimodal.mediaFixture(s).filter(col("kind") === "image"))
     Similarity.bruteForceTopK(emb, queryId = 0L, k = 10).select(col("vec_id"))
   }
 
   private def q38(s: SparkSession, d: String): DataFrame =
-    Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 50, "video"), everyNth = 2)
+    Multimodal.sampleFrames(Multimodal.mediaFixture(s), everyNth = 2)
       .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
       .orderBy("media_id")
 
@@ -503,12 +525,12 @@ object SparkEntry {
         sum(cents(col("l_quantity"))).as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets (rows-only:
-    * float threshold).
+  /** Embedding-cosine near-duplicate pairs via LSH buckets — fixed-point
+    * quantized variant so the threshold is exact integer arithmetic and
+    * the DuckDB oracle reproduces the pair set bit-for-bit.
     */
   private def q47(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairs(t(s, d, "embeddings"), minCosine = 0.4)
-      .select("vec_a", "vec_b")
+    Similarity.cosineNearDupPairsPortable(t(s, d, "embeddings"), minCosineMilli = 400)
       .orderBy("vec_a", "vec_b")
 
   /** Jaccard with document-frequency pruning on the FULL corpus: words
@@ -606,6 +628,25 @@ object SparkEntry {
 
   private val fingerprintSql =
     "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  // ---- fixed-point vector mirror (q25/q47): quantize → integer dot ----
+
+  /** Mirrors VectorFunctions.quantize(embedding, 1000). */
+  private val qvecSql =
+    "list_transform(embedding, f -> CAST(round(CAST(f AS DOUBLE)*1000) AS BIGINT))"
+
+  /** Mirrors VectorFunctions.qdot (DuckDB list_sum widens → re-cast). */
+  private def qdotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) AS BIGINT)"
+
+  /** Mirrors VectorFunctions.hyperplaneBucketQ with the plane constants
+    * inlined as literals (same Seq the Spark side uses).
+    */
+  private def bucketSql(q: String, planes: Seq[Seq[Long]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.mkString("list_value(", ",", ")")
+      s"(CASE WHEN ${qdotSql(q, lit)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   private val slugSqlBody = {
     val translated = "lower(translate(source, 'åäöÅÄÖ', 'aaoAAO'))"
@@ -807,6 +848,65 @@ object SparkEntry {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
+    "q23_minhash_pairs" -> {
+      val ab = PortableHash.affineConstants(7L, 64)
+      val minCols = ab.zipWithIndex
+        .map { case (c, i) => s"MIN(${PortableHash.affineSql("h", c)}) AS m$i" }
+        .mkString(", ")
+      val sigList = (0 until 64).map(i => s"m$i").mkString("list_value(", ",", ")")
+      val tokSplit = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+      s"""WITH toks AS (SELECT doc_id, $tokSplit AS tk FROM documents WHERE doc_id < 10000),
+         | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
+         |   i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle FROM toks),
+         | hb AS (SELECT doc_id, ${PortableHash.md5Hex32Sql("shingle")} AS h FROM sh),
+         | sig0 AS (SELECT doc_id, $minCols FROM hb GROUP BY doc_id),
+         | sigl AS (SELECT doc_id, $sigList AS sig FROM sig0),
+         | banded0 AS (SELECT doc_id, sig, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS band_key
+         |   FROM sigl CROSS JOIN (SELECT unnest(range(0,16)) AS b)),
+         | banded AS (SELECT doc_id, sig, band, band_key FROM
+         |   (SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bn FROM banded0) WHERE bn <= 100),
+         | cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sig AS sa, r.sig AS sb
+         |   FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         | m AS (SELECT doc_a, doc_b,
+         |   CAST(len(list_filter(list_transform(list_zip(sa, sb), x -> x[1] = x[2]), v -> v)) AS BIGINT) AS n_match
+         |   FROM cand)
+         |SELECT doc_a, doc_b, n_match, CAST(64 AS BIGINT) AS sig_len FROM m
+         |WHERE 100*n_match >= 50*64 ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+    },
+    "q24_simhash_pairs" -> {
+      val votes = (0 until 60).map(j => s"SUM(((h>>$j)&1)*2-1) AS v$j").mkString(", ")
+      val sigSum = (0 until 60)
+        .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val wordSplit = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct($wordSplit)) AS word
+         |   FROM documents WHERE doc_id < 10000),
+         | hs AS (SELECT doc_id, ${PortableHash.md5Hex60Sql("word")} AS h FROM w),
+         | v AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id),
+         | sigs AS (SELECT doc_id, ($sigSum) AS sig FROM v),
+         | banded0 AS (SELECT doc_id, sig, b AS band, ((sig >> (b*15)) & 32767) AS band_val
+         |   FROM sigs CROSS JOIN (SELECT unnest(range(0,4)) AS b)),
+         | banded AS (SELECT doc_id, sig, band, band_val FROM
+         |   (SELECT *, COUNT(*) OVER (PARTITION BY band, band_val) AS bn FROM banded0) WHERE bn <= 100),
+         | pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sig AS sa, r.sig AS sb
+         |   FROM banded l JOIN banded r ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 16 ORDER BY doc_a, doc_b"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+    "q25_lsh_ann" -> {
+      val planes = VectorFunctions.quantPlanes(42L, 64, 4)
+      val probeList = "list_value(qb, xor(qb,1), xor(qb,2), xor(qb,4), xor(qb,8))"
+      s"""WITH b AS (SELECT vec_id, q, ${bucketSql("q", planes)} AS bucket,
+         |   ${qdotSql("q", "q")} AS nrm
+         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+         | qq AS (SELECT q AS qvec, bucket AS qb, nrm AS qn FROM b WHERE vec_id = 0),
+         | probes AS (SELECT DISTINCT unnest($probeList) AS bucket FROM qq),
+         | cand AS (SELECT b.vec_id, ${qdotSql("b.q", "qq.qvec")} AS dot, b.nrm, qq.qn
+         |          FROM b JOIN probes USING (bucket) CROSS JOIN qq WHERE b.vec_id <> 0)
+         |SELECT vec_id, dot FROM cand
+         |ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(nrm AS DOUBLE)*CAST(qn AS DOUBLE)) DESC, vec_id
+         |LIMIT 10""".stripMargin.replaceAll("\n", " ")
+    },
     "q26_props_json" ->
       s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, COUNT(*) AS n,
          | CAST(SUM(${centsSql("value")}) AS BIGINT) AS total_value
@@ -878,6 +978,35 @@ object SparkEntry {
          | CAST(MAX(${centsSql("value")}) AS BIGINT) AS max_value
          |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
+    "q36_media_decode" -> {
+      val media = s"read_parquet('${Multimodal.MediaFixturePath}/*.parquet')"
+      def hexInt(pos: Int) = s"('0x'||substr(hx,$pos,8))::UBIGINT::BIGINT"
+      def chanSum(rem: Int) =
+        "CAST(list_sum(list_transform(list_filter(range(16, len), " +
+          s"i -> i%3=$rem), i -> ('0x'||substr(hx,2*i+1,2))::UBIGINT::BIGINT)) AS BIGINT)"
+      def meanE6(s0: String) =
+        s"CAST(FLOOR((CAST($s0 AS DOUBLE)/np)*1000000.0) AS BIGINT)"
+      s"""WITH m AS (SELECT media_id, hex(data) AS hx, octet_length(data) AS len
+         |   FROM $media WHERE kind = 'image' AND media_id < 200),
+         | hdr AS (SELECT media_id, hx, len,
+         |   GREATEST(1, ${hexInt(1)} % 4096) AS width,
+         |   GREATEST(1, ${hexInt(9)} % 4096) AS height,
+         |   GREATEST(1, ${hexInt(17)} % 4 + 1) AS channels,
+         |   GREATEST(1, (len-16)//3) AS np FROM m),
+         | sums AS (SELECT media_id, width, height, channels, np,
+         |   ${chanSum(0)} AS rs, ${chanSum(1)} AS gs, ${chanSum(2)} AS bs FROM hdr)
+         |SELECT media_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+         | CAST(channels AS BIGINT) AS channels,
+         | ${meanE6("rs")} AS mean_r_e6, ${meanE6("gs")} AS mean_g_e6, ${meanE6("bs")} AS mean_b_e6
+         |FROM sums ORDER BY media_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q38_frame_sample" -> {
+      val media = s"read_parquet('${Multimodal.MediaFixturePath}/*.parquet')"
+      s"""SELECT media_id,
+         | CAST((CAST(CEIL((octet_length(data)-16)/64.0) AS BIGINT) + 1)//2 AS BIGINT) AS n_frames
+         |FROM $media WHERE kind = 'video' ORDER BY media_id"""
+        .stripMargin.replaceAll("\n", " ")
+    },
     "q39_intersect_custs" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT
@@ -931,6 +1060,19 @@ object SparkEntry {
          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
         .stripMargin.replaceAll("\n", " "),
+    "q47_cosine_neardup" -> {
+      val planes     = VectorFunctions.quantPlanes(42L, 64, 6)
+      val (num, den) = Similarity.cosThresholdFraction(400)
+      s"""WITH b AS (SELECT vec_id, q, ${bucketSql("q", planes)} AS bucket,
+         |   ${qdotSql("q", "q")} AS nrm
+         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+         | pairs AS (SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         |   ${qdotSql("l.q", "r.q")} AS dot, l.nrm AS na, r.nrm AS nb
+         |   FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT vec_a, vec_b, dot FROM pairs
+         |WHERE dot > 0 AND dot*dot*$den >= $num*na*nb
+         |ORDER BY vec_a, vec_b""".stripMargin.replaceAll("\n", " ")
+    },
     "q48_jaccard_rarewords" ->
       """WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS word
         |           FROM documents),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{PortableHash, TextFunctions}
 
 /** Document deduplication operators for the LLM-data-pipeline surface.
   *
@@ -172,6 +172,132 @@ object Dedup {
       .filter(lit(100L) * col("n_match") >= lit(minEstJaccardPct.toLong * sigLen))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
         lit(sigLen).cast("long").as("sig_len"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Portable (oracle-checkable) variants: hashes derived from md5 via
+  // PortableHash instead of xxhash64, so an external DuckDB oracle
+  // reproduces signatures, buckets and pair sets bit-for-bit. Plan shape
+  // is identical to the xxhash64 paths (explode-once + K partial aggs,
+  // banding with ReusedExchange, bucket-size skew cap).
+  // -------------------------------------------------------------------------
+
+  /** MinHash signatures from ONE md5 per shingle + a Carter–Wegman affine
+    * family (PortableHash.affine): the expensive hash runs once in the
+    * projection, the K family members are two integer ops each inside the
+    * partial aggregation.
+    */
+  def minhashSignaturesPortable(
+      docs: DataFrame,
+      shingleN: Int,
+      numHashes: Int,
+      seed: Long = 7L): DataFrame = {
+    val ab = PortableHash.affineConstants(seed, numHashes)
+    val sh = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), shingleN)).as("shingle"))
+      .select(col("doc_id"), PortableHash.md5Hex32(col("shingle")).as("h"))
+    val aggs = (0 until numHashes).map(i =>
+      min(PortableHash.affine(col("h"), ab(i))).as(s"m$i"))
+    sh.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Oracle-checkable MinHash-LSH near-dup pairs. The band join key is
+    * the band's signature slice rendered as a string (equality on the
+    * tuple — same semantics as hashing the band, but engine-neutral).
+    */
+  def minhashNearDupPairsPortable(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      minEstJaccardPct: Int = 50,
+      maxBucketSize: Int = 100,
+      seed: Long = 7L): DataFrame = {
+    val sigLen  = bands * rows
+    val withSig = minhashSignaturesPortable(docs, shingleN, sigLen, seed)
+    val banded0 = withSig.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        array_join(
+          transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")),
+          ","))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val wBucket = Window.partitionBy("band", "band_key")
+    val banded = banded0
+      .withColumn("_bn", count(lit(1)).over(wBucket))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first("sig_a").as("sig_a"), first("sig_b").as("sig_b"))
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)).cast("long"))
+      .filter(lit(100L) * col("n_match") >= lit(minEstJaccardPct.toLong * sigLen))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        lit(sigLen.toLong).as("sig_len"))
+  }
+
+  /** 60-bit md5 SimHash signatures: explode distinct words, one md5 per
+    * word, then 60 sum-aggregated bit votes per doc (map-side combine).
+    * 60 bits (15 hex chars) keeps every value — including 1<<59 — positive
+    * in engines that raise on signed-64 overflow.
+    */
+  def simhashSignatures60(docs: DataFrame): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), explode(TextFunctions.wordSet(col("text"))).as("word"))
+      .select(col("doc_id"), PortableHash.md5Hex60(col("word")).as("h"))
+    val voteAggs = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    val bits = (0 until 60).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    w.groupBy("doc_id")
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("sig"))
+  }
+
+  /** Oracle-checkable SimHash near-dup pairs: 4 bands of 15 bits, bucket
+    * cap, exact Hamming verify via popcount of the XOR.
+    */
+  def simhashNearDupPairsPortable(
+      docs: DataFrame,
+      maxHamming: Int = 16,
+      maxBucketSize: Int = 100): DataFrame = {
+    val withSig = simhashSignatures60(docs)
+    val banded0 = withSig.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val wBucket = Window.partitionBy("band", "band_val")
+    val banded = banded0
+      .withColumn("_bn", count(lit(1)).over(wBucket))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.band_val") === col("r.band_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** 64-bit SimHash over words: majority vote of each xxhash64 bit,

@@ -177,6 +177,20 @@ object Multimodal {
     media.select(col("media_id").as("vec_id"), embed(col("data")).as("embedding"))
   }
 
+  /** Committed parquet media fixture (written once by
+    * graft.tools.GenMediaFixture, deterministic): 300 images with
+    * structured headers (BE width/height at bytes 0-7, channels-1 at
+    * byte 11 — small positive values, so header parsing is sign-free on
+    * every engine) + 50 "videos". Queries read this instead of
+    * synthesizing rows so the DuckDB oracle can read the SAME bytes and
+    * verify decode/frame-sample results hash-exactly.
+    */
+  val MediaFixturePath: String =
+    sys.env.getOrElse("GRAFT_MEDIA_FIXTURE", "/root/repo/fixtures/media.parquet")
+
+  def mediaFixture(spark: SparkSession): DataFrame =
+    spark.read.parquet(MediaFixturePath)
+
   /** Deterministic synthetic media table for tests/bench (seeded). */
   def syntheticMedia(spark: SparkSession, n: Int, kind: String, seed: Long = 42L): DataFrame = {
     import spark.implicits._

@@ -83,6 +83,83 @@ object Similarity {
       .limit(k)
   }
 
+  /** Oracle-checkable LSH ANN: same plan shape as [[lshTopK]] (bucketed
+    * probe + broadcast query + top-k) but over fixed-point quantized
+    * vectors, so bucket assignment is exact integer arithmetic and the
+    * ranking cosine is an IEEE-identical double on every engine
+    * (CAST(dot)/sqrt(CAST(na)·CAST(nb)) of identical longs).
+    */
+  def lshTopKPortable(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nBits: Int = 4,
+      seed: Long = 42L,
+      dim: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
+    val planes = VectorFunctions.quantPlanes(seed, dim, nBits)
+    val b = embeddings
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"),
+        VectorFunctions.hyperplaneBucketQ(col("q"), planes).as("bucket"),
+        VectorFunctions.qdot(col("q"), col("q")).as("nrm"))
+    val qrow = b.filter(col("vec_id") === queryId)
+      .select(col("q").as("qvec"), col("bucket").as("qb"), col("nrm").as("qn"))
+    val probeBuckets =
+      if (multiProbe)
+        explode(array(col("qb") +:
+          (0 until nBits).map(i => col("qb").bitwiseXOR(lit(1L << i))): _*))
+      else col("qb")
+    val probes = qrow.select(col("qvec"), col("qn"), probeBuckets.as("bucket")).distinct()
+    b.filter(col("vec_id") =!= queryId)
+      .join(broadcast(probes), Seq("bucket"))
+      .withColumn("dot", VectorFunctions.qdot(col("q"), col("qvec")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("nrm").cast("double") * col("qn").cast("double")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select("vec_id", "dot")
+      .limit(k)
+  }
+
+  /** Oracle-checkable cosine near-dup pairs: LSH bucket collisions over
+    * quantized vectors; the threshold `cos ≥ m/1000` is decided by the
+    * exact integer cross-multiplication  dot>0 ∧ den·dot² ≥ num·na·nb
+    * with num/den = (m/1000)² reduced — no floating point anywhere.
+    */
+  def cosineNearDupPairsPortable(
+      embeddings: DataFrame,
+      minCosineMilli: Int = 400,
+      nBits: Int = 6,
+      seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    val (num, den) = cosThresholdFraction(minCosineMilli)
+    val planes = VectorFunctions.quantPlanes(seed, dim, nBits)
+    val b = embeddings
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"),
+        VectorFunctions.hyperplaneBucketQ(col("q"), planes).as("bucket"),
+        VectorFunctions.qdot(col("q"), col("q")).as("nrm"))
+    val l = b.as("l")
+    val r = b.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("dot", VectorFunctions.qdot(col("l.q"), col("r.q")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(den) >= lit(num) * col("l.nrm") * col("r.nrm"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("dot"))
+  }
+
+  /** (m/1000)² as a reduced fraction num/den — shared with the oracle SQL
+    * so both engines compare identical (overflow-safe) products.
+    */
+  def cosThresholdFraction(minCosineMilli: Int): (Long, Long) = {
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val num0 = minCosineMilli.toLong * minCosineMilli
+    val den0 = 1000000L
+    val g    = gcd(num0, den0)
+    (num0 / g, den0 / g)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH bucket collisions (the scale path — never n²).
     */
