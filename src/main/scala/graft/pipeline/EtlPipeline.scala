@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.config.{GlobalConfig, OutputMapping, Source}
 import graft.functions.{Naming => Names}
 import graft.geo.{GeoFunctions, Geometry}
-import graft.sources.{GeoJsonSource, PagedRestSource}
+import graft.sources.{GeoJsonSource, GpkgSource, PagedRestSource}
 
 /** The end-to-end config-driven pipeline (SURVEY §3.1):
   * Extract → Stage → Geoprocess → Publish, with the reference's
@@ -65,6 +65,12 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
   def readSource(source: Source): DataFrame = {
     val path = source.url.stripPrefix("file://")
     source.sourceType match {
+      case "file" | "atom_feed"
+          if source.stagedDataType.contains("gpkg") ||
+            path.toLowerCase.endsWith(".gpkg") =>
+        // GeoPackage staging artifact: direct SQLite-walk reader (no JDBC
+        // in this environment), same normalized schema as GeoJSON.
+        GpkgSource.read(spark, path)
       case "file" | "atom_feed" =>
         GeoJsonSource.read(spark, path)
       case "rest_api" =>

@@ -122,6 +122,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.summary(("stage", "skip")) == 1L)
   }
 
+  test("GPKG source stages through the same normalized path (K2/S9)") {
+    val gpkg = Source(name = "Parks Gpkg", authority = "GPK", sourceType = "file",
+      url = "file://src/test/resources/sample.gpkg", stagedDataType = Some("gpkg"))
+    val pipe = new EtlPipeline(spark, GlobalConfig(), stagingDb = "staging_gpkg")
+    val staged = pipe.stageSource(gpkg)
+    assert(staged.contains("gpk_parks_gpkg"))
+    val df = spark.table("`staging_gpkg`.`gpk_parks_gpkg`")
+    assert(df.count() == 160) // both layers: 120 polygons + 40 points
+    assert(df.filter("geom_type = 'Polygon'").count() == 120)
+    assert(df.select("srid").distinct().collect().map(_.getInt(0)).toSeq == Seq(3006))
+  }
+
   test("schema pinning: re-staging with a drifted schema is an error") {
     val pipe = new EtlPipeline(spark, GlobalConfig(), stagingDb = "staging_pin")
     assert(pipe.stageSource(sources.head).isDefined)
