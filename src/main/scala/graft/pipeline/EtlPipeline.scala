@@ -37,6 +37,12 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
   private val ledger    = mutable.ArrayBuffer[LedgerRow]()
   private val usedNames = mutable.Set[String]()
 
+  /** R3 graceful-degradation ladder shared across sources: recoverable
+    * read failures escalate (fewer concurrent downloads, longer
+    * timeouts); any healthy stage resets it.
+    */
+  val ladder = new graft.util.Retry.DegradationLadder()
+
   def results: Seq[LedgerRow] = ledger.toSeq
 
   def resultsDf: DataFrame = {
@@ -114,7 +120,12 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
   def stageSource(source: Source): Option[String] = {
     if (!source.enabled) { record(source, "stage", "skip"); return None } // T1
     try {
-      val df0 = readSource(source)
+      // the ladder retries the READ under degraded configs (its
+      // concurrency/timeout knobs govern driver-side landing I/O); a
+      // deterministic failure exhausts the 3 levels and falls through to
+      // the continue-on-failure ledger below (recovery.py SKIP floor).
+      val (df0, lvl) = ladder.run() { _ => readSource(source) }
+      if (lvl > 0) record(source, "stage", "degraded", rows = lvl.toLong)
       // include-list semi-filter on the landed file stem (T5) — the stems
       // are a handful of config strings: isin == broadcast by construction.
       val df = source.includeStems match {

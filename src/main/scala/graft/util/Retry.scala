@@ -60,6 +60,70 @@ object Retry {
 
   // -------------------------------------------------------------------------
 
+  /** Graceful-degradation ladder (R3 — recovery.py:587-612 thresholds,
+    * escalation at recovery.py:303-332): recoverable failures step the
+    * level up, each level shrinking concurrency and stretching timeouts;
+    * a success resets to level 0 (recovery.py:385-392).
+    *
+    * On Spark the "concurrent downloads" knob governs driver-side landing
+    * fan-out (the data path's parallelism belongs to the scheduler), so
+    * the ladder is a small synchronized state machine the pipeline
+    * consults per source.
+    */
+  final case class DegradedConfig(
+      concurrentDownloads: Int, timeoutSeconds: Int, maxFileSizeMb: Int)
+
+  final class DegradationLadder(
+      base: DegradedConfig = DegradedConfig(5, 30, 100)) {
+
+    /** recovery.py:597-601, verbatim thresholds. */
+    private val levels = Map(
+      1 -> DegradedConfig(3, 60, 50),
+      2 -> DegradedConfig(1, 120, 25),
+      3 -> DegradedConfig(1, 300, 10))
+
+    val maxLevel        = 3
+    private var level   = 0
+
+    def currentLevel: Int = synchronized(level)
+
+    def config: DegradedConfig = synchronized {
+      if (level == 0) base else levels(math.min(level, maxLevel))
+    }
+
+    /** Escalate after a recoverable failure; false when already at the
+      * floor (caller falls through to SKIP — recovery.py:310-312).
+      */
+    def degrade(): Boolean = synchronized {
+      if (level >= maxLevel) false
+      else { level += 1; true }
+    }
+
+    /** A healthy pass resets the ladder (recovery.py:385-392). */
+    def reset(): Unit = synchronized { level = 0 }
+
+    /** Run `body` under the ladder: on recoverable failure, escalate and
+      * re-run with the degraded config until success or the floor; the
+      * result carries the level that finally served it.
+      */
+    def run[T](isRecoverable: Throwable => Boolean = _ => true)
+        (body: DegradedConfig => T): (T, Int) = {
+      while (true) {
+        val lvl = currentLevel
+        try {
+          val out = (body(config), lvl)
+          reset()
+          return out
+        } catch {
+          case e: Throwable if isRecoverable(e) =>
+            if (!degrade()) throw e
+          case e: Throwable => throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
   /** Circuit breaker: CLOSED → OPEN after `failureThreshold` consecutive
     * failures; half-open probe after `recoveryTimeoutMs`
     * (circuit_breaker.py:58-243; defaults 5 failures / 60s).

@@ -48,6 +48,34 @@ class RetrySpec extends AnyFunSuite {
     assert(calls == 1) // no retry on unrecoverable
   }
 
+  test("degradation ladder: reference thresholds, escalation, reset, floor") {
+    val ladder = new DegradationLadder()
+    // level 0 = base config
+    assert(ladder.config == DegradedConfig(5, 30, 100))
+    // recovery.py:597-601 thresholds step down 3/60 → 1/120 → 1/300
+    assert(ladder.degrade() && ladder.config == DegradedConfig(3, 60, 50))
+    assert(ladder.degrade() && ladder.config == DegradedConfig(1, 120, 25))
+    assert(ladder.degrade() && ladder.config == DegradedConfig(1, 300, 10))
+    assert(!ladder.degrade()) // floor: caller falls through to SKIP
+    ladder.reset()
+    assert(ladder.currentLevel == 0)
+
+    // run(): fails twice, succeeds at level 2, resets after success
+    var calls = 0
+    val (out, lvl) = ladder.run() { cfg =>
+      calls += 1
+      if (cfg.concurrentDownloads > 1) throw new RuntimeException("too parallel")
+      cfg.timeoutSeconds
+    }
+    assert(calls == 3 && lvl == 2 && out == 120)
+    assert(ladder.currentLevel == 0)
+
+    // deterministic failure exhausts the ladder and rethrows
+    val dead = new DegradationLadder()
+    intercept[RuntimeException](dead.run() { _ => throw new RuntimeException("always") })
+    assert(dead.currentLevel == 3)
+  }
+
   test("circuit breaker opens after threshold, half-opens after timeout, closes on success") {
     var now = 0L
     val cb = new CircuitBreaker(failureThreshold = 2, recoveryTimeoutMs = 100, clock = () => now)
