@@ -40,6 +40,38 @@ class DedupSpec extends SparkSpec {
     assert(loose.contains((1L, 3L)))
   }
 
+  test("portable minhash: identical docs agree on all 64 hashes, unrelated skip") {
+    val pairs = Dedup.minhashNearDupPairsPortable(docs)
+      .select("doc_a", "doc_b", "n_match").as[(Long, Long, Long)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 5L)) == 64L) // identical text → full signature agreement
+    assert(!byPair.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("portable minhash signatures: deterministic and 40-bit bounded") {
+    val sigs = Dedup.minhashSignaturesPortable(docs, shingleN = 3, numHashes = 64)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(5L)) // same text, same signature
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs.values.flatten.forall(v => v >= 0 && v <= graft.functions.PortableHash.Mask40))
+    val again = Dedup.minhashSignaturesPortable(docs, shingleN = 3, numHashes = 64)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs == again)
+  }
+
+  test("portable simhash: hamming 0 for identical, small for near-dup, fits 60 bits") {
+    val sigs = Dedup.simhashSignatures60(docs)
+      .select("doc_id", "sig").as[(Long, Long)].collect().toMap
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 60)))
+    assert(sigs(1L) == sigs(5L))
+    val pairs = Dedup.simhashNearDupPairsPortable(docs, maxHamming = 16)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 5L)) == 0L)
+    assert(byPair.get((1L, 3L)).forall(_ > 0L))
+    assert(!byPair.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("minhash candidates find identical docs, skip unrelated") {
     val cands = Dedup.minhashCandidatePairs(docs, shingleN = 3, bands = 16, rows = 4)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -54,4 +54,37 @@ class SimilaritySpec extends SparkSpec {
     val bad = pairs.filter($"cos" < 0.95).count()
     assert(bad == 0)
   }
+
+  test("portable lshTopK agrees with the float path's top ranks") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q   = Similarity.lshTopKPortable(emb, 0L, 10)
+      .select("vec_id").as[Long].collect()
+    assert(q.length == 10 && q.distinct.length == 10 && !q.contains(0L))
+    // quantization at 1e-3 must not reorder clear winners: the float
+    // path's #1 stays in the portable top set
+    val f = Similarity.lshTopK(emb, 0L, 10).select("vec_id").as[Long].collect()
+    assert(q.toSet.intersect(f.toSet).size >= 5)
+  }
+
+  test("portable cosineNearDupPairs: integer threshold equals the real cosine test") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val pairs = Similarity.cosineNearDupPairsPortable(emb, minCosineMilli = 400)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    // every emitted pair clears the threshold when checked in floats on
+    // the quantized vectors (the exact arithmetic is what the oracle uses)
+    val byId = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap.map { case (k, v) => k -> v.map(f => math.round(f * 1000.0).toDouble) }
+    pairs.foreach { case (a, b) =>
+      val (va, vb) = (byId(a), byId(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot / math.sqrt(va.map(x => x * x).sum * vb.map(x => x * x).sum)
+      assert(cos >= 0.4 - 1e-12, s"pair ($a,$b) below threshold: $cos")
+    }
+  }
+
+  test("cosThresholdFraction reduces and round-trips") {
+    assert(Similarity.cosThresholdFraction(400) == (4L, 25L))
+    assert(Similarity.cosThresholdFraction(500) == (1L, 4L))
+    assert(Similarity.cosThresholdFraction(333) == (110889L, 1000000L))
+  }
 }

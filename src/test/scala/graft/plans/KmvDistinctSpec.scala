@@ -30,6 +30,27 @@ class KmvDistinctSpec extends SparkSpec {
     assert(one == many) // merge = set-union of minima → deterministic
   }
 
+  test("pre-hashed 60-bit mode: exact below k, accurate and shuffle-invariant above") {
+    import graft.functions.PortableHash
+    import graft.plans.KmvBuffer.kmvDistinctPreHashed
+    val h = PortableHash.md5Hex60(col("v").cast("string"))
+    val small = spark.range(200).select((col("id") % 100).as("v"))
+      .select(kmvDistinctPreHashed(h, 512, bits = 60).as("e")).as[Long].head()
+    assert(small == 100L)
+    val base = spark.range(40000).select(col("id").as("v"))
+    val one = base.coalesce(1)
+      .select(kmvDistinctPreHashed(h, 512, bits = 60).as("e")).as[Long].head()
+    val many = base.repartition(16)
+      .select(kmvDistinctPreHashed(h, 512, bits = 60).as("e")).as[Long].head()
+    assert(one == many)
+    assert(math.abs(one - 40000L) < 4000L, s"estimate $one too far from 40000")
+    // floor((k-1)/R) with R = kth/2^60 — the formula the DuckDB oracle mirrors
+    val buf = new KmvBuffer(4)
+    Seq(1L << 55, 1L << 56, 1L << 57, 1L << 58, 1L << 59).foreach(buf.add)
+    val r = (1L << 58).toDouble / math.pow(2.0, 60)
+    assert(buf.estimateInDomain(60) == math.floor(3.0 / r).toLong)
+  }
+
   test("works grouped and on strings") {
     val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
     val out = li.groupBy("l_returnflag")
