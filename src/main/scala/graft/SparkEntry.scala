@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Naming, PortableHash, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Monitoring, Multimodal, Relational, Similarity}
+import graft.operators.{Dedup, Monitoring, Multimodal, Relational, Sessionize, Similarity}
 import graft.plans.KmvBuffer.kmvDistinctPreHashed
 
 /** Driver contract: the queryable operator surface (SURVEY.md §2) plus the
@@ -544,6 +544,22 @@ object SparkEntry {
         maxDf = Some(100L))
       .orderBy("doc_a", "doc_b")
 
+  /** Gap-based sessionization (30-min gap) over the event stream — all
+    * integer arithmetic, one shuffle on user_id. Timestamps are
+    * truncated to MICROseconds on both sides (integer `div 1000` here,
+    * epoch_us in the oracle): DuckDB reads the parquet TIMESTAMP(NANOS)
+    * at µs precision, so ns-level values can never hash-match.
+    */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    Sessionize.sessionStats(
+        t(s, d, "events").select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tus")),
+        keys = Seq("user_id"), tsCol = "tus", tiebreak = "event_id",
+        gapNs = 1800000000L) // 30 min in µs
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start"), col("session_end"), col("duration_ns").as("duration_us"))
+      .orderBy("user_id", "session_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -592,7 +608,8 @@ object SparkEntry {
     "q45_kmv_distinct"    -> (q45 _),
     "q46_grouping_sets"   -> (q46 _),
     "q47_cosine_neardup"  -> (q47 _),
-    "q48_jaccard_rarewords" -> (q48 _)
+    "q48_jaccard_rarewords" -> (q48 _),
+    "q49_sessions"          -> (q49 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1085,6 +1102,19 @@ object SparkEntry {
         |SELECT doc_a, doc_b, n_common, sa.nw AS n_a, sb.nw AS n_b
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE 100 * n_common >= 5 * (sa.nw + sb.nw - n_common)
-        |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
+    "q49_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn FROM events),
+        | s AS (SELECT user_id, event_id, tn,
+        |   CASE WHEN LAG(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) IS NULL
+        |     OR tn - LAG(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) > 1800000000
+        |     THEN 1 ELSE 0 END AS is_new FROM e),
+        | x AS (SELECT user_id, tn,
+        |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |   FROM s)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        | MIN(tn) AS session_start, MAX(tn) AS session_end, MAX(tn)-MIN(tn) AS duration_us
+        |FROM x GROUP BY user_id, sid ORDER BY user_id, session_id"""
+      .stripMargin.replaceAll("\n", " ")
   )
 }
