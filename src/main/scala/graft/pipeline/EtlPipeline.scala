@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.config.{GlobalConfig, OutputMapping, Source}
 import graft.functions.{Naming => Names}
 import graft.geo.{GeoFunctions, Geometry}
-import graft.sources.{GeoJsonSource, GpkgSource, PagedRestSource}
+import graft.sources.{GeoJsonSource, GpkgSource, PagedRestSource, ShpSource}
 
 /** The end-to-end config-driven pipeline (SURVEY §3.1):
   * Extract → Stage → Geoprocess → Publish, with the reference's
@@ -77,6 +77,12 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
         // GeoPackage staging artifact: direct SQLite-walk reader (no JDBC
         // in this environment), same normalized schema as GeoJSON.
         GpkgSource.read(spark, path)
+      case "file" | "atom_feed"
+          if source.stagedDataType.contains("shapefile") ||
+            path.toLowerCase.endsWith(".shp") =>
+        // Shapefile staging artifact: direct .shp/.dbf/.prj decoder,
+        // same normalized schema as GeoJSON.
+        ShpSource.read(spark, path)
       case "file" | "atom_feed" =>
         GeoJsonSource.read(spark, path)
       case "rest_api" =>

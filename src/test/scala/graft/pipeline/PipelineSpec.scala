@@ -134,6 +134,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.select("srid").distinct().collect().map(_.getInt(0)).toSeq == Seq(3006))
   }
 
+  test("shapefile source stages through the same normalized path (K3/S9)") {
+    val shp = Source(name = "Districts Shp", authority = "SHP", sourceType = "file",
+      url = "file://src/test/resources/shapedata/districts.shp",
+      stagedDataType = Some("shapefile"))
+    val pipe = new EtlPipeline(spark, GlobalConfig(), stagingDb = "staging_shp")
+    val staged = pipe.stageSource(shp)
+    assert(staged.contains("shp_districts_shp"))
+    val df = spark.table("`staging_shp`.`shp_districts_shp`")
+    assert(df.count() == 22)
+    assert(df.filter("geom_type = 'Polygon'").count() == 20)
+    assert(df.select("srid").distinct().collect().map(_.getInt(0)).toSeq == Seq(3006))
+  }
+
   test("schema pinning: re-staging with a drifted schema is an error") {
     val pipe = new EtlPipeline(spark, GlobalConfig(), stagingDb = "staging_pin")
     assert(pipe.stageSource(sources.head).isDefined)
