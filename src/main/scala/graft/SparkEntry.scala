@@ -560,6 +560,25 @@ object SparkEntry {
         col("session_start"), col("session_end"), col("duration_ns").as("duration_us"))
       .orderBy("user_id", "session_id")
 
+  /** q44's point-in-time semantics through the native Catalyst operator
+    * ([[graft.plans.AsOfJoin]]: LogicalPlan + Strategy + single
+    * co-partitioned forward merge, O(1) state per partition) instead of
+    * the composed union+window. Same oracle as q44 — the driver gate
+    * proves the custom physical operator bit-matches DuckDB's ASOF JOIN.
+    */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val ev        = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    graft.plans.AsOfJoin(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        carry = Seq("event_id"), tiebreak = "event_id")
+      .select(col("event_id"), col("user_id"), col("asof_event_id").as("last_click"))
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -609,7 +628,8 @@ object SparkEntry {
     "q46_grouping_sets"   -> (q46 _),
     "q47_cosine_neardup"  -> (q47 _),
     "q48_jaccard_rarewords" -> (q48 _),
-    "q49_sessions"          -> (q49 _)
+    "q49_sessions"          -> (q49 _),
+    "q50_asof_native"       -> (q50 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1115,6 +1135,12 @@ object SparkEntry {
         |SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
         | MIN(tn) AS session_start, MAX(tn) AS session_end, MAX(tn)-MIN(tn) AS duration_us
         |FROM x GROUP BY user_id, sid ORDER BY user_id, session_id"""
-      .stripMargin.replaceAll("\n", " ")
+      .stripMargin.replaceAll("\n", " "),
+    "q50_asof_native" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS last_click
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin.replaceAll("\n", " ")
   )
 }

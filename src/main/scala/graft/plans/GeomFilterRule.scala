@@ -73,6 +73,7 @@ object GeomFilterRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => GeomFilterRule)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -81,6 +82,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(GeomFilterRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GeomFilterRule
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bbox_intersects",
       exprs => exprs match {
