@@ -579,6 +579,14 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** IVF ANN over the embeddings: data-adaptive inverted-file cells
+    * (vs q25's data-oblivious LSH planes). Quantized integer dots keep
+    * cell assignment + ranking bit-identical in the DuckDB oracle.
+    */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopKPortable(t(s, d, "embeddings"), queryId = 0L, k = 10,
+      nCentroids = 32, nProbe = 4)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -629,7 +637,8 @@ object SparkEntry {
     "q47_cosine_neardup"  -> (q47 _),
     "q48_jaccard_rarewords" -> (q48 _),
     "q49_sessions"          -> (q49 _),
-    "q50_asof_native"       -> (q50 _)
+    "q50_asof_native"       -> (q50 _),
+    "q51_ivf_ann"           -> (q51 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1141,6 +1150,27 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY p.event_id""".stripMargin.replaceAll("\n", " "),
+    "q51_ivf_ann" -> {
+      def cosSql(dot: String, na: String, nb: String) =
+        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+      s"""WITH b AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm
+         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+         | c AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b WHERE vec_id < 32),
+         | qq AS (SELECT q AS qvec, nrm AS qn FROM b WHERE vec_id = 0),
+         | asg AS (SELECT vec_id, q, nrm, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |     ${cosSql(qdotSql("q", "cvec"), "nrm", "cnrm")} DESC, cent_id DESC) AS rn
+         |   FROM b CROSS JOIN c),
+         | probes AS (SELECT cent_id FROM c CROSS JOIN qq
+         |   ORDER BY ${cosSql(qdotSql("cvec", "qvec"), "cnrm", "qn")} DESC, cent_id DESC
+         |   LIMIT 4),
+         | cand AS (SELECT a.vec_id, ${qdotSql("a.q", "qq.qvec")} AS dot, a.nrm, qq.qn
+         |          FROM asg a JOIN probes USING (cent_id) CROSS JOIN qq
+         |          WHERE a.rn = 1 AND a.vec_id <> 0)
+         |SELECT vec_id, dot FROM cand
+         |ORDER BY ${cosSql("dot", "nrm", "qn")} DESC, vec_id
+         |LIMIT 10""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

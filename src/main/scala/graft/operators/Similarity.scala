@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,65 @@ object Similarity {
       .withColumn("dot", VectorFunctions.qdot(col("q"), col("qvec")))
       .withColumn("cos", col("dot").cast("double") /
         sqrt(col("nrm").cast("double") * col("qn").cast("double")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select("vec_id", "dot")
+      .limit(k)
+  }
+
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nCentroids`
+    * cells by nearest centroid; a query scans only its `nProbe` closest
+    * cells. Complements [[lshTopKPortable]]: IVF cells adapt to the data
+    * distribution (centroids are corpus vectors) where LSH planes are
+    * data-oblivious.
+    *
+    * Scale shape (100 TB): centroids are a tiny broadcast table;
+    * assignment is a map-only broadcast product + partial-agg argmax
+    * (one pass over the corpus, no shuffle of the vectors themselves —
+    * only the grouped argmax reduction); in production the assigned
+    * corpus is written once partitioned by `cent_id`, after which every
+    * query is a partition-pruned scan of nProbe/nCentroids of the data.
+    *
+    * Oracle-exact: all dots are integer arithmetic over quantized
+    * vectors; ranking/argmax doubles derive from identical longs
+    * (CAST(dot)/sqrt(CAST·CAST)) so every engine orders identically.
+    * Centroid choice is deterministic: the vectors with
+    * `vec_id < nCentroids` (a seeded sample in production).
+    */
+  def ivfTopKPortable(
+      embeddings: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int = 32,
+      nProbe: Int = 4): DataFrame = {
+    val b = embeddings
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
+    val cents = b.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("q").as("cvec"), col("nrm").as("cnrm"))
+    def cosOf(dot: Column, na: Column, nb: Column): Column =
+      dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
+    // argmax centroid per vector: broadcast product + struct-max partial agg
+    // (ties → larger cent_id; the oracle mirrors with ORDER BY cos, cent_id)
+    val assigned = b.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosOf(VectorFunctions.qdot(col("q"), col("cvec")),
+        col("nrm"), col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), col("cent_id"))).getField("cent_id").as("cent_id"),
+        first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+    val qrow = b.filter(col("vec_id") === queryId)
+      .select(col("q").as("qvec"), col("nrm").as("qn"))
+    val probes = cents.crossJoin(broadcast(qrow))
+      .withColumn("pcos", cosOf(VectorFunctions.qdot(col("cvec"), col("qvec")),
+        col("cnrm"), col("qn")))
+      .orderBy(col("pcos").desc, col("cent_id").desc)
+      .limit(nProbe)
+      .select("cent_id")
+    assigned
+      .join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qrow))
+      .withColumn("dot", VectorFunctions.qdot(col("q"), col("qvec")))
+      .withColumn("cos", cosOf(col("dot"), col("nrm"), col("qn")))
       .orderBy(col("cos").desc, col("vec_id"))
       .select("vec_id", "dot")
       .limit(k)

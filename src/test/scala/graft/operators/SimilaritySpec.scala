@@ -82,6 +82,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKPortable: valid top-k, decent recall vs brute force") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val ivf = Similarity.ivfTopKPortable(emb, 0L, 10, nCentroids = 32, nProbe = 4)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.length == 10 && ivf.distinct.length == 10 && !ivf.contains(0L))
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).select("vec_id").as[Long].collect().toSet
+    // 4 of 32 data-adaptive cells scanned; on unclustered random vectors
+    // expect partial recall (the query's own cell always holds its
+    // nearest-by-centroid cohort)
+    assert(ivf.toSet.intersect(exact).size >= 2,
+      s"IVF recall too low: $exact vs ${ivf.toSet}")
+  }
+
+  test("ivfTopKPortable with all cells probed equals exhaustive quantized ranking") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val ivf = Similarity.ivfTopKPortable(emb, 0L, 5, nCentroids = 32, nProbe = 32)
+      .select("vec_id").as[Long].collect()
+    // probing every cell = exhaustive search; hand-compute the expected
+    // ranking with the same quantized integer math
+    val byId = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap.map { case (k, v) => k -> v.map(f => math.round(f * 1000.0)) }
+    val qv = byId(0L)
+    def cosQ(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    }
+    val expect = byId.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosQ(v, qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(ivf.toSeq == expect,
+      s"full-probe IVF must match exhaustive: $expect vs ${ivf.toSeq}")
+  }
+
   test("cosThresholdFraction reduces and round-trips") {
     assert(Similarity.cosThresholdFraction(400) == (4L, 25L))
     assert(Similarity.cosThresholdFraction(500) == (1L, 4L))
