@@ -587,6 +587,23 @@ object SparkEntry {
     Similarity.ivfTopKPortable(t(s, d, "embeddings"), queryId = 0L, k = 10,
       nCentroids = 32, nProbe = 4)
 
+  /** Revenue by order priority through [[Relational.saltedJoin]] — the
+    * deliberate skew-mitigation shape (per-row salt on the big side,
+    * ×salt replicated right side, join on (key, salt)). Salting is
+    * semantics-preserving, so the oracle is the plain join: the gate
+    * proves the rewrite changes the partitioning, not the answer.
+    */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Relational.saltedJoin(
+        t(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+          .withColumnRenamed("o_orderkey", "l_orderkey"),
+        keys = Seq("l_orderkey"), numSalts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+      .orderBy("o_orderpriority")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -638,7 +655,8 @@ object SparkEntry {
     "q48_jaccard_rarewords" -> (q48 _),
     "q49_sessions"          -> (q49 _),
     "q50_asof_native"       -> (q50 _),
-    "q51_ivf_ann"           -> (q51 _)
+    "q51_ivf_ann"           -> (q51 _),
+    "q52_salted_join"       -> (q52 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1171,6 +1189,12 @@ object SparkEntry {
          |SELECT vec_id, dot FROM cand
          |ORDER BY ${cosSql("dot", "nrm", "qn")} DESC, vec_id
          |LIMIT 10""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q52_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         | CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      .stripMargin.replaceAll("\n", " ")
   )
 }

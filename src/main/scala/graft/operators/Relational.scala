@@ -57,4 +57,39 @@ object Relational {
     }
     filled.filter(col("_tag") === 1).drop("_asof_ts", "_tag")
   }
+
+  /** Skew-mitigated equi-join: each (big, skewed) left row gets a
+    * per-row salt in [0, numSalts); the right side is replicated once
+    * per salt value; joining on (keys, salt) spreads a hot key over
+    * `numSalts` reducer partitions instead of funneling it into one
+    * straggler task.
+    *
+    * Semantics are identical to `left.join(right, keys, joinType)` for
+    * `inner` and `left` joins: a left row meets each matching right row
+    * exactly once (only at its own salt), and an unmatched left row
+    * still survives a left join. Right/full outer are rejected — an
+    * unmatched right row would surface once per salt.
+    *
+    * The salt must be row-dependent, NOT key-dependent (hashing the key
+    * would put the whole hot key back into one bucket); it derives from
+    * `monotonically_increasing_id`, which is stable for a given
+    * partition layout. Cost: right side shuffles ×numSalts — use for
+    * mid-size right tables too big to broadcast; AQE's skew-join covers
+    * the sort-merge case, this covers deliberate pre-salting (e.g.
+    * before a bucketed write).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      numSalts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"saltedJoin preserves semantics only for inner/left joins, got $joinType")
+    val salted = left.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(numSalts)).cast("int"))
+    val replicated = right.withColumn("_salt",
+      explode(array((0 until numSalts).map(lit): _*)))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
 }

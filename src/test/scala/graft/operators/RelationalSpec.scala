@@ -36,4 +36,25 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
     assert(run(1) == run(13))
   }
+
+  test("saltedJoin inner/left match the plain join; right joins rejected") {
+    val li = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val o = spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderpriority").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(agg(Relational.saltedJoin(li, o, Seq("l_orderkey"), numSalts = 8)) ==
+      agg(li.join(o, Seq("l_orderkey"))))
+    // left join keeps unmatched left rows exactly once
+    val lonely = Seq((-1L, 0.0)).toDF("l_orderkey", "l_extendedprice")
+    val lj = Relational.saltedJoin(li.union(lonely), o, Seq("l_orderkey"),
+      numSalts = 4, joinType = "left")
+    assert(lj.filter($"l_orderkey" === -1L).count() == 1)
+    assert(lj.count() == li.count() + 1)
+    intercept[IllegalArgumentException] {
+      Relational.saltedJoin(li, o, Seq("l_orderkey"), joinType = "right")
+    }
+  }
 }
