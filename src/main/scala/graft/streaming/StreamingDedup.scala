@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication for a continuous document-ingest
+  * stream — the incremental counterpart of the batch fingerprint dedup
+  * (`graft.operators.Dedup.exactByFingerprint`; reference behavior:
+  * ordered first-seen-wins URL/content dedup, `etl/handlers/atom_feed
+  * .py:86-111`).
+  *
+  * Scale shape (unbounded ingest): state is the dedup hazard, not CPU.
+  * `dropDuplicates` on a stream keeps EVERY key forever;
+  * `dropDuplicatesWithinWatermark` bounds state to the watermark
+  * horizon — the right contract for crawl/ingest feeds where a
+  * re-fetched document arrives close to its first copy. Dedup is on the
+  * 16-byte md5 fingerprint, never the document text, so the state store
+  * holds ~48 B/doc regardless of document size (same trick as the batch
+  * operator: shuffle fingerprints, not payloads).
+  */
+object StreamingDedup {
+
+  /** 128-bit content fingerprint as a hex column (matches the batch
+    * operator's md5 so batch and stream agree on what "duplicate" means).
+    */
+  def withFingerprint(docs: DataFrame, contentCol: String = "text"): DataFrame =
+    docs.withColumn("fingerprint", md5(col(contentCol)))
+
+  /** First-seen-wins exact dedup with watermark-bounded state. On a
+    * batch DataFrame the same call degrades to plain one-per-fingerprint
+    * dedup (Spark rejects dropDuplicatesWithinWatermark outside
+    * streaming) — batch/stream parity on the emitted key set.
+    *
+    * @param eventTimeCol event-time column the watermark advances on
+    * @param horizon how long a fingerprint is remembered ("1 hour"):
+    *                duplicates farther apart than this MAY both survive
+    *                (by design — bounded state is the contract)
+    */
+  def dedupWithinWatermark(
+      docs: DataFrame,
+      eventTimeCol: String,
+      horizon: String = "1 hour",
+      contentCol: String = "text"): DataFrame = {
+    val fp = withFingerprint(docs, contentCol)
+    if (docs.isStreaming)
+      fp.withWatermark(eventTimeCol, horizon)
+        .dropDuplicatesWithinWatermark("fingerprint")
+    else fp.dropDuplicates("fingerprint")
+  }
+}
