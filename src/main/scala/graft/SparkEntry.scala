@@ -604,6 +604,27 @@ object SparkEntry {
         sum(cents(col("l_extendedprice"))).as("revenue_cents"))
       .orderBy("o_orderpriority")
 
+  /** Events per campaign window through [[Relational.rangeJoin]] — the
+    * bucketized interval join (explode intervals into coarse buckets,
+    * equi-join points on their bucket, refine exactly) instead of the
+    * nested-loop plan a bare BETWEEN predicate gets. Windows are 3-day
+    * spans derived deterministically from the nation table; days are
+    * integer epoch days (ns `div` 86400e9 here, µs // 86400e6 in the
+    * oracle — identical after parquet's ns→µs truncation).
+    */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), expr("ts div 86400000000000").as("day"))
+    val iv = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long").as("window_id"),
+        (col("n_nationkey") + 19723L).cast("long").as("lo"),
+        (col("n_nationkey") + 19725L).cast("long").as("hi"))
+    Relational.rangeJoin(ev, iv, "day", "lo", "hi", bucketWidth = 3L)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("window_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -656,7 +677,8 @@ object SparkEntry {
     "q49_sessions"          -> (q49 _),
     "q50_asof_native"       -> (q50 _),
     "q51_ivf_ann"           -> (q51 _),
-    "q52_salted_join"       -> (q52 _)
+    "q52_salted_join"       -> (q52 _),
+    "q53_range_join"        -> (q53 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1195,6 +1217,15 @@ object SparkEntry {
          | CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      .stripMargin.replaceAll("\n", " "),
+    "q53_range_join" ->
+      """WITH iv AS (SELECT CAST(n_nationkey AS BIGINT) AS window_id,
+        |   CAST(n_nationkey + 19723 AS BIGINT) AS lo,
+        |   CAST(n_nationkey + 19725 AS BIGINT) AS hi FROM nation),
+        | e AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day FROM events)
+        |SELECT window_id, COUNT(*) AS n_events
+        |FROM e JOIN iv ON e.day BETWEEN iv.lo AND iv.hi
+        |GROUP BY window_id ORDER BY window_id"""
       .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -92,4 +92,36 @@ object Relational {
       explode(array((0 until numSalts).map(lit): _*)))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Bucketized range (interval) join: pairs each point row with every
+    * interval row satisfying `lo <= point <= hi` — WITHOUT the
+    * O(n·m) cross product Spark plans for a bare range predicate
+    * (BroadcastNestedLoopJoin, or a 1-partition sort-merge).
+    *
+    * Shape: intervals explode into the coarse buckets they overlap
+    * (`lo/w .. hi/w`), points carry their single bucket (`point/w`),
+    * and the pair meets through a hash equi-join on the bucket followed
+    * by the exact range refinement. Each qualifying pair meets exactly
+    * once (a point lives in one bucket), so no post-join dedup.
+    *
+    * Scale: shuffle is hash(bucket) — both sides distribute over all
+    * reducers; interval blow-up is `(hi-lo)/w + 1` rows, so pick
+    * `bucketWidth` near the typical interval length (blow-up ~2×).
+    * Columns are numeric epoch units (days/µs) — cast dates first.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val p = points.withColumn("_bucket", floor(col(pointCol) / bucketWidth))
+    val i = intervals.withColumn("_bucket",
+      explode(sequence(floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth))))
+    p.join(i, Seq("_bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bucket")
+  }
 }

@@ -57,4 +57,23 @@ class RelationalSpec extends SparkSpec {
       Relational.saltedJoin(li, o, Seq("l_orderkey"), joinType = "right")
     }
   }
+
+  test("rangeJoin equals the naive cross-join filter, each pair exactly once") {
+    val points = (0L to 100L).map(i => (i, i * 3)).toDF("pid", "x")
+    val ivals = Seq(
+      (1L, 0L, 10L), (2L, 5L, 5L),      // overlapping + degenerate
+      (3L, 250L, 400L), (4L, 301L, 302L), // past the end / empty
+      (5L, 7L, 93L)                      // many buckets wide
+    ).toDF("iid", "lo", "hi")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(3))
+    for (w <- Seq(1L, 7L, 100L)) {
+      val got = Relational.rangeJoin(points, ivals, "x", "lo", "hi", w)
+        .collect().map(key).sorted.toSeq
+      val want = points.crossJoin(ivals)
+        .filter($"x" >= $"lo" && $"x" <= $"hi")
+        .collect().map(key).sorted.toSeq
+      assert(got == want, s"bucketWidth=$w")
+      assert(got.distinct == got, s"duplicate pairs at bucketWidth=$w")
+    }
+  }
 }
