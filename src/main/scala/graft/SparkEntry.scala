@@ -625,6 +625,23 @@ object SparkEntry {
       .orderBy("window_id")
   }
 
+  /** Subword token cost + winnowing fingerprint stats per document:
+    * BPE-ish regex token count (GPT-2-style pretokenizer — the LLM
+    * token-cost proxy) and Rabin–Karp/winnowing local fingerprints
+    * (distinct per-window hash minima). Pure per-row codegen'd maps;
+    * exact long arithmetic both engines.
+    */
+  private def q54(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(length(col("text")) >= 8)
+      // stage the arrays: each step computed once per row (see charCodes doc)
+      .withColumn("codes", TextFunctions.charCodes(col("text")))
+      .withColumn("hashes", TextFunctions.hashesFromCodes(col("codes")))
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
+        size(TextFunctions.winnowFromHashes(col("hashes"))).cast("long").as("n_fp"),
+        array_min(col("hashes")).as("min_fp"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -678,7 +695,8 @@ object SparkEntry {
     "q50_asof_native"       -> (q50 _),
     "q51_ivf_ann"           -> (q51 _),
     "q52_salted_join"       -> (q52 _),
-    "q53_range_join"        -> (q53 _)
+    "q53_range_join"        -> (q53 _),
+    "q54_winnow_tokens"     -> (q54 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1226,6 +1244,25 @@ object SparkEntry {
         |SELECT window_id, COUNT(*) AS n_events
         |FROM e JOIN iv ON e.day BETWEEN iv.lo AND iv.hi
         |GROUP BY window_id ORDER BY window_id"""
-      .stripMargin.replaceAll("\n", " ")
+      .stripMargin.replaceAll("\n", " "),
+    "q54_winnow_tokens" -> {
+      val pows = TextFunctions.hashPowers(8)
+      val hashTerm = pows.zipWithIndex
+        .map { case (p, j) => s"CAST(codes[i+$j] AS BIGINT)*$p" }.mkString(" + ")
+      val bpe = TextFunctions.BpePattern.replace("'", "''")
+      s"""WITH c AS (SELECT doc_id, text,
+         |   list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 256) AS codes
+         |   FROM documents WHERE length(text) >= 8),
+         | h AS (SELECT doc_id, text,
+         |   list_transform(range(1, length(text)-6), i -> $hashTerm) AS hashes FROM c),
+         | w AS (SELECT doc_id, text, hashes,
+         |   list_distinct(list_transform(range(1, len(hashes)-2), i -> list_min(hashes[i:i+3]))) AS fps
+         |   FROM h)
+         |SELECT doc_id,
+         |  CAST(length(regexp_extract_all(text, '$bpe')) AS BIGINT) AS bpe_tokens,
+         |  CAST(len(fps) AS BIGINT) AS n_fp,
+         |  CAST(list_min(hashes) AS BIGINT) AS min_fp
+         |FROM w ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

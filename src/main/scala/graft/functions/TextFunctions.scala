@@ -96,6 +96,78 @@ object TextFunctions {
   def wordSet(text: Column): Column =
     array_distinct(split(lower(trim(text)), "\\s+"))
 
+  /** BPE-ish subword token pattern (GPT-2-style pretokenizer, ASCII-only
+    * so Java regex and RE2 match identically; both are leftmost-first on
+    * alternation): contractions, space-prefixed letter runs, digit runs,
+    * symbol runs, residual whitespace.
+    */
+  final val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish token count — a far better proxy for LLM token cost than
+    * whitespace splitting ("don't" → 2, "x=1" → 3).
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
+  /** Rolling-hash base powers for [[rollingHashes]]: base^(k-1) … base^0.
+    * No modulus — codes ≤ 255 and k ≤ 8 keep Σ code·131^j < 2^61, so the
+    * arithmetic is exact (and overflow-free) on every engine.
+    */
+  def hashPowers(k: Int, base: Long = 131L): Seq[Long] =
+    Seq.iterate(1L, k)(_ * base).reverse
+
+  /** Character codes (mod 256) as an array column. Stage this (and
+    * [[hashesFromCodes]]) with `withColumn` BEFORE consuming it more
+    * than once: array-building expressions re-evaluate per reference —
+    * a `slice(rollingHashes(...), …)` inside a transform lambda would
+    * recompute the whole hash array per window position (O(n³)/row).
+    * Materialized attributes keep every step one pass (CollapseProject
+    * leaves multiply-referenced non-cheap aliases alone).
+    */
+  def charCodes(text: Column): Column =
+    transform(sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))) % 256)
+
+  /** Per-position character-k-gram polynomial hashes (Rabin–Karp
+    * fingerprint family) over a staged [[charCodes]] array:
+    * hash(i) = Σ_j code(i+j)·base^(k-1-j). O(n·k) per row, codegen'd,
+    * no shuffle, no UDF.
+    */
+  def hashesFromCodes(codes: Column, k: Int = 8): Column = {
+    val pows = hashPowers(k)
+    val nPos = size(codes) - (k - 1)
+    when(nPos <= 0, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(1), nPos),
+        i => pows.zipWithIndex.map { case (p, j) =>
+          element_at(codes, i + j).cast("long") * p }.reduce(_ + _)))
+  }
+
+  /** Convenience single-shot form — ONLY for single-reference use
+    * (tests, ad-hoc); in a query, stage [[charCodes]]/[[hashesFromCodes]].
+    */
+  def rollingHashes(text: Column, k: Int = 8): Column =
+    hashesFromCodes(charCodes(text), k)
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): the distinct
+    * minima of each `window` of consecutive rolling hashes (pass a
+    * STAGED hash array — see [[charCodes]]). Guarantees a shared
+    * fingerprint for any k+window−1 char overlap between documents —
+    * the standard local document fingerprint for plagiarism-style
+    * near-dup detection at corpus scale (fingerprints shuffle, text
+    * never does).
+    */
+  def winnowFromHashes(hashes: Column, window: Int = 4): Column = {
+    val nWin = size(hashes) - (window - 1)
+    when(nWin <= 0, array().cast("array<bigint>")).otherwise(
+      array_distinct(transform(sequence(lit(1), nWin),
+        i => array_min(slice(hashes, i, lit(window))))))
+  }
+
+  /** Single-shot winnow for single-reference use (tests). */
+  def winnowFingerprints(text: Column, k: Int = 8, window: Int = 4): Column =
+    winnowFromHashes(rollingHashes(text, k), window)
+
   /** Word n-gram shingles (space-joined), distinct. For MinHash input. */
   def shingles(text: Column, n: Int): Column = {
     val toks = wsTokens(lower(text))

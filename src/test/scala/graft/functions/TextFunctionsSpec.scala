@@ -41,6 +41,33 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a != c)
   }
 
+  test("bpeTokenCount splits contractions, numbers and symbols like a pretokenizer") {
+    assert(one[Long](TextFunctions.bpeTokenCount($"text"), "don't stop") == 3L)
+    // ["don","'t"," stop"]
+    assert(one[Long](TextFunctions.bpeTokenCount($"text"), "x=1") == 3L)
+    assert(one[Long](TextFunctions.bpeTokenCount($"text"), "hello world") == 2L)
+    assert(one[Long](TextFunctions.bpeTokenCount($"text"), "") == 0L)
+  }
+
+  test("rollingHashes matches a hand-rolled Rabin-Karp; winnow minima are correct") {
+    val text = "abcdefghij" // 10 chars, k=8 → 3 hashes
+    val pows = TextFunctions.hashPowers(8)
+    def h(s: String): Long =
+      s.zip(pows).map { case (c, p) => (c.toLong % 256) * p }.sum
+    val expect = (0 to 2).map(i => h(text.slice(i, i + 8)))
+    val got = one[collection.Seq[Long]](TextFunctions.rollingHashes($"text"), text)
+    assert(got == expect)
+    // window=4 > 3 positions → no winnow window fits → empty
+    assert(one[collection.Seq[Long]](TextFunctions.winnowFingerprints($"text"), text).isEmpty)
+    // 12 chars → 5 hashes → 2 windows of 4; each fingerprint is a real minimum
+    val t2   = "abcdefghijkl"
+    val h2   = (0 to 4).map(i => h(t2.slice(i, i + 8)))
+    val fps  = one[collection.Seq[Long]](TextFunctions.winnowFingerprints($"text"), t2)
+    assert(fps.toSet == Set(h2.slice(0, 4).min, h2.slice(1, 5).min))
+    // shorter than k → no hashes at all
+    assert(one[collection.Seq[Long]](TextFunctions.rollingHashes($"text"), "short").isEmpty)
+  }
+
   test("qualityScore rewards stopword-bearing prose, caps at [0,100]") {
     val prose = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val junk  = "!!! ??? ### !!!"
