@@ -642,6 +642,13 @@ object SparkEntry {
         array_min(col("hashes")).as("min_fp"))
       .orderBy("doc_id")
 
+  /** Passage-level near-dup pairs via winnowing fingerprints (q54's
+    * fingerprints driven through the inverted-index + df-pruning shape).
+    */
+  private def q55(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowNearDupPairs(t(s, d, "documents"))
+      .orderBy("doc_a", "doc_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -696,7 +703,8 @@ object SparkEntry {
     "q51_ivf_ann"           -> (q51 _),
     "q52_salted_join"       -> (q52 _),
     "q53_range_join"        -> (q53 _),
-    "q54_winnow_tokens"     -> (q54 _)
+    "q54_winnow_tokens"     -> (q54 _),
+    "q55_winnow_pairs"      -> (q55 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1263,6 +1271,24 @@ object SparkEntry {
          |  CAST(len(fps) AS BIGINT) AS n_fp,
          |  CAST(list_min(hashes) AS BIGINT) AS min_fp
          |FROM w ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q55_winnow_pairs" -> {
+      val pows = TextFunctions.hashPowers(8)
+      val hashTerm = pows.zipWithIndex
+        .map { case (p, j) => s"CAST(codes[i+$j] AS BIGINT)*$p" }.mkString(" + ")
+      s"""WITH c AS (SELECT doc_id,
+         |   list_transform(range(1, length(text)+1), i -> ascii(substr(text,i,1)) % 256) AS codes
+         |   FROM documents WHERE length(text) >= 8),
+         | h AS (SELECT doc_id,
+         |   list_transform(range(1, len(codes)-6), i -> $hashTerm) AS hashes FROM c),
+         | w AS (SELECT doc_id, unnest(list_distinct(
+         |   list_transform(range(1, len(hashes)-2), i -> list_min(hashes[i:i+3])))) AS fp FROM h),
+         | df AS (SELECT fp FROM w GROUP BY fp HAVING COUNT(*) <= 20),
+         | p AS (SELECT w.doc_id, w.fp FROM w JOIN df USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -351,4 +351,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** Winnowing near-dup pairs: documents sharing ≥ `minShared` winnow
+    * fingerprints (char-k-gram rolling-hash window minima — catches
+    * copied PASSAGES that word-level Jaccard dilutes away). Inverted
+    * index on the fingerprint with document-frequency pruning: a
+    * fingerprint present in more than `maxDf` docs is boilerplate and
+    * generates no candidates (same hot-key guard as the LSH banders —
+    * never all-pairs, and the df cap bounds any single join key's fanout
+    * at maxDf², independent of corpus size).
+    */
+  def winnowNearDupPairs(
+      docs: DataFrame,
+      k: Int = 8,
+      window: Int = 4,
+      minShared: Int = 3,
+      maxDf: Int = 20): DataFrame = {
+    val fps = docs.filter(length(col("text")) >= k)
+      // staged arrays: see TextFunctions.charCodes — one pass per step
+      .withColumn("codes", TextFunctions.charCodes(col("text")))
+      .withColumn("hashes", TextFunctions.hashesFromCodes(col("codes"), k))
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFromHashes(col("hashes"), window)).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val pruned = fps.join(rare, Seq("fp"), "left_semi")
+    val l = pruned.as("l")
+    val r = pruned.as("r")
+    l.join(r, col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -101,4 +101,16 @@ class DedupSpec extends SparkSpec {
     assert(sh.contains("the quick brown") && sh.contains("over the lazy"))
     assert(sh.length == 7)
   }
+
+  test("winnowNearDupPairs pairs docs sharing a passage, skips unrelated ones") {
+    val passage = "the unique quantum flux capacitor overload sequence begins now"
+    val docs = Seq(
+      (1L, s"intro text alpha beta. $passage and more trailing words"),
+      (2L, s"completely different beginning. $passage closing remarks"),
+      (3L, "zzz qqq unrelated gibberish xxyyzz entirely disjoint vocabulary")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDupPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
 }
