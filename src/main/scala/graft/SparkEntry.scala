@@ -649,6 +649,27 @@ object SparkEntry {
     Dedup.winnowNearDupPairs(t(s, d, "documents"))
       .orderBy("doc_a", "doc_b")
 
+  /** Exact frequent words through the SpaceSaving sketch: sketch to a
+    * candidate superset (provable for any support > N/k), then recount
+    * candidates exactly — deterministic output even though the summary
+    * itself is arrival-order-dependent. The corpus vocabulary (31) is
+    * below k=64, so here the superset is everything; the eviction path
+    * is spec-tested on a planted skewed stream.
+    */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val cands = words
+      .agg(graft.plans.SsBuffer.spaceSavingTopK(col("word"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("word"))
+    words.join(broadcast(cands), Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 900)
+      .orderBy("word")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -704,7 +725,8 @@ object SparkEntry {
     "q52_salted_join"       -> (q52 _),
     "q53_range_join"        -> (q53 _),
     "q54_winnow_tokens"     -> (q54 _),
-    "q55_winnow_pairs"      -> (q55 _)
+    "q55_winnow_pairs"      -> (q55 _),
+    "q56_heavy_hitters"     -> (q56 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1289,6 +1311,12 @@ object SparkEntry {
          |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= 3
          |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    "q56_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        |   FROM documents)
+        |SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
+        |GROUP BY word HAVING COUNT(*) >= 900 ORDER BY word"""
+      .stripMargin.replaceAll("\n", " ")
   )
 }
