@@ -670,6 +670,19 @@ object SparkEntry {
       .orderBy("word")
   }
 
+  /** HLL distinct sketch vs exact (q45's KMV counterpart at 64 bytes of
+    * state): portable md5-derived hash, exact-integer register sum, and
+    * a literal-mirrored float chain make the estimate itself
+    * oracle-checkable — see [[graft.plans.HllDistinct]].
+    */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .withColumn("h", PortableHash.md5Hex60(col("l_partkey").cast("string")))
+      .groupBy("l_returnflag")
+      .agg(graft.plans.HllDistinct.hllDistinct(col("h"), 6).as("hll_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -726,7 +739,8 @@ object SparkEntry {
     "q53_range_join"        -> (q53 _),
     "q54_winnow_tokens"     -> (q54 _),
     "q55_winnow_pairs"      -> (q55 _),
-    "q56_heavy_hitters"     -> (q56 _)
+    "q56_heavy_hitters"     -> (q56 _),
+    "q57_hll_distinct"      -> (q57 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1317,6 +1331,17 @@ object SparkEntry {
         |   FROM documents)
         |SELECT word, COUNT(*) AS n FROM w WHERE length(word) > 0
         |GROUP BY word HAVING COUNT(*) >= 900 ORDER BY word"""
-      .stripMargin.replaceAll("\n", " ")
+      .stripMargin.replaceAll("\n", " "),
+    "q57_hll_distinct" -> {
+      val est = graft.plans.HllDistinct.oracleSql(
+        PortableHash.md5Hex60Sql("CAST(l_partkey AS VARCHAR)"),
+        "FROM lineitem", Seq("l_returnflag"))
+      s"""WITH est AS ($est),
+         | ex AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+         |        FROM lineitem GROUP BY 1)
+         |SELECT est.l_returnflag, est.hll_est AS hll_parts, ex.exact_parts
+         |FROM est JOIN ex USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }
