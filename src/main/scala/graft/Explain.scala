@@ -14,7 +14,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q01_pricing_summary", "q03_nation_revenue", "q15_bbox_parts",
-        "q20_fingerprint_dedup", "q22_cosine_topk", "q23_minhash_pairs")
+        "q20_fingerprint_dedup", "q22_cosine_topk", "q23_minhash_pairs",
+        "q50_asof_native", "q52_salted_join", "q53_range_join",
+        "q57_hll_distinct")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -373,10 +373,14 @@ object Dedup {
       .withColumn("hashes", TextFunctions.hashesFromCodes(col("codes"), k))
       .select(col("doc_id"),
         explode(TextFunctions.winnowFromHashes(col("hashes"), window)).as("fp"))
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    // df via a window (not a count+join): pruning then costs ONE
+    // evaluation of the expensive winnow subtree, and because both
+    // self-join sides are the identical pruned subtree, the fp exchange
+    // plans once and replays as ReusedExchange (the minhash-bander trick)
+    val pruned = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("df") <= maxDf)
-      .select("fp")
-    val pruned = fps.join(rare, Seq("fp"), "left_semi")
+      .drop("df")
     val l = pruned.as("l")
     val r = pruned.as("r")
     l.join(r, col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
