@@ -43,9 +43,12 @@ class RestDataSource extends TableProvider with org.apache.spark.sql.sources.Dat
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RestTable.Schema
 
+  // writes carry the frame's own schema into getTable (reads still infer)
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType, partitioning: Array[Transform], properties: JMap[String, String]): Table =
-    new RestTable(properties.get("path"))
+    new RestTable(properties.get("path"), Option(schema))
 }
 
 object RestTable {
@@ -81,14 +84,22 @@ object RestTable {
   }
 }
 
-class RestTable(path: String) extends Table with SupportsRead {
+class RestTable(path: String, providedSchema: Option[StructType] = None) extends Table
+  with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String                          = s"graft-rest:$path"
-  override def schema(): StructType                    = RestTable.Schema
+  override def schema(): StructType                    = providedSchema.getOrElse(RestTable.Schema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(path)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new RestWriteBuilder(path, info)
 }
 
 class RestScanBuilder(path: String)
