@@ -115,6 +115,32 @@ class SimilaritySpec extends SparkSpec {
       s"full-probe IVF must match exhaustive: $expect vs ${ivf.toSeq}")
   }
 
+  test("IVF scale path: cell-partitioned write, probe reads only its cells") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    // materialize assignments the way ivfTopKPortable computes them,
+    // written once partitioned by cell — the 100 TB layout
+    val b = emb.select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+      .withColumn("nrm", VectorFunctions.qdot($"q", $"q"))
+    val cents = b.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"q".as("cvec"), $"nrm".as("cnrm"))
+    val assigned = b.crossJoin(broadcast(cents))
+      .withColumn("ccos", VectorFunctions.qdot($"q", $"cvec").cast("double") /
+        sqrt($"nrm".cast("double") * $"cnrm".cast("double")))
+      .groupBy("vec_id")
+      .agg(max(struct($"ccos", $"cent_id")).getField("cent_id").as("cent_id"),
+        first($"q").as("q"))
+    val dir =
+      s"${java.nio.file.Files.createTempDirectory("graft_ivf_idx")}/idx"
+    assigned.write.partitionBy("cent_id").parquet(dir)
+
+    val probe = spark.read.parquet(dir).filter($"cent_id".isin(2, 5))
+    val scan  = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [cent_id") && scan.contains("IN (2,5)"),
+      s"probe must prune partitions:\n$scan")
+    val expected = assigned.filter($"cent_id".isin(2, 5)).count()
+    assert(probe.count() == expected && expected > 0)
+  }
+
   test("cosThresholdFraction reduces and round-trips") {
     assert(Similarity.cosThresholdFraction(400) == (4L, 25L))
     assert(Similarity.cosThresholdFraction(500) == (1L, 4L))
