@@ -58,4 +58,18 @@ object Publish {
     }
     spark.table(fqn).count() // GetCount verification (pipeline.py:640-647)
   }
+
+  /** Publish a feature frame as a `graft-rest` applyEdits session (the
+    * reference's REST upload path, `sde_loader`-style edit batching) —
+    * an atomic two-phase-commit spool: see
+    * [[graft.sources.v2.RestWriteBuilder]]. `overwrite` truncates the
+    * previous session (truncate-and-load); append adds to it.
+    */
+  def publishRestEdits(
+      df: DataFrame,
+      spoolDir: String,
+      overwrite: Boolean = true): Unit =
+    df.write.format("graft-rest")
+      .mode(if (overwrite) "overwrite" else "append")
+      .save(spoolDir)
 }

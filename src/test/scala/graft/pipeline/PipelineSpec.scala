@@ -122,6 +122,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.summary(("stage", "skip")) == 1L)
   }
 
+  test("publish to a graft-rest applyEdits spool; overwrite truncates the session") {
+    val df   = GeoJsonSource.read(spark, s"$res/sample.geojson")
+    val dir  = s"${java.nio.file.Files.createTempDirectory("graft_pub_spool")}/svc"
+    Publish.publishRestEdits(df, dir)
+    def editCount: Long = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      m.readTree(new java.io.File(s"$dir/edits/_SUCCESS")).get("n_edits").asLong()
+    }
+    assert(editCount == df.count())
+    Publish.publishRestEdits(df.limit(1), dir) // truncate-and-load semantics
+    assert(editCount == 1L)
+  }
+
   test("GPKG source stages through the same normalized path (K2/S9)") {
     val gpkg = Source(name = "Parks Gpkg", authority = "GPK", sourceType = "file",
       url = "file://src/test/resources/sample.gpkg", stagedDataType = Some("gpkg"))
