@@ -300,10 +300,19 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** 64-bit SimHash over words: majority vote of each xxhash64 bit,
-    * computed as a single Column fold (no UDF, no explode).
+  /** 64-bit SimHash over words — the fused native expression (one
+    * xxhash64 per word, one pass; see [[graft.plans.SimHash64Expr]] for
+    * why this beats the Column-fold composition, which re-hashed every
+    * word 64 times).
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.plans.SimHash64Expr(TextFunctions.wordSet(text))
+
+  /** The original higher-order-function composition, kept as the
+    * reference implementation the native expression is asserted
+    * against (same role as VectorFunctions.cosine vs CosineSimExpr).
+    */
+  def simhash64Composed(text: Column): Column = {
     val words = TextFunctions.wordSet(text)
     // Per-word ±1 bit votes as a 64-element array built with
     // compile-time bit indices (shiftright takes a literal Int).
