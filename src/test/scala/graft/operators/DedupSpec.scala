@@ -102,6 +102,16 @@ class DedupSpec extends SparkSpec {
     assert(sh.length == 7)
   }
 
+  test("winnowNearDupPairs self-join replays the fp exchange (ReusedExchange)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val df = Dedup.winnowNearDupPairs(docs)
+    df.collect() // drive AQE to the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("ReusedExchange"),
+      s"winnow subtree must be computed once:\n${plan.take(3000)}")
+  }
+
   test("winnowNearDupPairs pairs docs sharing a passage, skips unrelated ones") {
     val passage = "the unique quantum flux capacitor overload sequence begins now"
     val docs = Seq(
