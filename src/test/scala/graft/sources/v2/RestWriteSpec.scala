@@ -49,6 +49,31 @@ class RestWriteSpec extends SparkSpec {
     assert(manifest(dir).get("n_edits").asLong() == 7L)
   }
 
+  test("abort paths leave no partial state: task abort and job abort") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir    = java.nio.file.Files.createTempDirectory("graft_rest_abort").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    def staged = Option(new File(dir, ".staging").listFiles()).getOrElse(Array.empty)
+
+    // task abort before commit: nothing was ever staged
+    val w1 = new RestEditsWriter(dir, schema, 0, 1L)
+    w1.write(InternalRow(1L, UTF8String.fromString("a")))
+    w1.abort()
+    assert(staged.isEmpty)
+
+    // job abort after task commit: the staged batch is rolled back
+    val w2  = new RestEditsWriter(dir, schema, 1, 2L)
+    w2.write(InternalRow(2L, UTF8String.fromString("b")))
+    val msg = w2.commit()
+    assert(staged.length == 1)
+    new RestBatchWrite(dir, schema, truncate = false)
+      .abort(Array(msg))
+    assert(staged.isEmpty)
+    assert(!new File(dir, "edits").exists())
+  }
+
   test("feature rows round-trip through the connector schema types") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rest_write_m").toString
     val df = Seq((0, 1L, Map("name" -> "a", "kind" -> "x"), "POLYGON", "POLYGON((0 0,1 0,1 1,0 0))",
