@@ -190,8 +190,25 @@ object Similarity {
       minCosineMilli: Int = 400,
       nBits: Int = 6,
       seed: Long = 42L,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      maxAbsValue: Double = 1.0): DataFrame = {
     val (num, den) = cosThresholdFraction(minCosineMilli)
+    // overflow guard for the exact integer comparison below: with
+    // |v_i| ≤ maxAbsValue the quantized components are ≤ 1000·maxAbsValue,
+    // so |dot| ≤ dim·(1000·maxAbsValue)² =: D and the largest product is
+    // max(den·dot², num·nrm_l·nrm_r) ≤ max(num,den)·D². Spark WRAPS on
+    // signed-64 overflow (silently wrong pairs) while the oracle engine
+    // raises — so reject thresholds whose reduced fraction is too fine
+    // (e.g. 401 → den=1_000_000) instead of diverging. Thresholds that are
+    // multiples of 100 (or any m whose (m/1000)² reduces to a small
+    // fraction) always pass.
+    val maxDot = (dim.toLong * math.pow(1000.0 * maxAbsValue, 2)).toLong max 1L
+    val headroom = Long.MaxValue / maxDot / maxDot
+    require(num <= headroom && den <= headroom,
+      s"minCosineMilli=$minCosineMilli reduces to $num/$den; with dim=$dim and " +
+        s"|value|<=$maxAbsValue the products den*dot^2 / num*nrm_l*nrm_r can exceed " +
+        s"2^63 (need num,den <= $headroom). Pick a coarser threshold " +
+        "(e.g. a multiple of 100) or reduce dim/maxAbsValue.")
     val planes = VectorFunctions.quantPlanes(seed, dim, nBits)
     val b = embeddings
       .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))

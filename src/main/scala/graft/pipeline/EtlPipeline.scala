@@ -32,7 +32,7 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
     */
   final case class LedgerRow(
       source: String, authority: String, phase: String, status: String,
-      table: String, rows: Long, error: String)
+      table: String, rows: Long, error: String, level: Long = 0L)
 
   private val ledger    = mutable.ArrayBuffer[LedgerRow]()
   private val usedNames = mutable.Set[String]()
@@ -61,8 +61,9 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
   // -------------------------------------------------------------------------
 
   private def record(s: Source, phase: String, status: String,
-      table: String = "", rows: Long = 0, error: String = ""): Unit =
-    ledger += LedgerRow(s.name, s.authority, phase, status, table, rows, error)
+      table: String = "", rows: Long = 0, error: String = "",
+      level: Long = 0L): Unit =
+    ledger += LedgerRow(s.name, s.authority, phase, status, table, rows, error, level)
 
   /** Extract+read one source into a normalized DataFrame (dispatch on
     * type, HANDLER_MAP semantics — S8). URLs are file:// or plain paths
@@ -125,13 +126,25 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
     */
   def stageSource(source: Source): Option[String] = {
     if (!source.enabled) { record(source, "stage", "skip"); return None } // T1
+    var cached: DataFrame = null
     try {
       // the ladder retries the READ under degraded configs (its
       // concurrency/timeout knobs govern driver-side landing I/O); a
       // deterministic failure exhausts the 3 levels and falls through to
       // the continue-on-failure ledger below (recovery.py SKIP floor).
-      val (df0, lvl) = ladder.run() { _ => readSource(source) }
-      if (lvl > 0) record(source, "stage", "degraded", rows = lvl.toLong)
+      // Spark defers scan work until an action, so the read is FORCED
+      // here (cache + count): a real decode/read failure surfaces INSIDE
+      // the ladder — where it can escalate — not later in the table
+      // write; the staged write below then reads the cached data instead
+      // of re-decoding the source.
+      val (df0, lvl) = ladder.run() { _ =>
+        val d = readSource(source)
+        d.cache()
+        try { d.count(); d }
+        catch { case e: Throwable => d.unpersist(); throw e }
+      }
+      cached = df0
+      if (lvl > 0) record(source, "stage", "degraded", level = lvl.toLong)
       // include-list semi-filter on the landed file stem (T5) — the stems
       // are a handful of config strings: isin == broadcast by construction.
       val df = source.includeStems match {
@@ -166,6 +179,8 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
         record(source, "stage", "error", error = String.valueOf(e.getMessage))
         if (!cfg.continueOnFailure) throw e
         None
+    } finally {
+      if (cached != null) cached.unpersist()
     }
   }
 

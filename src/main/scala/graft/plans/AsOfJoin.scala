@@ -139,6 +139,14 @@ case class AsOfJoinExec(
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
           val lT   = lTimeEval.eval(lRow)
+          // SQL equi-join semantics: a NULL key (or NULL time) matches
+          // nothing — emit the left row unmatched WITHOUT consulting the
+          // merge state (the natural row ordering would otherwise compare
+          // NULLs as equal and pair null-key rows across the join).
+          // Null-key/time RIGHT rows are filtered out at plan build
+          // (AsOfJoin.apply), so the cursor below only sees clean rows.
+          if (lKey.anyNull || lT == null)
+            return project(joined(lRow, nullRight))
           // stale match from an earlier key group
           if (curKey != null && keyOrd.compare(curKey, lKey) != 0) {
             curMatch = null; curKey = null
@@ -187,8 +195,19 @@ object AsOfJoin {
     // against the LEFT row
     val rPlan = {
       val base = right.queryExecution.analyzed
+      // SQL equi-join semantics: null-key / null-time right rows can
+      // never be an as-of match, and letting them reach the merge would
+      // pair them via the natural ordering (NULL == NULL) or NPE in the
+      // time comparison — drop them at the source (also lets the filter
+      // push into the scan).
+      val notNullCols = (keys :+ rightTime)
+        .map(n => base.output.find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$n' in ${base.output.map(_.name).mkString(",")}")))
+      val cond = notNullCols.map(IsNotNull(_): Expression).reduce(And)
+      val filtered = org.apache.spark.sql.catalyst.plans.logical.Filter(cond, base)
       org.apache.spark.sql.catalyst.plans.logical.Project(
-        base.output.map(a => Alias(a, a.name)()), base)
+        filtered.output.map(a => Alias(a, a.name)()), filtered)
     }
     def attr(plan: LogicalPlan, n: String): Attribute =
       plan.output.find(_.name == n).getOrElse(

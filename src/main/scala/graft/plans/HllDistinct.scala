@@ -54,8 +54,14 @@ case class HllDistinct(
       val h      = v.asInstanceOf[Long]
       val bucket = (h >>> w).toInt & (m - 1)
       val rest   = h & ((1L << w) - 1)
+      // rho capped at w (not the textbook w+1 for rest==0): a register
+      // holding w+1 would make eval's 1L << (w - reg) a NEGATIVE shift,
+      // which Java masks to <<63 (corrupting the exact integer sum) while
+      // the oracle's engine behaves differently. Probability 2^-54 per
+      // value, but the cap keeps the cross-engine invariant unconditional;
+      // the oracle CASE mirrors it.
       val rho    =
-        if (rest == 0) w + 1
+        if (rest == 0) w
         else w - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
       if (rho > regs(bucket)) regs(bucket) = rho.toByte
     }
@@ -131,7 +137,7 @@ object HllDistinct {
     s"""WITH hll_b AS (SELECT $keys, $hvExpr // $pow2w AS bucket, $hvExpr % $pow2w AS rest
        | $fromClause),
        | hll_r AS (SELECT $keys, bucket,
-       |   MAX(CASE WHEN rest = 0 THEN ${w + 1}
+       |   MAX(CASE WHEN rest = 0 THEN $w
        |       ELSE $w - length(format('{:b}', rest)) + 1 END) AS mr
        |   FROM hll_b GROUP BY $keys, bucket),
        | hll_s AS (SELECT $keys,

@@ -95,14 +95,16 @@ final class SsBuffer(val k: Int) {
     case Some((c, e)) => m.update(item, (c + by, e + err0))
     case None if m.size < k => m.update(item, (by, err0))
     case None =>
-      // evict the minimum-count entry (ties → lexicographically largest
-      // item, a fixed rule so single-threaded replay is reproducible)
-      val (minItem, (minC, _)) = m.minBy { case (it, (c, _)) => (c, reverse(it)) }
+      // evict the minimum-count entry; ties → lexicographically LARGEST
+      // item. One explicit rule, shared with mergeIn's trim (which keeps
+      // the lexicographically smallest items on count ties), so replay
+      // and merge are reproducible under the same ordering.
+      val (minItem, (minC, _)) =
+        m.minBy { case (it, (c, _)) => (c, it) }(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
       m.remove(minItem)
       m.update(item, (minC + by, minC + err0))
   }
-
-  private def reverse(s: String): String = new StringBuilder(s).reverse.toString
 
   /** Agarwal-style merge: union with count/err sums, then trim back to
     * the k largest counts (keeps the ε = 1/k overestimate bound).

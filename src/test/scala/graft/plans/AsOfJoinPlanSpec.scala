@@ -46,6 +46,27 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(out(3L).isEmpty)      // key 20 has no right rows → null
   }
 
+  test("SQL null semantics: null keys/times never match, left rows survive") {
+    val l = Seq(
+      (1L, Some(10L), Some(100L)), // normal match
+      (2L, None,      Some(100L)), // null key → unmatched, row kept
+      (3L, Some(10L), None),       // null time → unmatched, row kept
+      (4L, Some(99L), Some(100L))  // key only present as a null-time right
+    ).toDF("id", "k", "t")
+    val r = Seq(
+      (7L, Some(10L), Some(50L)),  // the only legitimate match
+      (8L, None,      Some(40L)),  // null key → can never match (even vs id=2)
+      (9L, Some(99L), None)        // null time → can never match (even vs id=4)
+    ).toDF("rid", "k", "t")
+    val out = AsOfJoin(l, r, Seq("k"), "t", "t", Seq("rid"), "rid")
+      .select($"id", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out.size == 4) // every left row survives
+    assert(out(1L).contains(7L))
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+  }
+
   test("plans as AsOfJoinExec; pre-partitioned inputs add no exchange") {
     // SparkPlan.nodeName strips the "Exec" suffix → renders as "AsOfJoin"
     val planned = native.queryExecution.executedPlan.toString
