@@ -413,15 +413,16 @@ object SparkEntry {
         floor(col("mean_b") * lit(1000000.0)).cast("long").as("mean_b_e6"))
       .orderBy("media_id")
 
-  /** Rows-only by design: the embedding stub mixes bytes through a
-    * wrapping-64-bit xorshift, which engines that raise on signed
-    * overflow (DuckDB) cannot reproduce — the ANN plumbing it feeds is
-    * oracle-checked via q25/q47 instead.
+  /** Media-embedding ANN, fully hash-checked: the portable embed derives
+    * every component from md5 of the blob hex through the Carter–Wegman
+    * affine family (one md5 per blob), so the oracle recomputes the SAME
+    * integers from the SAME parquet bytes; ranking uses quantized integer
+    * dots (the q51 pattern) and emits the exact `dot` alongside the id.
     */
   private def q37(s: SparkSession, d: String): DataFrame = {
-    val emb = Multimodal.embedMedia(
+    val emb = Multimodal.embedMediaPortable(
       Multimodal.mediaFixture(s).filter(col("kind") === "image"))
-    Similarity.bruteForceTopK(emb, queryId = 0L, k = 10).select(col("vec_id"))
+    Similarity.bruteForceTopKPortable(emb, queryId = 0L, k = 10)
   }
 
   private def q38(s: SparkSession, d: String): DataFrame =
@@ -1147,6 +1148,28 @@ object SparkEntry {
          | CAST(channels AS BIGINT) AS channels,
          | ${meanE6("rs")} AS mean_r_e6, ${meanE6("gs")} AS mean_g_e6, ${meanE6("bs")} AS mean_b_e6
          |FROM sums ORDER BY media_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "q37_media_embed_ann" -> {
+      val media = s"read_parquet('${Multimodal.MediaFixturePath}/*.parquet')"
+      val ab = PortableHash.affineConstants(7L, 64)
+      val al = ab.map(_._1).mkString("[", ",", "]")
+      val bl = ab.map(_._2).mkString("[", ",", "]")
+      s"""WITH consts AS (SELECT $al::BIGINT[] AS al, $bl::BIGINT[] AS bl),
+         | m AS (SELECT media_id AS vec_id,
+         |   ('0x'||substr(md5(lower(hex(data))),1,8))::UBIGINT::BIGINT AS h
+         |   FROM $media WHERE kind = 'image'),
+         | e AS (SELECT vec_id, list_transform(range(0,64),
+         |   j -> ((h * al[j+1] + bl[j+1]) & ${PortableHash.Mask40}) % 2001 - 1000) AS q
+         |   FROM m, consts),
+         | n AS (SELECT vec_id, q,
+         |   CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM e),
+         | qv AS (SELECT q AS qvec, nrm AS qn FROM n WHERE vec_id = 0),
+         | scored AS (SELECT vec_id,
+         |   CAST(list_sum(list_transform(range(1,65), i -> q[i]*qvec[i])) AS BIGINT) AS dot,
+         |   nrm, qn FROM n, qv WHERE vec_id <> 0)
+         |SELECT vec_id, dot FROM scored
+         |ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(nrm AS DOUBLE)*CAST(qn AS DOUBLE)) DESC, vec_id
+         |LIMIT 10""".stripMargin.replaceAll("\n", " ")
     },
     "q38_frame_sample" -> {
       val media = s"read_parquet('${Multimodal.MediaFixturePath}/*.parquet')"

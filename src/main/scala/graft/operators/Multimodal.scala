@@ -177,6 +177,29 @@ object Multimodal {
     media.select(col("media_id").as("vec_id"), embed(col("data")).as("embedding"))
   }
 
+  /** Oracle-portable feature extraction: component j is
+    * `(affine_j(md5_32(lower(hex(blob)))) % 2001 − 1000) / 1000` as
+    * float — one md5 per blob (staged, so the 64-component array build
+    * references the hash attribute, not the md5 subtree) driving the
+    * Carter–Wegman affine family ([[graft.functions.PortableHash]]).
+    * Every component is an exact integer/1000, so
+    * `VectorFunctions.quantize` recovers the integers losslessly and any
+    * SQL engine recomputes them from the same blob hex — unlike
+    * [[FakeCodec.embed]]'s wrapping xorshift, which engines that raise
+    * on signed-64 overflow cannot evaluate. Pure codegen'd Column chain,
+    * no UDF; same map-only scan shape as [[embedMedia]].
+    */
+  def embedMediaPortable(media: DataFrame, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    import graft.functions.PortableHash
+    val comps = PortableHash.affineConstants(seed, dim).map { ab =>
+      ((PortableHash.affine(col("h"), ab) % 2001L - 1000L).cast("double") / 1000.0)
+        .cast("float")
+    }
+    media
+      .withColumn("h", PortableHash.md5Hex32(lower(hex(col("data")))))
+      .select(col("media_id").as("vec_id"), array(comps: _*).as("embedding"))
+  }
+
   /** Committed parquet media fixture (written once by
     * graft.tools.GenMediaFixture, deterministic): 300 images with
     * structured headers (BE width/height at bytes 0-7, channels-1 at

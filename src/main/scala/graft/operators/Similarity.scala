@@ -34,6 +34,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Oracle-exact brute-force top-k: same broadcast + map-only scan +
+    * TakeOrdered plan as [[bruteForceTopK]], but over fixed-point
+    * quantized vectors so the ranking cosine is an IEEE-identical double
+    * on every engine (CAST(dot)/sqrt(CAST(nrm)·CAST(qn)) of identical
+    * longs — the q51 pattern). Emits the exact integer `dot` so the
+    * result is hash-checkable, not just id-checkable.
+    */
+  def bruteForceTopKPortable(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val b = embeddings
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
+    val qrow = b.filter(col("vec_id") === queryId)
+      .select(col("q").as("qvec"), col("nrm").as("qn"))
+    b.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qrow))
+      .withColumn("dot", VectorFunctions.qdot(col("q"), col("qvec")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("nrm").cast("double") * col("qn").cast("double")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select("vec_id", "dot")
+      .limit(k)
+  }
+
   /** Batch exact top-k: for every query vector (small table, broadcast),
     * the k nearest corpus vectors. Window rank per query.
     */

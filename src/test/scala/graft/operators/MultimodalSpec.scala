@@ -54,6 +54,34 @@ class MultimodalSpec extends SparkSpec {
     assert(some.select("frame_idx").as[Int].collect().forall(_ % 3 == 0))
   }
 
+  test("embedMediaPortable computes the documented md5/affine function exactly") {
+    import graft.functions.PortableHash
+    val emb = Multimodal.embedMediaPortable(images, dim = 64, seed = 7L)
+    assert(emb.columns.toSeq == Seq("vec_id", "embedding"))
+    // quantize is lossless on the integer/1000 components
+    val got = emb
+      .select($"vec_id", graft.functions.VectorFunctions.quantize($"embedding").as("q"))
+      .as[(Long, collection.Seq[Long])].collect().toMap
+    // recompute driver-side from the same bytes: md5 of the lowercase hex,
+    // first 8 hex chars as the base hash, affine family mod 2001 − 1000
+    val ab = PortableHash.affineConstants(7L, 64)
+    val rows = images.select($"media_id", $"data").as[(Long, Array[Byte])].collect()
+    for ((id, data) <- rows) {
+      val hexStr = data.map("%02x".format(_)).mkString
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(hexStr.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      val want = ab.map { case (a, b) => ((h * a + b) & PortableHash.Mask40) % 2001L - 1000L }
+      assert(got(id) == want, s"media $id")
+    }
+    // identical blobs embed identically; the portable top-k finds the clone
+    val dup = images.limit(1).withColumn("media_id", lit(999L))
+    val withDup = Multimodal.embedMediaPortable(images.unionByName(dup))
+    val top = Similarity.bruteForceTopKPortable(withDup, queryId = 999L, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(top == 0L)
+  }
+
   test("embedMedia feeds the similarity operators end-to-end") {
     val emb = Multimodal.embedMedia(images, dim = 64)
     assert(emb.columns.toSeq == Seq("vec_id", "embedding"))
