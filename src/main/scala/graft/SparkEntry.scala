@@ -430,6 +430,22 @@ object SparkEntry {
       .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
       .orderBy("media_id")
 
+  /** Audio metadata decode over the fixture's audio clips — the q36
+    * pattern for the audio path: the stub codec is a pure byte function,
+    * so the oracle recomputes sample rate (header int mod table),
+    * integer-floor duration, and the RMS (exact integer sum of squared
+    * centered bytes → one sqrt of identical doubles) via hex slicing.
+    */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(Multimodal.mediaFixture(s))
+      .toDF()
+      .select(
+        col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("duration_ms"),
+        floor(col("rms") * lit(1000000.0)).cast("long").as("rms_e6"))
+      .orderBy("media_id")
+
   /** Set operations: customers in BUILDING ∩ with-urgent-orders, and
     * nations EXCEPT those with suppliers.
     */
@@ -741,7 +757,8 @@ object SparkEntry {
     "q54_winnow_tokens"     -> (q54 _),
     "q55_winnow_pairs"      -> (q55 _),
     "q56_heavy_hitters"     -> (q56 _),
-    "q57_hll_distinct"      -> (q57 _)
+    "q57_hll_distinct"      -> (q57 _),
+    "q58_audio_meta"        -> (q58 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1177,6 +1194,22 @@ object SparkEntry {
          | CAST((CAST(CEIL((octet_length(data)-16)/64.0) AS BIGINT) + 1)//2 AS BIGINT) AS n_frames
          |FROM $media WHERE kind = 'video' ORDER BY media_id"""
         .stripMargin.replaceAll("\n", " ")
+    },
+    "q58_audio_meta" -> {
+      val media = s"read_parquet('${Multimodal.MediaFixturePath}/*.parquet')"
+      val byteAt = "('0x'||substr(hx,2*i+1,2))::UBIGINT::BIGINT"
+      s"""WITH m AS (SELECT media_id, hex(data) AS hx, octet_length(data) AS len
+         |   FROM $media WHERE kind = 'audio'),
+         | hdr AS (SELECT media_id, hx, len,
+         |   ([8000,16000,22050,44100])[((('0x'||substr(hx,1,8))::UBIGINT::BIGINT % 4) + 1)] AS sr,
+         |   GREATEST(1, len-16) AS np FROM m),
+         | acc AS (SELECT media_id, sr, len, np,
+         |   CAST(list_sum(list_transform(range(16, len),
+         |     i -> ($byteAt - 128) * ($byteAt - 128))) AS BIGINT) AS ss FROM hdr)
+         |SELECT media_id, CAST(sr AS BIGINT) AS sample_rate,
+         | CAST(GREATEST(1, (len-16)*1000 // sr) AS BIGINT) AS duration_ms,
+         | CAST(FLOOR(sqrt(CAST(ss AS DOUBLE)/CAST(np AS DOUBLE))*1000000.0) AS BIGINT) AS rms_e6
+         |FROM acc ORDER BY media_id""".stripMargin.replaceAll("\n", " ")
     },
     "q39_intersect_custs" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

@@ -204,7 +204,8 @@ object Multimodal {
     * graft.tools.GenMediaFixture, deterministic): 300 images with
     * structured headers (BE width/height at bytes 0-7, channels-1 at
     * byte 11 — small positive values, so header parsing is sign-free on
-    * every engine) + 50 "videos". Queries read this instead of
+    * every engine) + 50 "videos" + 100 "audio" clips. Queries read this
+    * instead of
     * synthesizing rows so the DuckDB oracle can read the SAME bytes and
     * verify decode/frame-sample results hash-exactly.
     */

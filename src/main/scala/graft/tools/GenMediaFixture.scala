@@ -17,7 +17,8 @@ import graft.operators.Multimodal.MediaRow
 object GenMediaFixture {
 
   def blob(id: Long, kind: String): Array[Byte] = {
-    var s = id * 2654435761L + (if (kind == "video") 99991L else 7L)
+    var s = id * 2654435761L +
+      (kind match { case "video" => 99991L; case "audio" => 31337L; case _ => 7L })
     def nx(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
     def pos(m: Int): Int = ((nx() >>> 1) % m).toInt
     val payload = if (kind == "video") 64 + pos(960) else 48 + pos(480)
@@ -35,7 +36,8 @@ object GenMediaFixture {
 
   def rows: Seq[MediaRow] =
     (0L until 300L).map(i => MediaRow(i, "image", blob(i, "image"))) ++
-      (1000L until 1050L).map(i => MediaRow(i, "video", blob(i, "video")))
+      (1000L until 1050L).map(i => MediaRow(i, "video", blob(i, "video"))) ++
+      (2000L until 2100L).map(i => MediaRow(i, "audio", blob(i, "audio")))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse(graft.operators.Multimodal.MediaFixturePath)
