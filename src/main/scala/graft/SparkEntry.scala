@@ -650,13 +650,14 @@ object SparkEntry {
     */
   private def q54(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").filter(length(col("text")) >= 8)
-      // stage the arrays: each step computed once per row (see charCodes doc)
-      .withColumn("codes", TextFunctions.charCodes(col("text")))
-      .withColumn("hashes", TextFunctions.hashesFromCodes(col("codes")))
+      // fused native kernel (one codegen'd pass per row — see
+      // plans/WinnowFpExpr; spec-asserted equal to the staged
+      // charCodes→hashesFromCodes→winnowFromHashes composition)
+      .withColumn("wf", graft.plans.WinnowFpExpr(col("text")))
       .select(col("doc_id"),
         TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
-        size(TextFunctions.winnowFromHashes(col("hashes"))).cast("long").as("n_fp"),
-        array_min(col("hashes")).as("min_fp"))
+        size(col("wf.fps")).cast("long").as("n_fp"),
+        col("wf.min_hash").as("min_fp"))
       .orderBy("doc_id")
 
   /** Passage-level near-dup pairs via winnowing fingerprints (q54's

@@ -377,11 +377,9 @@ object Dedup {
       minShared: Int = 3,
       maxDf: Int = 20): DataFrame = {
     val fps = docs.filter(length(col("text")) >= k)
-      // staged arrays: see TextFunctions.charCodes — one pass per step
-      .withColumn("codes", TextFunctions.charCodes(col("text")))
-      .withColumn("hashes", TextFunctions.hashesFromCodes(col("codes"), k))
+      // fused native kernel (plans/WinnowFpExpr) — one pass per row
       .select(col("doc_id"),
-        explode(TextFunctions.winnowFromHashes(col("hashes"), window)).as("fp"))
+        explode(graft.plans.WinnowFpExpr.fps(col("text"), k, window)).as("fp"))
     // df via a window (not a count+join): pruning then costs ONE
     // evaluation of the expensive winnow subtree, and because both
     // self-join sides are the identical pruned subtree, the fp exchange
