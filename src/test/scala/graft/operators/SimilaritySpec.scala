@@ -139,6 +139,25 @@ class SimilaritySpec extends SparkSpec {
       s"probe must prune partitions:\n$scan")
     val expected = assigned.filter($"cent_id".isin(2, 5)).count()
     assert(probe.count() == expected && expected > 0)
+
+    // file-count proof, not just plan text: the probe's scan selects
+    // exactly the nProbe=2 cells' files, strictly fewer than the index's
+    // total — at 100 TB this is the difference between reading 2/nCells
+    // of the corpus and reading all of it
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute THIS QueryExecution so its scan metrics populate
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val probed = scannedFiles(probe)
+    val total  = scannedFiles(spark.read.parquet(dir))
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(d => d.getName == "cent_id=2" || d.getName == "cent_id=5")
+      .map(_.listFiles().count(f => f.getName.endsWith(".parquet"))).sum
+    assert(probed == onDisk, s"probe scanned $probed files, cells hold $onDisk")
+    assert(probed < total, s"pruning must skip files: $probed vs $total total")
   }
 
   test("cosThresholdFraction reduces and round-trips") {
