@@ -116,6 +116,46 @@ object Multimodal {
     }
   }
 
+  /** Real JDK codec bindings (javax.imageio — PNG/JPEG/GIF/BMP readers
+    * ship in every JDK, no external native libs). This is the documented
+    * swap-in contract for [[FakeCodec]]: same inputs (blob bytes), same
+    * outputs (dims/channels/channel means), so exchanging one for the
+    * other changes no plan shape, schema, or partitioning.
+    */
+  object RealCodecs {
+
+    /** Decode via the first registered ImageIO reader that recognizes
+      * the bytes; None when none does (then callers fall back to the
+      * stub — see [[decodeImagesAuto]]).
+      */
+    def decodeImage(data: Array[Byte]): Option[(ImageMeta, (Double, Double, Double))] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w  = img.getWidth
+        val h  = img.getHeight
+        val ch = img.getColorModel.getNumComponents
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            r += (rgb >> 16) & 0xff
+            g += (rgb >> 8) & 0xff
+            b += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1L, w.toLong * h)
+        Some((ImageMeta(w, h, ch), (r.toDouble / n, g.toDouble / n, b.toDouble / n)))
+      }
+    }
+  }
+
   // -------------------------------------------------------------------------
   // DataFrame operators (real plumbing)
   // -------------------------------------------------------------------------
@@ -131,6 +171,30 @@ object Multimodal {
           val m             = FakeCodec.imageMeta(r.data)
           val (mr, mg, mb)  = FakeCodec.channelMeans(r.data)
           DecodedImage(r.media_id, m.width, m.height, m.channels, mr, mg, mb)
+        }
+      }
+  }
+
+  /** Decode with the real JDK codecs where the blob is a recognized
+    * format (PNG/JPEG/GIF/BMP), falling back to [[FakeCodec]] per row
+    * otherwise — the production entry point once real media flows
+    * through; the fixture's synthetic blobs exercise the fallback, real
+    * files the ImageIO path (MultimodalSpec decodes a generated PNG).
+    * Same mapPartitions batch shape and schema as [[decodeImages]].
+    */
+  def decodeImagesAuto(media: DataFrame): Dataset[DecodedImage] = {
+    implicit val enc = Encoders.product[DecodedImage]
+    media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.filter(_.kind == "image").map { r =>
+          RealCodecs.decodeImage(r.data) match {
+            case Some((m, (mr, mg, mb))) =>
+              DecodedImage(r.media_id, m.width, m.height, m.channels, mr, mg, mb)
+            case None =>
+              val m            = FakeCodec.imageMeta(r.data)
+              val (mr, mg, mb) = FakeCodec.channelMeans(r.data)
+              DecodedImage(r.media_id, m.width, m.height, m.channels, mr, mg, mb)
+          }
         }
       }
   }

@@ -54,6 +54,34 @@ class MultimodalSpec extends SparkSpec {
     assert(some.select("frame_idx").as[Int].collect().forall(_ % 3 == 0))
   }
 
+  test("decodeImagesAuto: real PNG through ImageIO, synthetic bytes fall back") {
+    // build a deterministic 2x2 PNG with known pixel values via the JDK
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", Array.fill[Byte](64)(33))  // not a real format
+    ).toDF()
+    val out = Multimodal.decodeImagesAuto(media).collect().map(d => d.media_id -> d).toMap
+
+    val real = out(1L) // ImageIO path: true dims + exact channel means
+    assert(real.width == 2 && real.height == 2 && real.channels == 3)
+    assert(real.mean_r == (255.0 + 0 + 0 + 255) / 4)
+    assert(real.mean_g == (0.0 + 255 + 0 + 255) / 4)
+    assert(real.mean_b == (0.0 + 0 + 255 + 255) / 4)
+
+    val fake = out(2L) // fallback: identical to the stub decode
+    val m            = Multimodal.FakeCodec.imageMeta(Array.fill[Byte](64)(33))
+    val (mr, mg, mb) = Multimodal.FakeCodec.channelMeans(Array.fill[Byte](64)(33))
+    assert(fake.width == m.width && fake.height == m.height && fake.channels == m.channels)
+    assert(fake.mean_r == mr && fake.mean_g == mg && fake.mean_b == mb)
+  }
+
   test("embedMediaPortable computes the documented md5/affine function exactly") {
     import graft.functions.PortableHash
     val emb = Multimodal.embedMediaPortable(images, dim = 64, seed = 7L)
