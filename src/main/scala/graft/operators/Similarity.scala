@@ -203,6 +203,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build the IVF index as a persistent layout (the production write
+    * path the in-query [[ivfTopKPortable]] demonstrates): one corpus-wide
+    * pass assigns every quantized vector to its argmax-cosine centroid
+    * and writes the cells `partitionBy("cent_id")`; the tiny centroid
+    * table lands beside them. After this, every probe is a
+    * partition-pruned scan of nProbe/nCentroids of the data — the
+    * SimilaritySpec file-count proof shows the executed scan touches
+    * only the probed cells' files.
+    */
+  def buildIvfIndex(embeddings: DataFrame, path: String, nCentroids: Int = 32): Unit = {
+    val b = embeddings
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
+    val cents = b.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("q").as("cvec"), col("nrm").as("cnrm"))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = b.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        VectorFunctions.qdot(col("q"), col("cvec")).cast("double") /
+          sqrt(col("nrm").cast("double") * col("cnrm").cast("double")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("ccos"), col("cent_id"))).getField("cent_id").as("cent_id"),
+        first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+    assigned.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/cells")
+  }
+
+  /** Probe a [[buildIvfIndex]] layout with a raw query vector: centroid
+    * ranking happens driver-side over the ≤nCentroids-row table (a
+    * sanctioned tiny collect), then the cells scan is partition-pruned
+    * to the chosen nProbe ids. Ranking matches [[ivfTopKPortable]]
+    * exactly (quantized integer dots, IEEE-identical cosine ordering).
+    */
+  def ivfProbe(
+      spark: SparkSession,
+      path: String,
+      queryVec: Seq[Float],
+      k: Int,
+      nProbe: Int = 4,
+      exclude: Option[Long] = None): DataFrame = {
+    val qq = queryVec.map(f => math.round(f.toDouble * 1000))
+    val qn = qq.map(x => x * x).sum
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cent_id", "cvec", "cnrm").collect()
+    val probeIds = cents.map { r =>
+      val cv  = r.getAs[collection.Seq[Long]]("cvec")
+      val dot = cv.iterator.zip(qq.iterator).map { case (a, b) => a * b }.sum
+      val cos = dot.toDouble / math.sqrt(r.getAs[Long]("cnrm").toDouble * qn.toDouble)
+      (cos, r.getAs[Long]("cent_id"))
+    }.sortBy { case (cos, id) => (-cos, -id) }.take(nProbe).map(_._2)
+    val qCol = array(qq.map(lit): _*)
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cent_id").isin(probeIds: _*))
+    exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
+      .withColumn("dot", VectorFunctions.qdot(col("q"), qCol))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("nrm").cast("double") * lit(qn.toDouble)))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select("vec_id", "dot")
+      .limit(k)
+  }
+
   /** Oracle-checkable cosine near-dup pairs: LSH bucket collisions over
     * quantized vectors; the threshold `cos ≥ m/1000` is decided by the
     * exact integer cross-multiplication  dot>0 ∧ den·dot² ≥ num·na·nb

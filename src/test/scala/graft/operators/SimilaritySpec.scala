@@ -160,6 +160,22 @@ class SimilaritySpec extends SparkSpec {
     assert(probed < total, s"pruning must skip files: $probed vs $total total")
   }
 
+  test("buildIvfIndex + ivfProbe equal the in-query IVF operator") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_ivf_api")}/ivf"
+    Similarity.buildIvfIndex(emb, dir, nCentroids = 32)
+
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding").as[Array[Float]].head()
+    val got = Similarity.ivfProbe(spark, dir, qv.toSeq, k = 10, nProbe = 4,
+        exclude = Some(0L))
+      .as[(Long, Long)].collect().toSeq
+    val want = Similarity.ivfTopKPortable(emb, queryId = 0L, k = 10,
+        nCentroids = 32, nProbe = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want, s"index probe must match the in-query IVF: $got vs $want")
+  }
+
   test("cosThresholdFraction reduces and round-trips") {
     assert(Similarity.cosThresholdFraction(400) == (4L, 25L))
     assert(Similarity.cosThresholdFraction(500) == (1L, 4L))
