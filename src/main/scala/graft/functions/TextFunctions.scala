@@ -168,13 +168,26 @@ object TextFunctions {
   def winnowFingerprints(text: Column, k: Int = 8, window: Int = 4): Column =
     winnowFromHashes(rollingHashes(text, k), window)
 
-  /** Word n-gram shingles (space-joined), distinct. For MinHash input. */
+  /** True when the text yields at least one n-token shingle. Cheap (one
+    * regex split) — use as a PRE-filter before a fused signature
+    * projection instead of post-filtering `sig IS NOT NULL`, which
+    * Catalyst pushes below the Project by alias substitution and thereby
+    * evaluates the expensive signature expression twice per row.
+    */
+  def hasShingles(text: Column, n: Int): Column =
+    size(wsTokens(lower(text))) >= n
+
+  /** Word n-gram shingles (space-joined), distinct. For MinHash input.
+    * Empty array when the text has fewer than n tokens (the guard matters:
+    * `sequence(0, -1)` is DESCENDING in Spark, and the -1 index would make
+    * `slice` throw).
+    */
   def shingles(text: Column, n: Int): Column = {
-    val toks = wsTokens(lower(text))
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(0), count - 1), i =>
-        concat_ws(" ", slice(toks, i + 1, lit(n))))
-    )
+    val toks  = wsTokens(lower(text))
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), count), i =>
+          concat_ws(" ", slice(toks, i, lit(n))))))
   }
 }

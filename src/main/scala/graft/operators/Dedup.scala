@@ -182,12 +182,28 @@ object Dedup {
   // banding with ReusedExchange, bucket-size skew cap).
   // -------------------------------------------------------------------------
 
-  /** MinHash signatures from ONE md5 per shingle + a Carter–Wegman affine
-    * family (PortableHash.affine): the expensive hash runs once in the
-    * projection, the K family members are two integer ops each inside the
-    * partial aggregation.
+  /** MinHash signatures via the fused native kernel
+    * ([[graft.plans.MinHashSigExpr]]): one md5 per shingle and all K
+    * running minima inside the projection — no explode, no partial-agg
+    * shuffle, the signature is born finished in the scan stage.
+    * Spec-asserted equal to [[minhashSignaturesPortableComposed]].
     */
   def minhashSignaturesPortable(
+      docs: DataFrame,
+      shingleN: Int,
+      numHashes: Int,
+      seed: Long = 7L): DataFrame =
+    docs.filter(TextFunctions.hasShingles(col("text"), shingleN))
+      .select(col("doc_id"),
+        graft.plans.MinHashSigExpr(
+          TextFunctions.shingles(col("text"), shingleN), seed, numHashes).as("sig"))
+
+  /** Composed reference form (explode-once + K partial-min aggregates —
+    * one md5 per shingle, two integer ops per family member inside the
+    * partial aggregation): kept as the equality baseline for the fused
+    * kernel and as the shape the DuckDB oracle mirrors directly.
+    */
+  def minhashSignaturesPortableComposed(
       docs: DataFrame,
       shingleN: Int,
       numHashes: Int,

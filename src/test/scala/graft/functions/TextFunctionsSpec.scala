@@ -68,6 +68,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[collection.Seq[Long]](TextFunctions.rollingHashes($"text"), "short").isEmpty)
   }
 
+  test("shingles: n-grams distinct+lowercased; short/blank docs give empty, not error") {
+    val sh = one[collection.Seq[String]](TextFunctions.shingles($"text", 3), "A b c D")
+    assert(sh == Seq("a b c", "b c d"))
+    // fewer tokens than n used to drive sequence(0,-1) → slice(toks, 0, n) → error
+    assert(one[collection.Seq[String]](TextFunctions.shingles($"text", 3), "only two").isEmpty)
+    assert(one[collection.Seq[String]](TextFunctions.shingles($"text", 3), "").isEmpty)
+    assert(one[Boolean](TextFunctions.hasShingles($"text", 3), "a b c"))
+    assert(!one[Boolean](TextFunctions.hasShingles($"text", 3), "a b"))
+  }
+
   test("qualityScore rewards stopword-bearing prose, caps at [0,100]") {
     val prose = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val junk  = "!!! ??? ### !!!"

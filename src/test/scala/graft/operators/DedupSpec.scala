@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(sigs == again)
   }
 
+  test("fused minhash kernel equals the composed explode+agg form") {
+    // hand-built docs (incl. short/blank texts that yield no shingle —
+    // both forms must drop them) plus the real corpus
+    val edgy = docs.union(Seq((6L, "only two"), (7L, "")).toDF("doc_id", "text"))
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select($"doc_id", $"text")
+    for (d <- Seq(edgy, corpus)) {
+      val fused = Dedup.minhashSignaturesPortable(d, shingleN = 3, numHashes = 64)
+        .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+      val composed = Dedup.minhashSignaturesPortableComposed(d, shingleN = 3, numHashes = 64)
+        .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+      assert(fused == composed)
+    }
+  }
+
   test("portable simhash: hamming 0 for identical, small for near-dup, fits 60 bits") {
     val sigs = Dedup.simhashSignatures60(docs)
       .select("doc_id", "sig").as[(Long, Long)].collect().toMap
