@@ -177,17 +177,37 @@ object TextFunctions {
   def hasShingles(text: Column, n: Int): Column =
     size(wsTokens(lower(text))) >= n
 
-  /** Word n-gram shingles (space-joined), distinct. For MinHash input.
-    * Empty array when the text has fewer than n tokens (the guard matters:
-    * `sequence(0, -1)` is DESCENDING in Spark, and the -1 index would make
-    * `slice` throw).
+  /** Word n-grams (space-joined, lowercased), in document order and NOT
+    * deduplicated — the raw sequence a repetition signal needs. Empty
+    * array when the text has fewer than n tokens (the guard matters:
+    * `sequence(0, -1)` is DESCENDING in Spark, and the -1 index would
+    * make `slice` throw).
+    *
+    * This is an array-building expression: stage it with `withColumn`
+    * before consuming it more than once, or each reference re-builds the
+    * whole array.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def ngrams(text: Column, n: Int): Column = {
     val toks  = wsTokens(lower(text))
     val count = size(toks) - (n - 1)
     when(count <= 0, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), count), i =>
-          concat_ws(" ", slice(toks, i, lit(n))))))
+      transform(sequence(lit(1), count), i =>
+        concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Word n-gram shingles (space-joined), distinct. For MinHash input. */
+  def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))
+
+  /** Mask common PII shapes — emails, URLs, and long digit runs (phone /
+    * account numbers) — with typed placeholders. The patterns are plain
+    * RE2-compatible character classes (no lookaround, no `\p{...}`), so
+    * the same regexes run in engines like DuckDB for oracle checking.
+    * Order matters: URLs are masked before bare digit runs so a port or
+    * path number doesn't get double-masked.
+    */
+  def maskPii(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val url   = regexp_replace(email, "https?://[^\\s]+", "[URL]")
+    regexp_replace(url, "[0-9][0-9 ()+.-]{6,}[0-9]", "[NUM]")
   }
 }

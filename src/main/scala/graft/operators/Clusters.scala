@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair/edge set — the clustering step between
+  * "near-dup pairs" (MinHash/SimHash/winnowing output) and "keep one
+  * document per duplicate cluster".
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with its own id; each round every node takes the minimum of its own
+  * label and its neighbors' labels; fixpoint = each component labeled by
+  * its smallest member id. This is the classic BSP formulation (Pregel /
+  * GraphX `connectedComponents` use the same propagation); rounds are
+  * bounded by the component diameter, and near-dup graphs are
+  * low-diameter (clusters are clique-ish), so 2-4 rounds is typical.
+  *
+  * Scale design (100 TB):
+  *  - each round is ONE shuffle: an equi-join of the (symmetrized) edge
+  *    set with the current labels on the neighbor id, then a map-side
+  *    combinable `min` aggregation on the node id;
+  *  - the edge set is persisted once and reused every round;
+  *  - lineage is truncated each round (`localCheckpoint`) so the plan
+  *    doesn't grow exponentially with iterations — on a real cluster
+  *    you'd point this at a reliable checkpoint dir instead;
+  *  - convergence is detected with a `count` of changed labels — one
+  *    cheap action per round on data that is already cached;
+  *  - the label table is O(|nodes in any edge|), not O(|corpus|):
+  *    singleton documents never enter the graph and need no label.
+  */
+object Clusters {
+
+  /** Labels every node that appears in `edges` with the smallest node id
+    * reachable from it. Output columns: `id`, `cluster`.
+    *
+    * @param edges   DataFrame with two node-id columns (any orientation,
+    *                duplicates fine)
+    * @param src     name of the first endpoint column
+    * @param dst     name of the second endpoint column
+    * @param maxIter safety bound on propagation rounds (components wider
+    *                than this many hops keep a non-minimal label)
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      src: String = "a",
+      dst: String = "b",
+      maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col(src).as("a"), col(dst).as("b"))
+    // symmetrize once so propagation flows both directions
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter    = 0
+    while (changed > 0 && iter < maxIter) {
+      // min label among each node's neighbors (map-side combinable)
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("cluster").as("old"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist()
+      changed = stepped.filter(col("cluster") < col("old")).count()
+      val next = stepped.select("id", "cluster").localCheckpoint(true)
+      stepped.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-dup removal keep-list: for every node in the pair graph that is
+    * NOT its cluster's minimum, emit one row (`doc_id`) — the documents a
+    * dedup pass drops. Anti-join the corpus against this to keep exactly
+    * one representative per duplicate cluster (plus all singletons, which
+    * never enter the graph).
+    */
+  def duplicatesToDrop(pairs: DataFrame, src: String = "doc_a", dst: String = "doc_b"): DataFrame =
+    connectedComponents(pairs, src, dst)
+      .filter(col("cluster") < col("id"))
+      .select(col("id").as("doc_id"))
+}

@@ -377,6 +377,41 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Benchmark decontamination report: for every training document, how
+    * many of its distinct word n-grams also appear in the benchmark/eval
+    * set. Training corpora must be scrubbed of eval n-grams before
+    * training, or downstream scores are contaminated; the standard test
+    * is exactly this n-gram overlap.
+    *
+    * Scale design (100 TB): the benchmark side is small by nature (eval
+    * suites are thousands of documents, not billions), so its distinct
+    * shingle set is BROADCAST — the training corpus is scanned once,
+    * map-side semi-joined (zero shuffle of the corpus), and the per-doc
+    * overlap count partial-aggregates before the one small shuffle on
+    * doc_id. The cheap [[TextFunctions.hasShingles]] pre-filter keeps the
+    * expensive shingle array from being built twice (see
+    * [[minhashSignaturesPortable]]).
+    *
+    * Output: doc_id, n_shingles, n_overlap, overlap_pct — only documents
+    * with at least one overlapping n-gram (clean docs produce no row).
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    val benchSh = bench
+      .filter(TextFunctions.hasShingles(col("text"), n))
+      .select(explode(TextFunctions.shingles(col("text"), n)).as("shingle"))
+      .distinct()
+    train
+      .filter(TextFunctions.hasShingles(col("text"), n))
+      .withColumn("sh", TextFunctions.shingles(col("text"), n))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"), "leftsemi")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("overlap_pct", expr("(100 * n_overlap) div n_shingles"))
+      .select("doc_id", "n_shingles", "n_overlap", "overlap_pct")
+  }
+
   /** Winnowing near-dup pairs: documents sharing ≥ `minShared` winnow
     * fingerprints (char-k-gram rolling-hash window minima — catches
     * copied PASSAGES that word-level Jaccard dilutes away). Inverted
