@@ -198,16 +198,23 @@ object TextFunctions {
   /** Word n-gram shingles (space-joined), distinct. For MinHash input. */
   def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))
 
+  /** PII patterns, RE2/DuckDB-portable by construction (plain character
+    * classes — no lookaround, no `\p{...}`), so the exact same regex
+    * strings run in DuckDB for oracle checking (q61 interpolates them).
+    */
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiUrlPattern   = "https?://[^\\s]+"
+  val PiiNumPattern   = "[0-9][0-9 ()+.-]{6,}[0-9]"
+
   /** Mask common PII shapes — emails, URLs, and long digit runs (phone /
-    * account numbers) — with typed placeholders. The patterns are plain
-    * RE2-compatible character classes (no lookaround, no `\p{...}`), so
-    * the same regexes run in engines like DuckDB for oracle checking.
-    * Order matters: URLs are masked before bare digit runs so a port or
-    * path number doesn't get double-masked.
+    * account numbers) — with typed placeholders. Order matters: emails
+    * first (so an address's digits are gone before the number pass),
+    * then URLs, then bare digit runs — a port or path number is masked
+    * as part of its URL, never double-masked.
     */
   def maskPii(text: Column): Column = {
-    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
-    val url   = regexp_replace(email, "https?://[^\\s]+", "[URL]")
-    regexp_replace(url, "[0-9][0-9 ()+.-]{6,}[0-9]", "[NUM]")
+    val email = regexp_replace(text, PiiEmailPattern, "[EMAIL]")
+    val url   = regexp_replace(email, PiiUrlPattern, "[URL]")
+    regexp_replace(url, PiiNumPattern, "[NUM]")
   }
 }

@@ -446,4 +446,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** End-to-end near-duplicate removal: the API a user actually calls.
+    * Takes the corpus plus a near-dup pair set (from any of the pair
+    * generators above — [[minhashNearDupPairsPortable]],
+    * [[simhashNearDupPairsPortable]], [[winnowNearDupPairs]],
+    * [[jaccardNearDupPairs]]), clusters the pairs with
+    * [[Clusters.connectedComponents]], and anti-joins the corpus against
+    * the non-minimum members of each cluster. Exactly one document (the
+    * smallest id) survives per duplicate cluster; singletons never enter
+    * the pair graph and are untouched.
+    *
+    * Scale design (100 TB): the drop list is O(|duplicates|), not
+    * O(|corpus|) — the anti-join shuffles only ids on the corpus side
+    * (AQE broadcasts the drop list when it is small, the common case).
+    */
+  def nearDedup(
+      corpus: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      src: String = "doc_a",
+      dst: String = "doc_b"): DataFrame = {
+    val drop = Clusters.duplicatesToDrop(pairs, src, dst)
+      .withColumnRenamed("doc_id", idCol)
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels planted components with their min id") {
+    // component {1,2,3,4} as a 3-hop chain (forces multi-round propagation),
+    // component {10,11}, plus a reversed and a duplicate edge
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (3L, 4L))
+      .toDF("a", "b")
+    val labels = Clusters.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents converges past 2 hops and respects maxIter") {
+    // a 6-node path: label 1 needs 5 propagation rounds to reach node 6
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val full = Clusters.connectedComponents(path).as[(Long, Long)].collect().toMap
+    assert(full.values.toSet == Set(1L), s"path graph must collapse to one label: $full")
+    // with maxIter=1 the far end cannot have received label 1 yet
+    val truncated = Clusters.connectedComponents(path, maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(truncated(2L) == 1L)
+    assert(truncated(6L) != 1L, "one round cannot propagate 5 hops")
+  }
+
+  test("connectedComponents on an empty edge set returns no labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Clusters.connectedComponents(empty).count() == 0L)
+  }
+
+  test("duplicatesToDrop keeps exactly the cluster minima") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val drops = Clusters.duplicatesToDrop(pairs).as[Long].collect().toSet
+    assert(drops == Set(2L, 3L, 11L))
+  }
+
+  test("nearDedup keeps one survivor per cluster and all singletons") {
+    val corpus = Seq(
+      (1L, "a"), (2L, "a'"), (3L, "a''"), // one near-dup cluster
+      (10L, "b"), (11L, "b'"),            // another
+      (50L, "unique")                     // singleton — never in the pair graph
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.nearDedup(corpus, pairs).select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 10L, 50L)))
+    // idempotent: running again with the same (now survivor-only) pair
+    // subset drops nothing further
+    val again = Dedup.nearDedup(corpus, pairs.filter(lit(false)))
+    assert(again.count() == corpus.count())
+  }
+}
