@@ -48,12 +48,16 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // an errored query reports null, not its fast-fail time, and is
+    // excluded from total — a broken build must never read as a speedup
+    val qs = results.map {
+        case (k, _, Some(_)) => s"${jstr(k)}:null"
+        case (k, v, None)    => s"${jstr(k)}:$v"
+      }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -701,6 +701,58 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Connected components over q23's MinHash near-dup pairs — the
+    * clustering step that turns a pair list into "one survivor per
+    * duplicate cluster" ([[graft.operators.Clusters]]). Output is every
+    * node in the pair graph labeled with its cluster's minimum doc_id;
+    * the oracle recomputes the same fixpoint with a recursive CTE
+    * (reachable-minimum over the symmetrized edge set).
+    */
+  private def q59(s: SparkSession, d: String): DataFrame =
+    graft.operators.Clusters.connectedComponents(
+        Dedup.minhashNearDupPairsPortable(
+          t(s, d, "documents").filter(col("doc_id") < 10000)),
+        src = "doc_a", dst = "doc_b")
+      .orderBy("id")
+
+  /** Benchmark decontamination report ([[Dedup.contaminationReport]]):
+    * documents sharing word 4-grams with a held-out "benchmark" split
+    * (doc_id % 10 == 0 — ~10% of the corpus, dense enough that the
+    * overlap report has real rows at sf0.01). The broadcast-bench /
+    * map-side-semi-join shape is the 100 TB design; the oracle mirrors
+    * the shingle definition n-gram for n-gram.
+    */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), n = 4)
+      .orderBy("doc_id")
+  }
+
+  /** PII masking ([[TextFunctions.maskPii]]) over text with
+    * deterministically injected PII (an email, a URL with a numeric
+    * query, and a phone number derived from doc_id — so every row
+    * exercises all three patterns AND the email→URL→number ordering).
+    * The oracle interpolates the exact same pattern constants into
+    * DuckDB `regexp_replace(..., 'g')`; outputs are the md5 + length of
+    * the masked text, so any divergence in any row fails the hash.
+    */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or https://example.org/d/"),
+          col("doc_id").cast("string"),
+          lit("?ref=42 phone +1 (555) 010-"),
+          lpad(col("doc_id").cast("string"), 4, "0")).as("text"))
+      .withColumn("masked", TextFunctions.maskPii(col("text")))
+      .select(col("doc_id"),
+        md5(col("masked")).as("masked_md5"),
+        length(col("masked")).cast("long").as("masked_len"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -759,7 +811,10 @@ object SparkEntry {
     "q55_winnow_pairs"      -> (q55 _),
     "q56_heavy_hitters"     -> (q56 _),
     "q57_hll_distinct"      -> (q57 _),
-    "q58_audio_meta"        -> (q58 _)
+    "q58_audio_meta"        -> (q58 _),
+    "q59_neardup_clusters"  -> (q59 _),
+    "q60_contamination"     -> (q60 _),
+    "q61_mask_pii"          -> (q61 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -881,6 +936,38 @@ object SparkEntry {
        |        $punctSql AS punct, ${hitsSql(TextFunctions.StopwordsEn)} AS stops
        |        FROM documents)))
        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+
+  /** CTE list (no WITH keyword) mirroring
+    * [[Dedup.minhashNearDupPairsPortable]] at its q23 call site; ends in
+    * `mhp(doc_a, doc_b, n_match)` — the thresholded near-dup pair set.
+    * Shared by the q23 oracle (pairs themselves) and the q59 oracle
+    * (recursive connected components over the pairs).
+    */
+  private lazy val minhashPairsCtesSql: String = {
+    val ab = PortableHash.affineConstants(7L, 64)
+    val minCols = ab.zipWithIndex
+      .map { case (c, i) => s"MIN(${PortableHash.affineSql("h", c)}) AS m$i" }
+      .mkString(", ")
+    val sigList = (0 until 64).map(i => s"m$i").mkString("list_value(", ",", ")")
+    val tokSplit = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+    s"""toks AS (SELECT doc_id, $tokSplit AS tk FROM documents WHERE doc_id < 10000),
+       | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
+       |   i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle FROM toks),
+       | hb AS (SELECT doc_id, ${PortableHash.md5Hex32Sql("shingle")} AS h FROM sh),
+       | sig0 AS (SELECT doc_id, $minCols FROM hb GROUP BY doc_id),
+       | sigl AS (SELECT doc_id, $sigList AS sig FROM sig0),
+       | banded0 AS (SELECT doc_id, sig, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS band_key
+       |   FROM sigl CROSS JOIN (SELECT unnest(range(0,16)) AS b)),
+       | banded AS (SELECT doc_id, sig, band, band_key FROM
+       |   (SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bn FROM banded0) WHERE bn <= 100),
+       | cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sig AS sa, r.sig AS sb
+       |   FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+       | m AS (SELECT doc_a, doc_b,
+       |   CAST(len(list_filter(list_transform(list_zip(sa, sb), x -> x[1] = x[2]), v -> v)) AS BIGINT) AS n_match
+       |   FROM cand),
+       | mhp AS (SELECT doc_a, doc_b, n_match FROM m WHERE 100*n_match >= 50*64)"""
+      .stripMargin.replaceAll("\n", " ")
+  }
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -1015,31 +1102,10 @@ object SparkEntry {
         |  FROM embeddings, q WHERE vec_id <> 0)
         |SELECT vec_id FROM scored ORDER BY cos DESC, vec_id LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
-    "q23_minhash_pairs" -> {
-      val ab = PortableHash.affineConstants(7L, 64)
-      val minCols = ab.zipWithIndex
-        .map { case (c, i) => s"MIN(${PortableHash.affineSql("h", c)}) AS m$i" }
-        .mkString(", ")
-      val sigList = (0 until 64).map(i => s"m$i").mkString("list_value(", ",", ")")
-      val tokSplit = """regexp_split_to_array(trim(lower(text)), '\s+')"""
-      s"""WITH toks AS (SELECT doc_id, $tokSplit AS tk FROM documents WHERE doc_id < 10000),
-         | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
-         |   i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle FROM toks),
-         | hb AS (SELECT doc_id, ${PortableHash.md5Hex32Sql("shingle")} AS h FROM sh),
-         | sig0 AS (SELECT doc_id, $minCols FROM hb GROUP BY doc_id),
-         | sigl AS (SELECT doc_id, $sigList AS sig FROM sig0),
-         | banded0 AS (SELECT doc_id, sig, b AS band, array_to_string(sig[b*4+1:b*4+4], ',') AS band_key
-         |   FROM sigl CROSS JOIN (SELECT unnest(range(0,16)) AS b)),
-         | banded AS (SELECT doc_id, sig, band, band_key FROM
-         |   (SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bn FROM banded0) WHERE bn <= 100),
-         | cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sig AS sa, r.sig AS sb
-         |   FROM banded l JOIN banded r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
-         | m AS (SELECT doc_a, doc_b,
-         |   CAST(len(list_filter(list_transform(list_zip(sa, sb), x -> x[1] = x[2]), v -> v)) AS BIGINT) AS n_match
-         |   FROM cand)
-         |SELECT doc_a, doc_b, n_match, CAST(64 AS BIGINT) AS sig_len FROM m
-         |WHERE 100*n_match >= 50*64 ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
-    },
+    "q23_minhash_pairs" ->
+      s"""WITH $minhashPairsCtesSql
+         |SELECT doc_a, doc_b, n_match, CAST(64 AS BIGINT) AS sig_len FROM mhp
+         |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
     "q24_simhash_pairs" -> {
       val votes = (0 until 60).map(j => s"SUM(((h>>$j)&1)*2-1) AS v$j").mkString(", ")
       val sigSum = (0 until 60)
@@ -1399,6 +1465,50 @@ object SparkEntry {
          |SELECT est.l_returnflag, est.hll_est AS hll_parts, ex.exact_parts
          |FROM est JOIN ex USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin.replaceAll("\n", " ")
+    },
+    // min-label fixpoint = minimum reachable node over the symmetrized
+    // edge set; the recursive CTE's UNION dedup guarantees termination
+    "q59_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtesSql,
+         | edges AS (SELECT doc_a AS a, doc_b AS b FROM mhp
+         |           UNION SELECT doc_b, doc_a FROM mhp),
+         | reach(id, lbl) AS (
+         |   SELECT a, a FROM edges
+         |   UNION
+         |   SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id)
+         |SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id ORDER BY id"""
+        .stripMargin.replaceAll("\n", " "),
+    "q60_contamination" -> {
+      // word 4-grams, distinct per doc — mirrors TextFunctions.shingles
+      // (split(trim(lower(text)), '\s+'), space-joined windows of 4)
+      val tokSplit = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+      val grams =
+        "list_distinct(list_transform(range(0, greatest(len(tk)-3, 0)), i -> array_to_string(tk[i+1:i+4], ' ')))"
+      s"""WITH toks AS (SELECT doc_id, $tokSplit AS tk FROM documents),
+         | sh AS (SELECT doc_id, CAST(len($grams) AS BIGINT) AS n_shingles,
+         |   unnest($grams) AS shingle FROM toks WHERE len(tk) >= 4),
+         | bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+         | train AS (SELECT * FROM sh WHERE doc_id % 10 <> 0)
+         |SELECT doc_id, n_shingles, COUNT(*) AS n_overlap,
+         | (100*COUNT(*)) // n_shingles AS overlap_pct
+         |FROM train SEMI JOIN bench USING (shingle)
+         |GROUP BY doc_id, n_shingles ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    // the masking chain interpolates the EXACT pattern constants the
+    // Spark side compiles (TextFunctions.Pii*Pattern) — same strings,
+    // both regex engines, email → URL → number order preserved
+    "q61_mask_pii" -> {
+      val pii = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example.org or https://example.org/d/' || CAST(doc_id AS VARCHAR) || " +
+        "'?ref=42 phone +1 (555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')"
+      val masked = s"regexp_replace(regexp_replace(regexp_replace($pii, " +
+        s"'${TextFunctions.PiiEmailPattern}', '[EMAIL]', 'g'), " +
+        s"'${TextFunctions.PiiUrlPattern}', '[URL]', 'g'), " +
+        s"'${TextFunctions.PiiNumPattern}', '[NUM]', 'g')"
+      s"""SELECT doc_id, md5(masked) AS masked_md5,
+         | CAST(length(masked) AS BIGINT) AS masked_len
+         |FROM (SELECT doc_id, $masked AS masked FROM documents)
+         |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -200,7 +200,8 @@ object TextFunctions {
 
   /** PII patterns, RE2/DuckDB-portable by construction (plain character
     * classes — no lookaround, no `\p{...}`), so the exact same regex
-    * strings run in DuckDB for oracle checking (q61 interpolates them).
+    * strings run in DuckDB for oracle checking: SparkEntry's
+    * `q61_mask_pii` oracle interpolates these constants verbatim.
     */
   val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiUrlPattern   = "https?://[^\\s]+"

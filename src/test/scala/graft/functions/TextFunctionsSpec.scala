@@ -78,6 +78,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!one[Boolean](TextFunctions.hasShingles($"text", 3), "a b"))
   }
 
+  test("maskPii masks emails, URLs, and digit runs with typed placeholders") {
+    def m(s: String) = one[String](TextFunctions.maskPii($"text"), s)
+    assert(m("mail a.user+tag@sub.example.org now") == "mail [EMAIL] now")
+    assert(m("see https://example.org/p?id=9 and http://x.io/q") ==
+      "see [URL] and [URL]")
+    assert(m("call +1 (555) 010-7321 today") == "call +[NUM] today")
+    // short digit runs (< 8 chars total) are NOT account-number-shaped
+    assert(m("room 1234 floor 9") == "room 1234 floor 9")
+    // untouched text passes through byte-identical
+    assert(m("no pii here at all") == "no pii here at all")
+  }
+
+  test("maskPii ordering: email digits and URL ports never leak to [NUM]") {
+    def m(s: String) = one[String](TextFunctions.maskPii($"text"), s)
+    // email first: the address's digits vanish inside [EMAIL], never [NUM]
+    assert(m("user12345678@example.com") == "[EMAIL]")
+    // URL second: a numeric path/port is consumed by [URL], not re-masked
+    assert(m("https://h.example:8080/path/1234567890 x") == "[URL] x")
+    // all three in one string, in reverse pattern order
+    assert(m("tel 0123 456 789, https://a.io/9?p=1234567890, b9@c.de") ==
+      "tel [NUM], [URL] [EMAIL]")
+  }
+
   test("qualityScore rewards stopword-bearing prose, caps at [0,100]") {
     val prose = "the quick brown fox jumps over the lazy dog and runs far away " * 3
     val junk  = "!!! ??? ### !!!"

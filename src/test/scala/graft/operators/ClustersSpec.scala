@@ -47,11 +47,13 @@ class ClustersSpec extends SparkSpec {
       (50L, "unique")                     // singleton — never in the pair graph
     ).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val kept = Dedup.nearDedup(corpus, pairs).select("doc_id").as[Long].collect().sorted
+    val deduped = Dedup.nearDedup(corpus, pairs)
+    val kept = deduped.select("doc_id").as[Long].collect().sorted
     assert(kept.sameElements(Array(1L, 10L, 50L)))
-    // idempotent: running again with the same (now survivor-only) pair
-    // subset drops nothing further
-    val again = Dedup.nearDedup(corpus, pairs.filter(lit(false)))
-    assert(again.count() == corpus.count())
+    // idempotent: re-running on the deduped corpus with the ORIGINAL
+    // pair set drops nothing further — every non-minimum member is
+    // already gone, and survivors 1 and 10 share no pair
+    val again = Dedup.nearDedup(deduped, pairs).select("doc_id").as[Long].collect().sorted
+    assert(again.sameElements(kept))
   }
 }
