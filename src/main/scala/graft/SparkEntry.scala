@@ -437,7 +437,7 @@ object SparkEntry {
     * centered bytes → one sqrt of identical doubles) via hex slicing.
     */
   private def q58(s: SparkSession, d: String): DataFrame =
-    Multimodal.decodeAudio(Multimodal.mediaFixture(s))
+    Multimodal.decodeAudioAuto(Multimodal.mediaFixture(s))
       .toDF()
       .select(
         col("media_id"),

@@ -154,6 +154,57 @@ object Multimodal {
         Some((ImageMeta(w, h, ch), (r.toDouble / n, g.toDouble / n, b.toDouble / n)))
       }
     }
+
+    /** Decode WAV/AIFF/AU audio via `javax.sound.sampled` (ships in
+      * every JDK, no native libs). Returns the container's sample rate,
+      * the frame-count duration, and the RMS of the PCM samples
+      * normalized to [-1, 1] (all channels pooled). None when the bytes
+      * are not a recognized audio container or the encoding is not
+      * plain integer PCM (8-bit unsigned / 16-bit signed) — callers
+      * then fall back to the stub (see [[decodeAudioAuto]]).
+      */
+    def decodeAudio(data: Array[Byte]): Option[AudioMeta] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(data))
+        try {
+          val fmt  = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val enc  = fmt.getEncoding
+          val pcm  = (enc == AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+            (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+          if (!pcm) None
+          else {
+            val sr    = math.round(fmt.getSampleRate)
+            val durMs = math.max(1L, in.getFrameLength * 1000L / math.max(1, sr))
+            val bytes = in.readAllBytes()
+            var acc   = 0.0
+            var n     = 0L
+            if (bits == 8) {
+              var i = 0
+              while (i < bytes.length) {
+                val v = ((bytes(i) & 0xff) - 128) / 128.0
+                acc += v * v; n += 1; i += 1
+              }
+            } else {
+              val be = fmt.isBigEndian
+              var i  = 0
+              while (i + 1 < bytes.length) {
+                val s =
+                  if (be) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+                  else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+                val v = s / 32768.0
+                acc += v * v; n += 1; i += 2
+              }
+            }
+            Some(AudioMeta(sr, durMs, if (n == 0) 0.0 else math.sqrt(acc / n)))
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException                               => None
+      }
+    }
   }
 
   // -------------------------------------------------------------------------
@@ -215,6 +266,31 @@ object Multimodal {
         rows.filter(_.kind == "audio").map { r =>
           val m = FakeCodec.audioMeta(r.data)
           DecodedAudio(r.media_id, m.sample_rate, m.duration_ms, m.rms)
+        }
+      }
+  }
+
+  /** Decode with the real JDK audio stack where the blob is a
+    * recognized container (WAV/AIFF/AU via `javax.sound.sampled`),
+    * falling back to [[FakeCodec]] per row otherwise — the audio twin
+    * of [[decodeImagesAuto]]: same mapPartitions batch shape and schema
+    * as [[decodeAudio]], so swapping it in changes no plan. The
+    * committed fixture's synthetic blobs exercise the fallback (q58 is
+    * oracle-identical through either entry); MultimodalSpec drives a
+    * real generated WAV through the JDK path.
+    */
+  def decodeAudioAuto(media: DataFrame): Dataset[DecodedAudio] = {
+    implicit val enc = Encoders.product[DecodedAudio]
+    media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.filter(_.kind == "audio").map { r =>
+          RealCodecs.decodeAudio(r.data) match {
+            case Some(m) =>
+              DecodedAudio(r.media_id, m.sample_rate, m.duration_ms, m.rms)
+            case None =>
+              val m = FakeCodec.audioMeta(r.data)
+              DecodedAudio(r.media_id, m.sample_rate, m.duration_ms, m.rms)
+          }
         }
       }
   }

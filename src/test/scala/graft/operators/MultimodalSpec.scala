@@ -54,6 +54,45 @@ class MultimodalSpec extends SparkSpec {
     assert(some.select("frame_idx").as[Int].collect().forall(_ % 3 == 0))
   }
 
+  test("decodeAudioAuto: real WAV through javax.sound.sampled, synthetic bytes fall back") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // 16-bit signed mono 8000 Hz WAV, 4000 frames = 500 ms, every sample
+    // a constant 16384 (= 0.5 normalized) → RMS exactly 0.5
+    val pcm = new Array[Byte](4000 * 2)
+    var i = 0
+    while (i < pcm.length) { pcm(i) = 0x00; pcm(i + 1) = 0x40; i += 2 } // LE 16384
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 4000L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val fake = Array.fill[Byte](80)(33) // not a real container
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav),
+      Multimodal.MediaRow(2L, "audio", fake)
+    ).toDF()
+    val out = Multimodal.decodeAudioAuto(media).collect().map(d => d.media_id -> d).toMap
+
+    val real = out(1L) // JDK path: container metadata + exact RMS
+    assert(real.sample_rate == 8000)
+    assert(real.duration_ms == 500L)
+    assert(math.abs(real.rms - 0.5) < 1e-9)
+
+    val fb = out(2L) // fallback: identical to the stub decode
+    val m  = Multimodal.FakeCodec.audioMeta(fake)
+    assert(fb.sample_rate == m.sample_rate && fb.duration_ms == m.duration_ms)
+    assert(fb.rms == m.rms)
+
+    // the committed fixture's synthetic audio blobs must all take the
+    // fallback (q58's oracle models the stub decode byte-for-byte)
+    val fx = Multimodal.mediaFixture(spark).filter($"kind" === "audio")
+    val viaAuto = Multimodal.decodeAudioAuto(fx).orderBy("media_id").collect()
+    val viaStub = Multimodal.decodeAudio(fx).orderBy("media_id").collect()
+    assert(viaAuto.sameElements(viaStub))
+  }
+
   test("decodeImagesAuto: real PNG through ImageIO, synthetic bytes fall back") {
     // build a deterministic 2x2 PNG with known pixel values via the JDK
     val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
