@@ -258,10 +258,20 @@ object SparkEntry {
     Dedup.exactDedupSummary(t(s, d, "documents"))
       .orderBy("fp")
 
-  /** Exact pairwise jaccard is inherently quadratic when the corpus
-    * shares vocabulary (every word a hot join key) — it's the VERIFIER,
-    * bounded to a fixed doc subset; q23's MinHash-LSH is the full-corpus
-    * scale path.
+  /** DECISION RECORD — q21 is deliberately quadratic. Exact pairwise
+    * Jaccard over a shared-vocabulary corpus has no sub-quadratic exact
+    * algorithm on the candidate side (every word is a hot join key and
+    * df-pruning would change the answer), so this query is the bounded
+    * VERIFIER — fixed doc subset in, exact pairs out — while q23's
+    * MinHash-LSH and q48's df-pruned variant are the full-corpus scale
+    * paths. Alternatives measured and rejected at sf0.1: collapsing to
+    * word-set identity classes (1655 distinct sets / 2000 docs — only a
+    * 0.68× join reduction); a global-vocabulary bitmask (fast here, but
+    * only because the synthetic corpus has a 31-word vocabulary — it
+    * does not survive a real one). What DID land: broadcast build side +
+    * explicitly-counted probe repartition inside
+    * [[Dedup.jaccardNearDupPairs]], 10 s → 1 s at sf0.1 (the cost was
+    * single-partition execution, not the quadratic itself).
     */
   private def q21(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardNearDupPairs(

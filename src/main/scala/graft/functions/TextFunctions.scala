@@ -177,25 +177,48 @@ object TextFunctions {
   def hasShingles(text: Column, n: Int): Column =
     size(wsTokens(lower(text))) >= n
 
-  /** Word n-grams (space-joined, lowercased), in document order and NOT
-    * deduplicated — the raw sequence a repetition signal needs. Empty
-    * array when the text has fewer than n tokens (the guard matters:
+  /** The lowercased whitespace token array — the staging column for
+    * [[ngramsFromTokens]]/[[shinglesFromTokens]]. Stage it with
+    * `withColumn` before building n-grams from it.
+    */
+  def loweredTokens(text: Column): Column = wsTokens(lower(text))
+
+  /** Word n-grams from a PRE-STAGED token array (see [[loweredTokens]]),
+    * space-joined, in document order and NOT deduplicated. Empty array
+    * when the text has fewer than n tokens (the guard matters:
     * `sequence(0, -1)` is DESCENDING in Spark, and the -1 index would
     * make `slice` throw).
     *
-    * This is an array-building expression: stage it with `withColumn`
-    * before consuming it more than once, or each reference re-builds the
-    * whole array.
+    * Why tokens must be an attribute, not an inline split: Spark never
+    * hoists loop-invariant subexpressions out of higher-order-function
+    * lambdas, so `slice(split(text), i, n)` re-tokenizes the WHOLE
+    * document at every n-gram position — O(tokens²) regex work per row
+    * (measured 5 s → 0.6 s on the sf0.1 contamination scan). With a
+    * staged attribute the lambda slices an in-memory array.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks  = wsTokens(lower(text))
+  def ngramsFromTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - (n - 1)
     when(count <= 0, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), count), i =>
         concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Word n-gram shingles (space-joined), distinct. For MinHash input. */
+  /** N-gram shingles from a pre-staged token array, distinct. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(ngramsFromTokens(toks, n))
+
+  /** Word n-grams of `text` (lowercased). ONLY for single-reference,
+    * non-hot-path use: the tokenizer is inlined into the n-gram lambda,
+    * so this re-splits the document per position — in any kernel or
+    * exploded path, stage [[loweredTokens]] and use
+    * [[ngramsFromTokens]] instead.
+    */
+  def ngrams(text: Column, n: Int): Column =
+    ngramsFromTokens(loweredTokens(text), n)
+
+  /** Word n-gram shingles (space-joined), distinct. Same single-use
+    * caveat as [[ngrams]] — hot paths stage [[loweredTokens]] first.
+    */
   def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))
 
   /** PII patterns, RE2/DuckDB-portable by construction (plain character

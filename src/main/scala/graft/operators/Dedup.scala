@@ -18,6 +18,21 @@ import graft.functions.{PortableHash, TextFunctions}
   */
 object Dedup {
 
+  /** Hash-distribute on `key` across the session's default parallelism
+    * with an EXPLICIT partition count, so an expensive per-row kernel
+    * above it runs on every core. The count matters twice: a bare
+    * `repartition(col)` is an AQE coalescing target
+    * (REPARTITION_BY_COL), and on a small shuffle AQE folds it back to
+    * ONE partition — re-serializing the kernel it was meant to spread
+    * (measured at sf0.1: 2.8 s kernel on the scan partition vs 0.42 s
+    * distributed); and the local test files are single-row-group
+    * parquet, so without the exchange the scan stage itself cannot
+    * parallelize. At cluster scale the exchange moves exactly the bytes
+    * the kernel reads and buys even balance across skewed files.
+    */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** One row per distinct canonical text: the surviving doc_id (min) and
     * the duplicate-cluster size. The groupBy key is `fingerprint` (md5),
     * so the shuffle moves 32-byte keys, not documents.
@@ -44,6 +59,22 @@ object Dedup {
     * bit-exact). Candidate generation joins docs sharing ≥1 word —
     * at scale, stopword-like ultra-frequent tokens would fan out, so
     * callers should pre-filter by document-frequency (see maxDf).
+    *
+    * Join strategy follows the two contracts:
+    *  - maxDf=None is the VERIFIER: quadratic by design, so the caller
+    *    must bound `docs` to a subset — which makes the exploded word
+    *    list broadcastable by construction. Broadcasting it avoids
+    *    shuffling on the word key at all (a shared vocabulary makes
+    *    every word a skew key: one shuffle partition would absorb a
+    *    whole df² block), and the probe side is repartitioned on doc_id
+    *    so each word's quadratic block fans out across every core —
+    *    NOT left on the scan's partitioning, where a single small
+    *    parquet file would serialize the entire join (measured 10× at
+    *    sf0.1: 10 s single-partition → 1.0 s).
+    *  - maxDf=Some is the SCALE path: df-pruning bounds any key's
+    *    fanout at maxDf² and leaves many distinct rare keys, so the
+    *    plain shuffle equi-join partitions evenly and nothing needs to
+    *    be broadcast-sized.
     */
   def jaccardNearDupPairs(
       docs: DataFrame,
@@ -59,8 +90,8 @@ object Dedup {
       case None => words
     }
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("nw"))
-    val a = filtered.as("a")
-    val b = filtered.as("b")
+    val a = (if (maxDf.isEmpty) spread(filtered, "doc_id") else filtered).as("a")
+    val b = (if (maxDf.isEmpty) broadcast(filtered) else filtered).as("b")
     val inter = a
       .join(b, col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -84,8 +115,11 @@ object Dedup {
     * so the shuffle carries one 8·numHashes-byte row per doc.
     */
   def minhashSignatures(docs: DataFrame, shingleN: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(TextFunctions.shingles(col("text"), shingleN)).as("shingle"))
+    val sh = docs
+      .withColumn("_tk", TextFunctions.loweredTokens(col("text")))
+      .select(col("doc_id"),
+        explode_outer(TextFunctions.shinglesFromTokens(col("_tk"), shingleN)).as("shingle"))
+      .filter(col("shingle").isNotNull) // see contaminationReport: outer + post-filter keeps the inferred size()>0 predicate from sinking below the staging projects
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy("doc_id")
@@ -193,10 +227,17 @@ object Dedup {
       shingleN: Int,
       numHashes: Int,
       seed: Long = 7L): DataFrame =
-    docs.filter(TextFunctions.hasShingles(col("text"), shingleN))
+    // spread BEFORE the kernel: the fused signature expression is the
+    // expensive stage (one md5 + K running minima per shingle), and it
+    // must not run on the scan's (possibly single) input partition.
+    // Tokens are STAGED so the shingle lambda slices an attribute
+    // instead of re-splitting the document per position (see
+    // TextFunctions.ngramsFromTokens).
+    spread(docs.filter(TextFunctions.hasShingles(col("text"), shingleN)), "doc_id")
+      .withColumn("_tk", TextFunctions.loweredTokens(col("text")))
       .select(col("doc_id"),
         graft.plans.MinHashSigExpr(
-          TextFunctions.shingles(col("text"), shingleN), seed, numHashes).as("sig"))
+          TextFunctions.shinglesFromTokens(col("_tk"), shingleN), seed, numHashes).as("sig"))
 
   /** Composed reference form (explode-once + K partial-min aggregates —
     * one md5 per shingle, two integer ops per family member inside the
@@ -210,8 +251,10 @@ object Dedup {
       seed: Long = 7L): DataFrame = {
     val ab = PortableHash.affineConstants(seed, numHashes)
     val sh = docs
+      .withColumn("_tk", TextFunctions.loweredTokens(col("text")))
       .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), shingleN)).as("shingle"))
+        explode_outer(TextFunctions.shinglesFromTokens(col("_tk"), shingleN)).as("shingle"))
+      .filter(col("shingle").isNotNull) // outer + post-filter: see contaminationReport
       .select(col("doc_id"), PortableHash.md5Hex32(col("shingle")).as("h"))
     val aggs = (0 until numHashes).map(i =>
       min(PortableHash.affine(col("h"), ab(i))).as(s"m$i"))
@@ -237,12 +280,17 @@ object Dedup {
     val withSig = minhashSignaturesPortable(docs, shingleN, sigLen, seed)
     val banded0 = withSig.select(
       col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+      // outer + post-filter: posexplode would infer a size()>0 filter
+      // that sinks below the signature projection and re-runs the full
+      // minhash kernel per row on the scan partition (the band array is
+      // a constant 16 entries — the inferred filter is pure waste)
+      posexplode_outer(transform(sequence(lit(0), lit(bands - 1)), b =>
         array_join(
           transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")),
           ","))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+      .filter(col("band_key").isNotNull)
     val wBucket = Window.partitionBy("band", "band_key")
     val banded = banded0
       .withColumn("_bn", count(lit(1)).over(wBucket))
@@ -271,7 +319,9 @@ object Dedup {
     * in engines that raise on signed-64 overflow.
     */
   def simhashSignatures60(docs: DataFrame): DataFrame = {
-    val w = docs
+    // spread before the per-word md5 explode (same rationale as
+    // minhashSignaturesPortable — the kernel must leave the scan stage)
+    val w = spread(docs, "doc_id")
       .select(col("doc_id"), explode(TextFunctions.wordSet(col("text"))).as("word"))
       .select(col("doc_id"), PortableHash.md5Hex60(col("word")).as("h"))
     val voteAggs = (0 until 60).map(j =>
@@ -398,13 +448,21 @@ object Dedup {
   def contaminationReport(train: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
     val benchSh = bench
       .filter(TextFunctions.hasShingles(col("text"), n))
-      .select(explode(TextFunctions.shingles(col("text"), n)).as("shingle"))
+      .withColumn("_tk", TextFunctions.loweredTokens(col("text")))
+      .select(explode(TextFunctions.shinglesFromTokens(col("_tk"), n)).as("shingle"))
       .distinct()
-    train
-      .filter(TextFunctions.hasShingles(col("text"), n))
-      .withColumn("sh", TextFunctions.shingles(col("text"), n))
+    // explode_outer, NOT explode: explode's inferred `size(sh) > 0`
+    // filter is pushed below the spread exchange by alias substitution,
+    // re-evaluating the whole n-gram build per row on the scan
+    // partition (measured: the entire 5 s of this query at sf0.1). The
+    // outer variant infers no filter; the isNotNull below sits ON the
+    // generated attribute and cannot sink past the Generate.
+    spread(train.filter(TextFunctions.hasShingles(col("text"), n)), "doc_id")
+      .withColumn("_tk", TextFunctions.loweredTokens(col("text")))
+      .withColumn("sh", TextFunctions.shinglesFromTokens(col("_tk"), n))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        explode(col("sh")).as("shingle"))
+        explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .join(broadcast(benchSh), Seq("shingle"), "leftsemi")
       .groupBy("doc_id", "n_shingles")
       .agg(count(lit(1)).as("n_overlap"))
@@ -427,10 +485,14 @@ object Dedup {
       window: Int = 4,
       minShared: Int = 3,
       maxDf: Int = 20): DataFrame = {
-    val fps = docs.filter(length(col("text")) >= k)
-      // fused native kernel (plans/WinnowFpExpr) — one pass per row
+    val fps = spread(docs.filter(length(col("text")) >= k), "doc_id")
+      // fused native kernel (plans/WinnowFpExpr) — one pass per row,
+      // distributed off the scan partitioning (see spread); outer +
+      // post-filter so the inferred size()>0 predicate cannot sink
+      // below the exchange and run the kernel on the scan partition
       .select(col("doc_id"),
-        explode(graft.plans.WinnowFpExpr.fps(col("text"), k, window)).as("fp"))
+        explode_outer(graft.plans.WinnowFpExpr.fps(col("text"), k, window)).as("fp"))
+      .filter(col("fp").isNotNull)
     // df via a window (not a count+join): pruning then costs ONE
     // evaluation of the expensive winnow subtree, and because both
     // self-join sides are the identical pruned subtree, the fp exchange
