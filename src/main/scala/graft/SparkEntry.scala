@@ -36,6 +36,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Hash-distribute on `key` with an explicit (AQE-proof) partition
+    * count before an expensive per-row kernel — regex chains, sketch
+    * updates, hash kernels. Same rationale as Dedup.spread: the scan's
+    * partitioning (a single partition on single-row-group test files)
+    * must not serialize the kernel, and `repartition(col)` without a
+    * count gets coalesced back to one partition by AQE.
+    */
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** Exact integer cents of a 2-decimal money/quantity double: the
@@ -235,7 +245,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   private def q17(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    spread(t(s, d, "documents"), "doc_id")
       .select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
@@ -245,12 +255,12 @@ object SparkEntry {
       .orderBy("doc_id")
 
   private def q18(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_guess"))
       .orderBy("doc_id")
 
   private def q19(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    spread(t(s, d, "documents"), "doc_id")
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
@@ -533,7 +543,7 @@ object SparkEntry {
     * DuckDB oracle via row_number over the same hash values.
     */
   private def q45(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    spread(t(s, d, "lineitem"), "l_orderkey")
       .withColumn("h", PortableHash.md5Hex60(col("l_partkey").cast("string")))
       .groupBy("l_returnflag")
       .agg(kmvDistinctPreHashed(col("h"), 512, bits = 60).as("kmv_parts"),
@@ -704,7 +714,7 @@ object SparkEntry {
     * oracle-checkable — see [[graft.plans.HllDistinct]].
     */
   private def q57(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    spread(t(s, d, "lineitem"), "l_orderkey")
       .withColumn("h", PortableHash.md5Hex60(col("l_partkey").cast("string")))
       .groupBy("l_returnflag")
       .agg(graft.plans.HllDistinct.hllDistinct(col("h"), 6).as("hll_parts"),

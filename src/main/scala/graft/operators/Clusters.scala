@@ -58,14 +58,17 @@ object Clusters {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid"))
         .agg(min(col("cluster")).as("nbr_min"))
+      // checkpoint FIRST (the round's one real materialization — also
+      // truncates lineage), then run the convergence count against the
+      // checkpointed blocks: cheaper than the previous
+      // persist → count → checkpoint-from-cache double pass, and no
+      // cache bookkeeping
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
         .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .persist()
+        .localCheckpoint(true)
       changed = stepped.filter(col("cluster") < col("old")).count()
-      val next = stepped.select("id", "cluster").localCheckpoint(true)
-      stepped.unpersist()
-      labels = next
+      labels = stepped.select("id", "cluster")
       iter += 1
     }
     sym.unpersist()
