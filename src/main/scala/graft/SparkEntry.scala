@@ -773,6 +773,15 @@ object SparkEntry {
         length(col("masked")).cast("long").as("masked_len"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition signals ([[graft.operators.Repetition]]):
+    * per-document bigram concentration (`top_gram_pct`) and duplicate
+    * share (`dup_gram_pct`) as exact integer percents — the quality
+    * filter that catches looping/keyword-spam text before training.
+    */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    graft.operators.Repetition.signals(t(s, d, "documents"), n = 2)
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -834,7 +843,8 @@ object SparkEntry {
     "q58_audio_meta"        -> (q58 _),
     "q59_neardup_clusters"  -> (q59 _),
     "q60_contamination"     -> (q60 _),
-    "q61_mask_pii"          -> (q61 _)
+    "q61_mask_pii"          -> (q61 _),
+    "q62_repetition"        -> (q62 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1529,6 +1539,19 @@ object SparkEntry {
          | CAST(length(masked) AS BIGINT) AS masked_len
          |FROM (SELECT doc_id, $masked AS masked FROM documents)
          |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    // bigram positions (NOT distinct — the repetition signal needs the
+    // raw sequence), then two integer-percent rollups per doc
+    "q62_repetition" -> {
+      val tokSplit = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+      s"""WITH toks AS (SELECT doc_id, $tokSplit AS tk FROM documents),
+         | g AS (SELECT doc_id, unnest(list_transform(range(0, greatest(len(tk)-1, 0)),
+         |   i -> array_to_string(tk[i+1:i+2], ' '))) AS gram FROM toks WHERE len(tk) >= 2),
+         | c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         | (100 * CAST(MAX(c) AS BIGINT)) // CAST(SUM(c) AS BIGINT) AS top_gram_pct,
+         | (100 * (CAST(SUM(c) AS BIGINT) - COUNT(*))) // CAST(SUM(c) AS BIGINT) AS dup_gram_pct
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

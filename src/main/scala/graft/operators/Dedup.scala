@@ -30,7 +30,7 @@ object Dedup {
     * parallelize. At cluster scale the exchange moves exactly the bytes
     * the kernel reads and buys even balance across skewed files.
     */
-  private def spread(df: DataFrame, key: String): DataFrame =
+  private[operators] def spread(df: DataFrame, key: String): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
   /** One row per distinct canonical text: the surviving doc_id (min) and

@@ -181,4 +181,71 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.cosThresholdFraction(500) == (1L, 4L))
     assert(Similarity.cosThresholdFraction(333) == (110889L, 1000000L))
   }
+
+  test("refineIvfCentroids converges to planted cluster means and tightens cells") {
+    // 4 direction clusters in 8-dim (cluster = id % 4, so the id-based
+    // seed picks one member per cluster), with per-vector jitter on a
+    // shared dim — each seed is a DISPLACED member, not the mean
+    val rows = for {
+      i <- 0 until 64
+    } yield {
+      val c = i % 4
+      val v = new Array[Float](8)
+      v(c * 2) = 1.0f
+      v(7) = 0.05f * (i % 5) // deterministic jitter, shared dim
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val b = emb
+      .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+      .withColumn("nrm", VectorFunctions.qdot($"q", $"q"))
+    val seed = b.filter($"vec_id" < 4)
+      .select($"vec_id".as("cent_id"), $"q".as("cvec"), $"nrm".as("cnrm"))
+
+    def meanAssignedCos(cents: org.apache.spark.sql.DataFrame): Double = {
+      val scored = b.crossJoin(org.apache.spark.sql.functions.broadcast(cents))
+        .withColumn("ccos", VectorFunctions.qdot($"q", $"cvec").cast("double") /
+          sqrt($"nrm".cast("double") * $"cnrm".cast("double")))
+        .groupBy("vec_id").agg(max($"ccos").as("best"))
+      scored.agg(avg($"best")).as[Double].collect()(0)
+    }
+    def assignment(cents: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.assignToCentroids(b, cents)
+        .select($"vec_id", $"cent_id").as[(Long, Long)].collect().toMap
+
+    val refined = Similarity.refineIvfCentroids(b, seed, iters = 3)
+    // each planted cluster occupies exactly one refined cell, and the 4
+    // clusters land in 4 distinct cells
+    val byCluster = assignment(refined).groupBy { case (id, _) => id % 4 }
+      .map { case (cl, m) => cl -> m.values.toSet }
+    assert(byCluster.values.forall(_.size == 1), s"split cluster: $byCluster")
+    assert(byCluster.values.flatten.toSet.size == 4, s"merged clusters: $byCluster")
+    // moving centroids from displaced members to cell means strictly
+    // tightens the quantizer
+    val before = meanAssignedCos(seed)
+    val after  = meanAssignedCos(refined)
+    assert(after > before,
+      f"refinement must tighten cells: before=$before%.5f after=$after%.5f")
+  }
+
+  test("buildIvfIndex with refineIters writes refined centroids and consistent cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_refined").toString
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    Similarity.buildIvfIndex(emb, dir, nCentroids = 8, refineIters = 2)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cents.count() == 8)
+    // every cell id written is a centroid id, and every vector appears once
+    val cellIds = cells.select("cent_id").distinct().as[Long].collect().toSet
+    val centIds = cents.select("cent_id").as[Long].collect().toSet
+    assert(cellIds.subsetOf(centIds))
+    assert(cells.count() == emb.count())
+    // cells agree with a fresh assignment against the written centroids
+    val b = emb.select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+      .withColumn("nrm", VectorFunctions.qdot($"q", $"q"))
+    val expect = Similarity.assignToCentroids(b, cents)
+      .select($"vec_id", $"cent_id").as[(Long, Long)].collect().toMap
+    val got = cells.select($"vec_id", $"cent_id").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+  }
 }
