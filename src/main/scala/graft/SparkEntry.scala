@@ -167,7 +167,9 @@ object SparkEntry {
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   private def q10(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    // spread: the two countDistinct aggs expand every row 3× in the
+    // scan stage — distribute before the expand
+    spread(t(s, d, "lineitem"), "l_orderkey")
       .groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),

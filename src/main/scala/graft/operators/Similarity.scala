@@ -344,7 +344,12 @@ object Similarity {
         s"2^63 (need num,den <= $headroom). Pick a coarser threshold " +
         "(e.g. a multiple of 100) or reduce dim/maxAbsValue.")
     val planes = VectorFunctions.quantPlanes(seed, dim, nBits)
-    val b = embeddings
+    // spread before the quantize/bucket/norm kernels — the hyperplane
+    // buckets are nBits higher-order-function dot products per row and
+    // must not run on the scan's (possibly single) partition; the
+    // explicit count is AQE-proof (see Dedup.spread). Measured 2.2 s →
+    // 0.9 s at sf0.1.
+    val b = Dedup.spread(embeddings, "vec_id")
       .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
       .select(col("vec_id"), col("q"),
         VectorFunctions.hyperplaneBucketQ(col("q"), planes).as("bucket"),
