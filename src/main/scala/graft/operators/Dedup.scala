@@ -333,6 +333,20 @@ object Dedup {
       .select(col("doc_id"), bits.reduce(_ + _).as("sig"))
   }
 
+  /** Fused variant of [[simhashSignatures60]]: the whole 60-bit
+    * signature in one native pass per row
+    * ([[graft.plans.SimHashSig60Expr]]) — no word explode, no 60-vote
+    * shuffle; identical output (spec-asserted), so the q24 oracle still
+    * mirrors the composed arithmetic. The cheap size() pre-filter
+    * mirrors the composed form's explode semantics (wordless docs
+    * disappear) without a post-filter on the expensive expression.
+    */
+  def simhashSignatures60Fused(docs: DataFrame): DataFrame =
+    spread(docs, "doc_id")
+      .filter(size(TextFunctions.wordSet(col("text"))) > 0)
+      .select(col("doc_id"),
+        graft.plans.SimHashSig60Expr(TextFunctions.wordSet(col("text"))).as("sig"))
+
   /** Oracle-checkable SimHash near-dup pairs: 4 bands of 15 bits, bucket
     * cap, exact Hamming verify via popcount of the XOR.
     */
@@ -340,7 +354,7 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 16,
       maxBucketSize: Int = 100): DataFrame = {
-    val withSig = simhashSignatures60(docs)
+    val withSig = simhashSignatures60Fused(docs)
     val banded0 = withSig.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
