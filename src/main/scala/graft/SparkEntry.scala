@@ -784,6 +784,17 @@ object SparkEntry {
     graft.operators.Repetition.signals(t(s, d, "documents"), n = 2)
       .orderBy("doc_id")
 
+  /** AllPairs prefix-filtered exact Jaccard — the sparse-corpus scale
+    * path of [[graft.operators.Dedup.jaccardNearDupPairsPrefix]]. Same
+    * contract (and oracle shape) as q21; bounded tighter because the
+    * synthetic corpus's 23%-pair density is the variant's worst case
+    * (trade measured in the operator's scaladoc and COVERAGE.md).
+    */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardNearDupPairsPrefix(
+      t(s, d, "documents").filter(col("doc_id") < 500), thresholdPct = 80)
+      .orderBy("doc_a", "doc_b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -846,7 +857,8 @@ object SparkEntry {
     "q59_neardup_clusters"  -> (q59 _),
     "q60_contamination"     -> (q60 _),
     "q61_mask_pii"          -> (q61 _),
-    "q62_repetition"        -> (q62 _)
+    "q62_repetition"        -> (q62 _),
+    "q63_jaccard_prefix"    -> (q63 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1554,6 +1566,19 @@ object SparkEntry {
          | (100 * CAST(MAX(c) AS BIGINT)) // CAST(SUM(c) AS BIGINT) AS top_gram_pct,
          | (100 * (CAST(SUM(c) AS BIGINT) - COUNT(*))) // CAST(SUM(c) AS BIGINT) AS dup_gram_pct
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // same oracle shape as q21 — the prefix-filtered variant must
+    // reproduce the count-aggregation contract row for row
+    "q63_jaccard_prefix" ->
+      """WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS word
+        |           FROM documents WHERE doc_id < 500),
+        |     sizes AS (SELECT doc_id, COUNT(*) AS nw FROM w GROUP BY doc_id),
+        |     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |               FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |               GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_common, sa.nw AS n_a, sb.nw AS n_b
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE 100 * n_common >= 80 * (sa.nw + sb.nw - n_common)
+        |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -40,6 +40,41 @@ class DedupSpec extends SparkSpec {
     assert(loose.contains((1L, 3L)))
   }
 
+  test("jaccardNearDupPairsPrefix is lossless vs brute force and matches the count-agg path") {
+    // Deterministic pseudo-random corpus over a 12-word vocabulary:
+    // dense overlap structure, the adversarial case for candidate
+    // pruning. Brute force = cross join + array_intersect, no pruning.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val corpus = (0 until 40).map { i =>
+      val n = 3 + (i * 7) % 8
+      val ws = (0 until n).map(j => vocab((i * 13 + j * 5) % vocab.size)).distinct
+      (i.toLong, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = corpus.select(col("doc_id"), TextFunctions.wordSet(col("text")).as("ws"))
+    for (t <- Seq(30, 50, 80)) {
+      val brute = sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.ws"), col("b.ws"))).cast("long").as("c"),
+          size(col("a.ws")).cast("long").as("na"), size(col("b.ws")).cast("long").as("nb"))
+        .filter(lit(100L) * col("c") >= lit(t.toLong) * (col("na") + col("nb") - col("c")))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val pruned = Dedup.jaccardNearDupPairsPrefix(corpus, thresholdPct = t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pruned == brute, s"threshold $t: pruned ${pruned.size} vs brute ${brute.size}")
+      // and full-row agreement (incl. n_common/n_a/n_b) with the
+      // count-aggregation path — the two variants share one contract
+      val viaCount = Dedup.jaccardNearDupPairs(corpus, thresholdPct = t)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val viaPrefix = Dedup.jaccardNearDupPairsPrefix(corpus, thresholdPct = t)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(viaPrefix == viaCount)
+    }
+  }
+
   test("portable minhash: identical docs agree on all 64 hashes, unrelated skip") {
     val pairs = Dedup.minhashNearDupPairsPortable(docs)
       .select("doc_a", "doc_b", "n_match").as[(Long, Long, Long)].collect()
