@@ -795,6 +795,22 @@ object SparkEntry {
       t(s, d, "documents").filter(col("doc_id") < 500), thresholdPct = 80)
       .orderBy("doc_a", "doc_b")
 
+  /** Structured Streaming sessionization held to the SAME DuckDB oracle
+    * as batch q49: the real `flatMapGroupsWithState` pipeline
+    * ([[graft.streaming.SessionStream]]) drains the events table as a
+    * file stream (close-by-proof in batch 1, close-by-watermark-timeout
+    * via a sentinel heartbeat in batch 2), so the driver gate proves
+    * stream/batch parity on every session, not just the spec corpus.
+    * µs truncation as in q49 (`ts div 1000` / epoch_us).
+    */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    graft.streaming.SessionStream.drainClosedSessions(
+        t(s, d, "events").select(col("user_id"), col("event_id"),
+          timestamp_micros(expr("ts div 1000")).as("event_time")))
+      .select(col("user_id"), col("n_events"), col("session_start"),
+        col("session_end"), col("duration_us"))
+      .orderBy("user_id", "session_start")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -858,7 +874,8 @@ object SparkEntry {
     "q60_contamination"     -> (q60 _),
     "q61_mask_pii"          -> (q61 _),
     "q62_repetition"        -> (q62 _),
-    "q63_jaccard_prefix"    -> (q63 _)
+    "q63_jaccard_prefix"    -> (q63 _),
+    "q64_sessions_stream"   -> (q64 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1579,6 +1596,23 @@ object SparkEntry {
         |SELECT doc_a, doc_b, n_common, sa.nw AS n_a, sb.nw AS n_b
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE 100 * n_common >= 80 * (sa.nw + sb.nw - n_common)
-        |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
+    // q49's session semantics without the session_id column (the
+    // streaming operator emits sessions, not per-user ordinals); the
+    // (user_id, session_start) pair is a total order because a user's
+    // sessions cannot overlap
+    "q64_sessions_stream" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tn FROM events),
+        | s AS (SELECT user_id, event_id, tn,
+        |   CASE WHEN LAG(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) IS NULL
+        |     OR tn - LAG(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) > 1800000000
+        |     THEN 1 ELSE 0 END AS is_new FROM e),
+        | x AS (SELECT user_id, tn,
+        |   SUM(is_new) OVER (PARTITION BY user_id ORDER BY tn, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |   FROM s)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | MIN(tn) AS session_start, MAX(tn) AS session_end, MAX(tn)-MIN(tn) AS duration_us
+        |FROM x GROUP BY user_id, sid ORDER BY user_id, session_start"""
+      .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -105,4 +105,57 @@ object SessionStream {
       .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionFlatMap(gapUs))
   }
+
+  /** Run [[closedSessions]] over a STATIC events frame and drain every
+    * session out of the stream — the batch-parity harness as a library
+    * operator, so the driver gate can hold the streaming path to the
+    * same DuckDB oracle as the batch sessionization (q49 vs q64).
+    *
+    * Mechanics: stage the frame as parquet, stream it through the real
+    * `flatMapGroupsWithState` pipeline into a memory sink (batch 1:
+    * every session closed by a later event of the same user emits),
+    * then append one far-future heartbeat for a sentinel user and run a
+    * second cycle — the watermark jumps past every real session's
+    * end+gap, so every still-open session times out and emits. Only the
+    * sentinel's own session stays open; it is filtered out. The result
+    * is `localCheckpoint`ed so the memory-sink view and scratch files
+    * can be dropped before returning.
+    *
+    * `events` needs (user_id, event_id, event_time: timestamp);
+    * timestamps are µs-precision (the stream state folds µs longs).
+    */
+  def drainClosedSessions(
+      events: DataFrame,
+      gapUs: Long = 1800000000L): DataFrame = {
+    val spark = events.sparkSession
+    val staged = events.select(col("user_id"), col("event_id"), col("event_time"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_drain")
+    staged.write.parquet(s"$dir/b0.parquet")
+    val schema = spark.read.parquet(s"$dir/b0.parquet").schema
+    val name = "graft_sess_drain_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = closedSessions(
+        spark.readStream.schema(schema).parquet(s"$dir/*.parquet"), gapUs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val maxUs = staged.agg(max(unix_micros(col("event_time")))).head().getLong(0)
+      spark.range(1)
+        .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxUs + gapUs + 86400000000L)).as("event_time"))
+        .write.mode("append").parquet(s"$dir/b1.parquet")
+      q.processAllAvailable()
+      spark.table(name).filter(col("user_id") =!= -1L).localCheckpoint(true)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      ()
+    }
+  }
 }

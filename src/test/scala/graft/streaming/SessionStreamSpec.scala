@@ -64,4 +64,27 @@ class SessionStreamSpec extends SparkSpec {
           s"only-batch=${(batch -- streamed).take(3)}")
     } finally q.stop()
   }
+
+  test("drainClosedSessions drains every session and matches batch (q64 path)") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .select($"user_id", $"event_id", $"ts")
+    val drained = SessionStream.drainClosedSessions(
+        ev.select($"user_id", $"event_id",
+          timestamp_micros(expr("ts div 1000")).as("event_time")))
+      .select($"user_id", $"n_events", $"session_start", $"session_end")
+      .as[(Long, Long, Long, Long)].collect()
+    val batch = Sessionize.sessionStats(
+        ev.select($"user_id", $"event_id", expr("ts div 1000").as("tus")),
+        keys = Seq("user_id"), tsCol = "tus", tiebreak = "event_id",
+        gapNs = 1800000000L)
+      .select($"user_id", $"n_events", $"session_start", $"session_end")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(drained.length == batch.length) // no session emitted twice
+    assert(drained.toSet == batch.toSet)
+    // the sentinel heartbeat and its open session must not leak out
+    assert(!drained.exists(_._1 == -1L))
+    // scratch state is gone: the memory-sink view was dropped
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_sess_drain_")))
+  }
 }
