@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{Naming, PortableHash, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Monitoring, Multimodal, Relational, Sessionize, Similarity}
+import graft.operators.{Dedup, Monitoring, Multimodal, Relational, Sampling, Sessionize, Similarity}
 import graft.plans.KmvBuffer.kmvDistinctPreHashed
 
 /** Driver contract: the queryable operator surface (SURVEY.md §2) plus the
@@ -811,6 +811,19 @@ object SparkEntry {
         col("session_end"), col("duration_us"))
       .orderBy("user_id", "session_start")
 
+  /** Deterministic 90/5/5 train/val/test split over documents
+    * ([[graft.operators.Sampling.hashSplit]]: portable md5 pct-bucket,
+    * pure per-id projection — zero shuffles to split 100 TB) with
+    * per-split document and word totals.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    Sampling.hashSplit(t(s, d, "documents"), "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextFunctions.wordSet(col("text"))).cast("long")).as("n_words"))
+      .orderBy("split")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -875,7 +888,8 @@ object SparkEntry {
     "q61_mask_pii"          -> (q61 _),
     "q62_repetition"        -> (q62 _),
     "q63_jaccard_prefix"    -> (q63 _),
-    "q64_sessions_stream"   -> (q64 _)
+    "q64_sessions_stream"   -> (q64 _),
+    "q65_hash_split"        -> (q65 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1613,6 +1627,16 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_events,
         | MIN(tn) AS session_start, MAX(tn) AS session_end, MAX(tn)-MIN(tn) AS duration_us
         |FROM x GROUP BY user_id, sid ORDER BY user_id, session_start"""
-      .stripMargin.replaceAll("\n", " ")
+      .stripMargin.replaceAll("\n", " "),
+    "q65_hash_split" -> {
+      val bucket = graft.operators.Sampling.pctBucketSql("doc_id", "split")
+      s"""WITH b AS (SELECT doc_id, text,
+         |   CASE WHEN $bucket < 90 THEN 'train'
+         |        WHEN $bucket < 95 THEN 'val'
+         |        ELSE 'test' END AS split FROM documents)
+         |SELECT split, COUNT(*) AS n_docs,
+         | CAST(SUM(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))) AS BIGINT) AS n_words
+         |FROM b GROUP BY split ORDER BY split""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

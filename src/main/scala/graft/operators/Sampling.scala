@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Deterministic dataset splitting and sampling for training-data
+  * pipelines: train/val/test assignment, stable subsampling, and
+  * per-stratum rate control.
+  *
+  * Everything is a pure function of (salt, id) — no RNG, no state:
+  * re-running the pipeline on a grown corpus keeps every previously
+  * assigned row in its split (the property that matters for dataset
+  * versioning: yesterday's val set never bleeds into today's train
+  * set), and two clusters assign identically without coordination.
+  * A 100 TB corpus splits with ZERO shuffles — the bucket is a scalar
+  * projection, fully codegen'd, and a split filter pushes down to the
+  * scan as a deterministic predicate.
+  *
+  * The bucket hash is the portable md5 construction
+  * ([[PortableHash.md5Hex32]]) so an external SQL oracle reproduces
+  * assignments bit-for-bit (q65); salts give independent buckets for
+  * independent decisions (splitting vs subsampling).
+  */
+object Sampling {
+
+  /** Stable bucket ∈ [0, 100) for an id under a salt: two salts give
+    * (practically) independent bucketings, so layered decisions — split
+    * first, subsample second — do not correlate.
+    * DuckDB mirror: [[pctBucketSql]].
+    */
+  def pctBucket(id: Column, salt: String): Column =
+    PortableHash.md5Hex32(concat(lit(salt), lit(":"), id.cast("string"))) % 100
+
+  /** DuckDB rendering of [[pctBucket]] for oracle SQL. */
+  def pctBucketSql(idExpr: String, salt: String): String =
+    s"${PortableHash.md5Hex32Sql(s"'$salt:' || CAST($idExpr AS VARCHAR)")} % 100"
+
+  /** Append a `split` column assigning each row to the first named
+    * split whose cumulative weight exceeds the row's bucket —
+    * e.g. `Seq("train" -> 90, "val" -> 5, "test" -> 5)` sends buckets
+    * [0,90) → train, [90,95) → val, [95,100) → test. Weights must sum
+    * to 100 so the assignment is total (every row lands in exactly one
+    * split).
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split weights must sum to 100, got ${splits.map(_._2).sum}")
+    val bucket = pctBucket(col(idCol), salt)
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assigned = splits.zip(cum).tail.foldLeft(
+      when(bucket < cum.head, splits.head._1)) {
+        case (acc, ((name, _), hi)) => acc.when(bucket < hi, name)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Keep a stable `pct`% of rows: the same ids survive on every run
+    * and at every corpus size. */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String,
+      pct: Int,
+      salt: String = "sample"): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(pctBucket(col(idCol), salt) < pct)
+  }
+
+  /** Per-stratum sampling rates — the mixture-balancing primitive
+    * (downsample the dominant language, keep all of a rare one).
+    * `rates` maps stratum value → pct; strata not listed use
+    * `defaultPct`. The rate lookup is a literal when-chain (no join —
+    * rates are pipeline config, not data) and the survival decision is
+    * still a pure function of (salt, id), so a stratum's kept set is
+    * stable under rate changes to OTHER strata.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      defaultPct: Int = 100,
+      salt: String = "sample"): DataFrame = {
+    require((defaultPct +: rates.values.toSeq).forall(p => p >= 0 && p <= 100),
+      "every pct must be in [0,100]")
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(strataCol) === k, p).otherwise(acc)
+    }
+    df.filter(pctBucket(col(idCol), salt) < rate)
+  }
+}
