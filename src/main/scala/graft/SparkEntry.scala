@@ -824,6 +824,22 @@ object SparkEntry {
         sum(size(TextFunctions.wordSet(col("text"))).cast("long")).as("n_words"))
       .orderBy("split")
 
+  /** Sequence packing ([[graft.operators.Packing.concatPack]]):
+    * concatenate documents in doc_id order, cut every 4096 tokens,
+    * report each doc's stream offset and chunk span. The global prefix
+    * sum underneath is the two-level scan — the only unpartitioned
+    * window runs over bucket totals (1/4096 of the rows), never the
+    * corpus.
+    */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.concatPack(
+        t(s, d, "documents")
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        orderCol = "doc_id", weightCol = "n_tokens", budget = 4096L)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("chunk_first"), col("chunk_last"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -889,7 +905,8 @@ object SparkEntry {
     "q62_repetition"        -> (q62 _),
     "q63_jaccard_prefix"    -> (q63 _),
     "q64_sessions_stream"   -> (q64 _),
-    "q65_hash_split"        -> (q65 _)
+    "q65_hash_split"        -> (q65 _),
+    "q66_seq_pack"          -> (q66 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1637,6 +1654,18 @@ object SparkEntry {
          |SELECT split, COUNT(*) AS n_docs,
          | CAST(SUM(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')))) AS BIGINT) AS n_words
          |FROM b GROUP BY split ORDER BY split""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // exclusive window cumsum in doc_id order == the two-level prefix
+    // scan; chunk ids by integer division, empty docs pinned to their
+    // boundary chunk via greatest(w, 1)
+    "q66_seq_pack" ->
+      s"""WITH w AS (SELECT doc_id, $tokensSql AS n_tokens FROM documents),
+         | o AS (SELECT doc_id, n_tokens,
+         |   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |   FROM w)
+         |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+         | CAST(start_offset // 4096 AS BIGINT) AS chunk_first,
+         | CAST((start_offset + greatest(n_tokens, 1) - 1) // 4096 AS BIGINT) AS chunk_last
+         |FROM o ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }
