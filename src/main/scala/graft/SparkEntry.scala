@@ -840,6 +840,22 @@ object SparkEntry {
         col("chunk_first"), col("chunk_last"))
       .orderBy("doc_id")
 
+  /** Int8 scalar quantization of the embedding store
+    * ([[graft.operators.Similarity.quantizeInt8]]) — the quantized
+    * vectors are deterministic integers (float→double widening is
+    * exact; one multiply, one divide, one floor(·+½)), so the oracle
+    * hash-checks the quantization itself via per-vector integer
+    * summaries, not a tolerance band.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame =
+    Similarity.quantizeInt8(t(s, d, "embeddings"))
+      .select(col("vec_id"),
+        array_min(col("qvec")).as("q_min"),
+        array_max(col("qvec")).as("q_max"),
+        aggregate(col("qvec"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        aggregate(col("qvec"), lit(0L), (acc, x) => acc + x * x).as("q_norm2"))
+      .orderBy("vec_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -906,7 +922,8 @@ object SparkEntry {
     "q63_jaccard_prefix"    -> (q63 _),
     "q64_sessions_stream"   -> (q64 _),
     "q65_hash_split"        -> (q65 _),
-    "q66_seq_pack"          -> (q66 _)
+    "q66_seq_pack"          -> (q66 _),
+    "q67_quantize_int8"     -> (q67 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1666,6 +1683,21 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
          | CAST(start_offset // 4096 AS BIGINT) AS chunk_first,
          | CAST((start_offset + greatest(n_tokens, 1) - 1) // 4096 AS BIGINT) AS chunk_last
-         |FROM o ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+         |FROM o ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // identical double arithmetic: widen float exactly, x*127/maxabs,
+    // floor(+0.5) — then integer summaries of the quantized vector
+    "q67_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |   FROM embeddings),
+        | q AS (SELECT vec_id,
+        |   CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |        ELSE list_transform(embedding,
+        |          x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5) AS BIGINT)) END AS qvec
+        |   FROM m)
+        |SELECT vec_id, list_min(qvec) AS q_min, list_max(qvec) AS q_max,
+        | CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+        | CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS q_norm2
+        |FROM q ORDER BY vec_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -395,4 +395,32 @@ object Similarity {
       .filter(col("cos") >= minCosine)
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("cos"))
   }
+
+  /** Per-vector symmetric int8 scalar quantization: `q_i =
+    * ⌊x_i·127/maxabs + ½⌋` — the standard 4× (fp32) memory reduction
+    * for ANN serving, where a 100 TB embedding store becomes 25 TB and
+    * integer dot products replace float ones in the scan kernel.
+    *
+    * Cosine is per-vector scale-invariant, so quantized cosine tracks
+    * the original ranking (SimilaritySpec measures recall on the
+    * fixture). The arithmetic is deterministic across engines: floats
+    * widen to double exactly, then one multiply, one divide, one
+    * `floor(·+0.5)` — IEEE-identical everywhere, which makes quantized
+    * vectors themselves oracle-checkable (q67), not just their recall.
+    *
+    * `maxabs` is staged as its own column and referenced twice so
+    * CollapseProject cannot inline the O(d) array reduction into the
+    * per-element lambda (the O(d²)/row trap). A zero vector quantizes
+    * to zeros.
+    */
+  def quantizeInt8(embeddings: DataFrame, embCol: String = "embedding"): DataFrame =
+    embeddings
+      .withColumn("_maxabs",
+        array_max(transform(col(embCol), x => abs(x.cast("double")))))
+      .withColumn("qvec",
+        when(col("_maxabs") === 0d,
+          transform(col(embCol), _ => lit(0L)))
+        .otherwise(transform(col(embCol),
+          x => floor(x.cast("double") * lit(127d) / col("_maxabs") + lit(0.5d)))))
+      .drop("_maxabs")
 }

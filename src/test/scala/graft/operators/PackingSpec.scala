@@ -38,6 +38,24 @@ class PackingSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("plan shape: the only unpartitioned window runs over bucket totals") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val docs = (0 until 200).map(i => (i.toLong, (i % 7).toLong)).toDF("doc_id", "w")
+    val plan = Packing.concatPack(docs, "doc_id", "w", budget = 64L, blockSize = 16L)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 2)
+    val (unpartitioned, partitioned) = windows.partition(_.partitionSpec.isEmpty)
+    // the global-ordered window exists exactly once...
+    assert(unpartitioned.size == 1 && partitioned.size == 1)
+    // ...and consumes an Aggregate (bucket totals), never corpus rows —
+    // the shape that keeps the single-partition stage at 1/blockSize
+    assert(unpartitioned.head.exists {
+      case _: Aggregate => true
+      case _            => false
+    }, "unpartitioned window must sit above the bucket-totals aggregate")
+  }
+
   test("chunk accounting: every chunk except the last carries exactly budget tokens") {
     val docs = (0 until 300).map(i => (i.toLong, (i * 13 % 50 + 1).toLong))
       .toDF("doc_id", "w")

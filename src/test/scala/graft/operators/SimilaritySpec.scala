@@ -176,6 +176,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"index probe must match the in-query IVF: $got vs $want")
   }
 
+  test("quantizeInt8: bounded, sign-preserving, extremes pinned, zero vector safe") {
+    val in = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),  // zero vector
+      (3L, Array(-0.003f, 0.001f, 0.002f, -0.001f)) // tiny magnitudes still span ±127
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(in)
+      .select("vec_id", "qvec").as[(Long, Seq[Long])].collect().toMap
+    assert(q(1L) == Seq(64L, -127L, 32L, 127L)) // ±maxabs pins to ±127
+    assert(q(2L) == Seq(0L, 0L, 0L, 0L))
+    assert(q(3L).max == 85L && q(3L).min == -127L)
+    assert(q.values.flatten.forall(v => v >= -127L && v <= 127L))
+    // sign preserved wherever |q| rounds to ≥ 1
+    assert(q(3L).zip(Seq(-1, 1, 1, -1)).forall { case (v, s) => v == 0 || v.sign == s })
+  }
+
+  test("quantized cosine preserves the exact ranking's top-10 on the fixture") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val qv = Similarity.quantizeInt8(emb).select($"vec_id", $"qvec".as("embedding"))
+    val quantized = Similarity.bruteForceTopK(
+        qv.select($"vec_id", transform($"embedding", _.cast("float")).as("embedding")),
+        0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // int8 cosine is a faithful rank surrogate: ≥ 8/10 recall expected
+    assert((exact intersect quantized).size >= 8,
+      s"quantized recall too low: $exact vs $quantized")
+  }
+
   test("cosThresholdFraction reduces and round-trips") {
     assert(Similarity.cosThresholdFraction(400) == (4L, 25L))
     assert(Similarity.cosThresholdFraction(500) == (1L, 4L))
