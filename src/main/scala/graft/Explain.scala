@@ -16,7 +16,8 @@ object Explain {
       else Seq("q01_pricing_summary", "q03_nation_revenue", "q15_bbox_parts",
         "q20_fingerprint_dedup", "q22_cosine_topk", "q23_minhash_pairs",
         "q50_asof_native", "q52_salted_join", "q53_range_join",
-        "q57_hll_distinct")
+        "q57_hll_distinct", "q63_jaccard_prefix", "q66_seq_pack",
+        "q68_ann_int8")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

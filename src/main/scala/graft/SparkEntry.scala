@@ -856,6 +856,13 @@ object SparkEntry {
         aggregate(col("qvec"), lit(0L), (acc, x) => acc + x * x).as("q_norm2"))
       .orderBy("vec_id")
 
+  /** The int8 serving path end-to-end: top-k by quantized cosine with
+    * integer dot products ([[graft.operators.Similarity.bruteForceTopKInt8]]),
+    * hash-checked including the exact integer dot values.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopKInt8(t(s, d, "embeddings"), queryId = 0L, k = 10)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -923,7 +930,8 @@ object SparkEntry {
     "q64_sessions_stream"   -> (q64 _),
     "q65_hash_split"        -> (q65 _),
     "q66_seq_pack"          -> (q66 _),
-    "q67_quantize_int8"     -> (q67 _)
+    "q67_quantize_int8"     -> (q67 _),
+    "q68_ann_int8"          -> (q68 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -969,6 +977,19 @@ object SparkEntry {
   /** Mirrors VectorFunctions.qdot (DuckDB list_sum widens → re-cast). */
   private def qdotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) AS BIGINT)"
+
+  /** Mirrors Similarity.quantizeInt8: CTEs `m` (per-vector maxabs) and
+    * `qv` (vec_id, qvec) — shared by q67/q68.
+    */
+  private val int8QvecCtes =
+    """m AS (SELECT vec_id, embedding,
+      |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      |   FROM embeddings),
+      | qv AS (SELECT vec_id,
+      |   CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |        ELSE list_transform(embedding,
+      |          x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5) AS BIGINT)) END AS qvec
+      |   FROM m)""".stripMargin.replaceAll("\n", " ")
 
   /** Mirrors VectorFunctions.hyperplaneBucketQ with the plane constants
     * inlined as literals (same Seq the Spark side uses).
@@ -1687,17 +1708,20 @@ object SparkEntry {
     // identical double arithmetic: widen float exactly, x*127/maxabs,
     // floor(+0.5) — then integer summaries of the quantized vector
     "q67_quantize_int8" ->
-      """WITH m AS (SELECT vec_id, embedding,
-        |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
-        |   FROM embeddings),
-        | q AS (SELECT vec_id,
-        |   CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-        |        ELSE list_transform(embedding,
-        |          x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs + 0.5) AS BIGINT)) END AS qvec
-        |   FROM m)
+      s"""WITH $int8QvecCtes
         |SELECT vec_id, list_min(qvec) AS q_min, list_max(qvec) AS q_max,
         | CAST(list_sum(qvec) AS BIGINT) AS q_sum,
         | CAST(list_sum(list_transform(qvec, x -> x * x)) AS BIGINT) AS q_norm2
-        |FROM q ORDER BY vec_id""".stripMargin.replaceAll("\n", " ")
+        |FROM qv ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+    // same quantization, then the q51 ordering pattern over integer dots
+    "q68_ann_int8" ->
+      s"""WITH $int8QvecCtes,
+        | b AS (SELECT vec_id, qvec, ${qdotSql("qvec", "qvec")} AS nrm FROM qv),
+        | qq AS (SELECT qvec AS qu, nrm AS qn FROM b WHERE vec_id = 0)
+        |SELECT vec_id, ${qdotSql("qvec", "qu")} AS dot
+        |FROM b CROSS JOIN qq WHERE vec_id <> 0 AND nrm > 0
+        |ORDER BY CAST(${qdotSql("qvec", "qu")} AS DOUBLE) /
+        |  sqrt(CAST(nrm AS DOUBLE) * CAST(qn AS DOUBLE)) DESC, vec_id
+        |LIMIT 10""".stripMargin.replaceAll("\n", " ")
   )
 }

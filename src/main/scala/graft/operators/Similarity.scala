@@ -423,4 +423,29 @@ object Similarity {
         .otherwise(transform(col(embCol),
           x => floor(x.cast("double") * lit(127d) / col("_maxabs") + lit(0.5d)))))
       .drop("_maxabs")
+
+  /** Exact top-k over the int8-quantized store ([[quantizeInt8]]):
+    * integer dot products in the scan kernel (dot ≤ 127²·dim — no
+    * overflow anywhere near dim 10⁶), ranked by the IEEE-identical
+    * `CAST(dot)/√(CAST(nrm)·CAST(qn))` double — the q51 ordering
+    * pattern, so the int8 serving path is oracle-checkable end-to-end
+    * (q68). Per-vector scales cancel in cosine, which is why symmetric
+    * per-vector quantization preserves ranking. Zero vectors (nrm = 0)
+    * have no cosine and are excluded on both engines.
+    */
+  def bruteForceTopKInt8(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val b = quantizeInt8(embeddings)
+      .select(col("vec_id"), col("qvec").as("q"))
+      .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
+    val qrow = b.filter(col("vec_id") === queryId)
+      .select(col("q").as("qv"), col("nrm").as("qn"))
+    b.filter(col("vec_id") =!= queryId && col("nrm") > 0)
+      .crossJoin(broadcast(qrow))
+      .withColumn("dot", VectorFunctions.qdot(col("q"), col("qv")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("nrm").cast("double") * col("qn").cast("double")))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .select("vec_id", "dot")
+      .limit(k)
+  }
 }

@@ -206,6 +206,14 @@ class SimilaritySpec extends SparkSpec {
       s"quantized recall too low: $exact vs $quantized")
   }
 
+  test("bruteForceTopKInt8 ranks like the float path with hand-checkable dots") {
+    val top = Similarity.bruteForceTopKInt8(vecs, queryId = 0L, k = 3)
+      .select("vec_id", "dot").as[(Long, Long)].collect()
+    assert(top.map(_._1).toSeq == Seq(1L, 4L, 2L)) // same order as bruteForceTopK
+    // q0 → (127,0,0); v1 (0.9,0.1,0) → (127,14,0): dot = 127·127
+    assert(top.head._2 == 127L * 127L)
+  }
+
   test("cosThresholdFraction reduces and round-trips") {
     assert(Similarity.cosThresholdFraction(400) == (4L, 25L))
     assert(Similarity.cosThresholdFraction(500) == (1L, 4L))
