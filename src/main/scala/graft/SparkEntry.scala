@@ -863,6 +863,15 @@ object SparkEntry {
   private def q68(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopKInt8(t(s, d, "embeddings"), queryId = 0L, k = 10)
 
+  /** RAG/pretraining chunk prep ([[graft.operators.Chunking]]): 32-token
+    * windows every 24 tokens (8-token overlap), chunk text included so
+    * the oracle checks the slicing itself, not just the arithmetic.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    graft.operators.Chunking.slidingWindows(
+        t(s, d, "documents"), window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -931,7 +940,8 @@ object SparkEntry {
     "q65_hash_split"        -> (q65 _),
     "q66_seq_pack"          -> (q66 _),
     "q67_quantize_int8"     -> (q67 _),
-    "q68_ann_int8"          -> (q68 _)
+    "q68_ann_int8"          -> (q68 _),
+    "q69_chunks"            -> (q69 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1722,6 +1732,17 @@ object SparkEntry {
         |FROM b CROSS JOIN qq WHERE vec_id <> 0 AND nrm > 0
         |ORDER BY CAST(${qdotSql("qvec", "qu")} AS DOUBLE) /
         |  sqrt(CAST(nrm AS DOUBLE) * CAST(qn AS DOUBLE)) DESC, vec_id
-        |LIMIT 10""".stripMargin.replaceAll("\n", " ")
+        |LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    // DuckDB range() is stop-exclusive like sequence(0, n-1) is
+    // stop-inclusive; tk[a:b] slicing is 1-based inclusive and clips
+    "q69_chunks" ->
+      s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk,
+         |   $tokensSql AS n FROM documents),
+         | s AS (SELECT doc_id, tk, n, unnest(range(0, n, 24)) AS tok_start
+         |        FROM t WHERE n > 0)
+         |SELECT doc_id, tok_start // 24 AS chunk_id, tok_start,
+         | least(tok_start + 32, n) AS tok_end,
+         | array_to_string(tk[tok_start + 1 : least(tok_start + 32, n)], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\n", " ")
   )
 }
