@@ -872,6 +872,27 @@ object SparkEntry {
         t(s, d, "documents"), window = 32, stride = 24)
       .orderBy("doc_id", "chunk_id")
 
+  /** Incremental-ingest diff ([[graft.operators.Delta.snapshotDiff]]):
+    * yesterday = documents; today = deterministic edits (every 7th doc
+    * appended-to, every 11th dropped, every 13th re-added under a new
+    * id) — both engines derive the same synthetic "today", so the diff
+    * statuses hash-check. The shuffle carries (id, fingerprint) pairs,
+    * never text.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val today = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("added doc "), col("doc_id").cast("string")).as("text")))
+    graft.operators.Delta.snapshotDiff(docs, today)
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -941,7 +962,8 @@ object SparkEntry {
     "q66_seq_pack"          -> (q66 _),
     "q67_quantize_int8"     -> (q67 _),
     "q68_ann_int8"          -> (q68 _),
-    "q69_chunks"            -> (q69 _)
+    "q69_chunks"            -> (q69 _),
+    "q70_snapshot_diff"     -> (q70 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1743,6 +1765,25 @@ object SparkEntry {
          |SELECT doc_id, tok_start // 24 AS chunk_id, tok_start,
          | least(tok_start + 32, n) AS tok_end,
          | array_to_string(tk[tok_start + 1 : least(tok_start + 32, n)], ' ') AS chunk_text
-         |FROM s ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\n", " ")
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin.replaceAll("\n", " "),
+    // the synthetic "today" snapshot is derived identically on both
+    // engines; statuses compare canonical fingerprints (formatting-only
+    // edits are 'unchanged' by design)
+    "q70_snapshot_diff" ->
+      s"""WITH today AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'added doc ' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 13 = 0),
+         | o AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
+         | n AS (SELECT doc_id, $fingerprintSql AS fp FROM today),
+         | j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+         |                   WHEN n.doc_id IS NULL THEN 'removed'
+         |                   WHEN o.fp = n.fp THEN 'unchanged'
+         |                   ELSE 'changed' END AS status
+         |       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status"""
+        .stripMargin.replaceAll("\n", " ")
   )
 }
