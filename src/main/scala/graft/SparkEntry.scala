@@ -893,6 +893,24 @@ object SparkEntry {
       .orderBy("status")
   }
 
+  /** Streaming exact dedup held to a batch oracle: the real
+    * `dropDuplicatesWithinWatermark` pipeline drains the documents
+    * table as a file stream ([[graft.streaming.StreamingDedup
+    * .drainDedup]]); the emitted fingerprint SET is the deterministic
+    * contract (which copy survives is arrival order), and it must equal
+    * DuckDB's DISTINCT md5 over the same corpus.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingDedup.drainDedup(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            // +1 day: an event time EQUAL to the initial watermark (epoch
+            // 0) is judged late and silently dropped — doc 0 vanished
+            timestamp_seconds(col("doc_id") + 86400L).as("event_time")),
+        eventTimeCol = "event_time", horizon = "10 hours")
+      .select(col("fingerprint"))
+      .orderBy("fingerprint")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -963,7 +981,8 @@ object SparkEntry {
     "q67_quantize_int8"     -> (q67 _),
     "q68_ann_int8"          -> (q68 _),
     "q69_chunks"            -> (q69 _),
-    "q70_snapshot_diff"     -> (q70 _)
+    "q70_snapshot_diff"     -> (q70 _),
+    "q71_dedup_stream"      -> (q71 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1784,6 +1803,12 @@ object SparkEntry {
          |                   ELSE 'changed' END AS status
          |       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
          |SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+    // the streamed first-seen-wins dedup must emit exactly the distinct
+    // fingerprint set (raw md5 — StreamingDedup's identity, not the
+    // canonical-form fingerprint)
+    "q71_dedup_stream" ->
+      """SELECT DISTINCT md5(text) AS fingerprint FROM documents
+        |ORDER BY fingerprint""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -127,35 +127,16 @@ object SessionStream {
   def drainClosedSessions(
       events: DataFrame,
       gapUs: Long = 1800000000L): DataFrame = {
-    val spark = events.sparkSession
     val staged = events.select(col("user_id"), col("event_id"), col("event_time"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_sess_drain")
-    staged.write.parquet(s"$dir/b0.parquet")
-    val schema = spark.read.parquet(s"$dir/b0.parquet").schema
-    val name = "graft_sess_drain_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = closedSessions(
-        spark.readStream.schema(schema).parquet(s"$dir/*.parquet"), gapUs)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      q.processAllAvailable()
-      val maxUs = staged.agg(max(unix_micros(col("event_time")))).head().getLong(0)
-      spark.range(1)
-        .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
-          timestamp_micros(lit(maxUs + gapUs + 86400000000L)).as("event_time"))
-        .write.mode("append").parquet(s"$dir/b1.parquet")
-      q.processAllAvailable()
-      spark.table(name).filter(col("user_id") =!= -1L).localCheckpoint(true)
-    } finally {
-      q.stop()
-      spark.catalog.dropTempView(name)
-      scala.util.Try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-      ()
-    }
+    FileStreamDrain.drain(
+        staged,
+        closedSessions(_, gapUs).toDF(),
+        secondBatch = st => {
+          val maxUs = st.agg(max(unix_micros(col("event_time")))).head().getLong(0)
+          Some(st.sparkSession.range(1)
+            .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+              timestamp_micros(lit(maxUs + gapUs + 86400000000L)).as("event_time")))
+        })
+      .filter(col("user_id") =!= -1L)
   }
 }

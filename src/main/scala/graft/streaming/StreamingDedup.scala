@@ -47,4 +47,18 @@ object StreamingDedup {
         .dropDuplicatesWithinWatermark("fingerprint")
     else fp.dropDuplicates("fingerprint")
   }
+
+  /** Run the real streaming dedup over a STATIC frame via
+    * [[FileStreamDrain]] and return the emitted rows — the driver-gate
+    * hook (q71). WHICH copy of a duplicate survives is an arrival-order
+    * accident (not part of the contract), so oracle comparisons should
+    * project the emitted `fingerprint` set, which is deterministic:
+    * exactly one row per distinct fingerprint in the stream.
+    */
+  def drainDedup(
+      docs: DataFrame,
+      eventTimeCol: String,
+      horizon: String = "1 hour",
+      contentCol: String = "text"): DataFrame =
+    FileStreamDrain.drain(docs, dedupWithinWatermark(_, eventTimeCol, horizon, contentCol))
 }

@@ -85,6 +85,6 @@ class SessionStreamSpec extends SparkSpec {
     assert(!drained.exists(_._1 == -1L))
     // scratch state is gone: the memory-sink view was dropped
     assert(!spark.catalog.listTables().collect()
-      .exists(_.name.startsWith("graft_sess_drain_")))
+      .exists(_.name.startsWith("graft_stream_drain_")))
   }
 }

@@ -47,4 +47,17 @@ class StreamingDedupSpec extends SparkSpec {
       assert(got.select("fingerprint").distinct().count() == got.count())
     } finally q.stop()
   }
+
+  test("drainDedup emits exactly the distinct fingerprint set (q71 path)") {
+    val dups = docs.filter($"doc_id" < 30).withColumn("doc_id", $"doc_id" + 100000L)
+    // +1 day: an event time EQUAL to the initial watermark (epoch 0) is
+    // judged late and silently dropped — found the hard way via doc 0
+    val in = docs.unionByName(dups)
+      .withColumn("event_time", timestamp_seconds($"doc_id" % 100000L + 86400L))
+    val streamed = StreamingDedup.drainDedup(in, "event_time", horizon = "10 hours")
+      .select("fingerprint").as[String].collect()
+    assert(streamed.length == streamed.distinct.length) // one row per fp
+    val batch = docs.select(md5($"text")).as[String].collect().toSet
+    assert(streamed.toSet == batch)
+  }
 }
