@@ -900,6 +900,40 @@ object SparkEntry {
     * contract (which copy survives is arrival order), and it must equal
     * DuckDB's DISTINCT md5 over the same corpus.
     */
+  /** Streaming sliding-window aggregation held to a batch oracle: the
+    * real watermark + `window()` pipeline
+    * ([[graft.streaming.MonitorStream.windowedStats]]) drains the
+    * events table; a far-future heartbeat advances the watermark so
+    * every real window closes and emits. Values are pre-converted to
+    * integer cents (the money idiom) and window bounds emitted as epoch
+    * µs, so counts/sums/mins/maxes hash-match DuckDB's explicit
+    * two-windows-per-event expansion. Completes the streaming triad:
+    * custom state (q64), built-in dedup state (q71), windowed aggs
+    * (q72).
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val staged = t(s, d, "events")
+      .select(col("event_type"), col("ts"), cents(col("value")).as("value"))
+    val drained = graft.streaming.FileStreamDrain.drain(
+      staged,
+      graft.streaming.MonitorStream.windowedStats(_),
+      secondBatch = st => {
+        val maxTs = st.agg(max("ts")).head().getLong(0)
+        Some(st.sparkSession.range(1).select(
+          lit("_hb").as("event_type"),
+          lit(maxTs + 30L * 86400L * 1000000000L).as("ts"),
+          lit(0L).as("value")))
+      })
+    drained
+      .filter(col("event_type") =!= "_hb")
+      .select(
+        unix_micros(col("window.start")).as("window_start"),
+        unix_micros(col("window.end")).as("window_end"),
+        col("event_type"), col("n"), col("total"),
+        col("min_v"), col("max_v"))
+      .orderBy("window_start", "event_type")
+  }
+
   private def q71(s: SparkSession, d: String): DataFrame =
     graft.streaming.StreamingDedup.drainDedup(
         t(s, d, "documents")
@@ -982,7 +1016,8 @@ object SparkEntry {
     "q68_ann_int8"          -> (q68 _),
     "q69_chunks"            -> (q69 _),
     "q70_snapshot_diff"     -> (q70 _),
-    "q71_dedup_stream"      -> (q71 _)
+    "q71_dedup_stream"      -> (q71 _),
+    "q72_windows_stream"    -> (q72 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1809,6 +1844,21 @@ object SparkEntry {
     // canonical-form fingerprint)
     "q71_dedup_stream" ->
       """SELECT DISTINCT md5(text) AS fingerprint FROM documents
-        |ORDER BY fingerprint""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY fingerprint""".stripMargin.replaceAll("\n", " "),
+    // each event belongs to exactly two 1h/30min sliding windows:
+    // the slide-aligned start at or before it, and the previous one
+    "q72_windows_stream" -> {
+      val slideUs = 1800000000L; val winUs = 3600000000L
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS tu, ${centsSql("value")} AS c FROM events),
+         | w AS (SELECT event_type, tu, c,
+         |   unnest([(tu // $slideUs) * $slideUs, (tu // $slideUs) * $slideUs - $slideUs]) AS ws
+         |   FROM e),
+         | k AS (SELECT * FROM w WHERE tu >= ws AND tu < ws + $winUs)
+         |SELECT ws AS window_start, ws + $winUs AS window_end, event_type,
+         | COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS total,
+         | MIN(c) AS min_v, MAX(c) AS max_v
+         |FROM k GROUP BY ws, event_type ORDER BY window_start, event_type"""
+        .stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -18,11 +18,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object MonitorStream {
 
   /** events schema as landed (ts = ns-since-epoch long under
-    * nanosAsLong; converted to a timestamp here).
+    * nanosAsLong; converted to a timestamp here). Integer `div` — the
+    * former `(ts / 1000).cast("long")` routed a ~1.7e18 long through a
+    * double (53-bit mantissa), rounding timestamps by ~hundreds of ns;
+    * harmless at window granularity but it breaks exact-µs oracle
+    * comparison (q72).
     */
   def eventsWithTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time",
-      timestamp_micros((col("ts") / 1000).cast("long")))
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Sliding-window per-type metric summaries (A2's window summaries:
     * count / sum / min / max / avg).
