@@ -934,6 +934,19 @@ object SparkEntry {
       .orderBy("window_start", "event_type")
   }
 
+  /** Distributed binned percentiles ([[graft.operators.Monitoring
+    * .binnedQuantiles]]): p50/p95/p99 of event value-cents per type in
+    * 100-cent bins — the shuffle carries (type, bin) counts, every
+    * output an exact integer (the first bin lower bound whose
+    * cumulative count reaches p%).
+    */
+  private def q73(s: SparkSession, d: String): DataFrame =
+    Monitoring.binnedQuantiles(
+        t(s, d, "events").select(col("event_type"), cents(col("value")).as("vc")),
+        keyCols = Seq("event_type"), valueCol = "vc", binWidth = 100L,
+        percents = Seq(50, 95, 99))
+      .orderBy("event_type")
+
   private def q71(s: SparkSession, d: String): DataFrame =
     graft.streaming.StreamingDedup.drainDedup(
         t(s, d, "documents")
@@ -1017,7 +1030,8 @@ object SparkEntry {
     "q69_chunks"            -> (q69 _),
     "q70_snapshot_diff"     -> (q70 _),
     "q71_dedup_stream"      -> (q71 _),
-    "q72_windows_stream"    -> (q72 _)
+    "q72_windows_stream"    -> (q72 _),
+    "q73_binned_quantiles"  -> (q73 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1858,6 +1872,22 @@ object SparkEntry {
          | COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS total,
          | MIN(c) AS min_v, MAX(c) AS max_v
          |FROM k GROUP BY ws, event_type ORDER BY window_start, event_type"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+    // truncating // matches Spark div; p_lo = lower bound of the first
+    // bin whose cumulative count reaches p% of the group
+    "q73_binned_quantiles" -> {
+      def pLo(p: Int) =
+        s"MIN(CASE WHEN 100 * cum >= $p * tot THEN bin * 100 END) AS p${p}_lo"
+      s"""WITH b AS (SELECT event_type, ${centsSql("value")} // 100 AS bin, COUNT(*) AS c
+         |   FROM events GROUP BY event_type, bin),
+         | w AS (SELECT event_type, bin, c,
+         |   SUM(c) OVER (PARTITION BY event_type ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         |   SUM(c) OVER (PARTITION BY event_type) AS tot
+         |   FROM b)
+         |SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
+         | ${pLo(50)}, ${pLo(95)}, ${pLo(99)}
+         |FROM w GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " ")
     }
   )

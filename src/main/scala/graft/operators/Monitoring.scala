@@ -115,4 +115,46 @@ object Monitoring {
       .filter(abs(col("_sa") - col("_sb")) * 100 > lit(pct) * col("_sb"))
       .select(partitionCols.map(col) :+ col(orderCol): _*)
   }
+
+  /** Distributed percentiles via fixed-width binning — the
+    * exactly-checkable histogram form of a quantile sketch (p50/p95
+    * latency dashboards). The shuffle carries `(key, bin) → count`
+    * rows, bounded by nKeys·nBins regardless of data size, and every
+    * output is integer arithmetic: for each requested percent `p`, the
+    * reported value is the LOWER BOUND of the first bin whose
+    * cumulative count reaches `p%` of the group (`100·cum ≥ p·total`) —
+    * deterministic on every engine, within `binWidth` of the true
+    * discrete percentile.
+    *
+    * `valueCol` must be integral (use the cents idiom for money).
+    * Binning uses truncating integer division — identical in Spark
+    * (`div`) and DuckDB (`//`), both toward zero — so with negative
+    * values bin 0 straddles `(-binWidth, binWidth)`; offset such inputs
+    * first if uniform bin edges matter.
+    */
+  def binnedQuantiles(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      binWidth: Long,
+      percents: Seq[Int]): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1,100], got $percents")
+    val keys = keyCols.map(col)
+    val binned = df
+      .withColumn("_bin", expr(s"$valueCol div $binWidth"))
+      .groupBy(keys :+ col("_bin"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(keys: _*).orderBy("_bin")
+    val cum = binned
+      .withColumn("_cum", sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_tot", sum(col("_c")).over(Window.partitionBy(keys: _*)))
+    val pctAggs = percents.map(p =>
+      min(when(lit(100L) * col("_cum") >= lit(p.toLong) * col("_tot"),
+        col("_bin") * binWidth)).as(s"p${p}_lo"))
+    cum.groupBy(keys: _*)
+      .agg(max(col("_tot")).as("n"), pctAggs: _*)
+  }
 }

@@ -54,4 +54,23 @@ class MonitoringSpec extends SparkSpec {
     // shift happens at ts=31; windows containing the spike (21) also move
     assert(cps.exists(t => t >= 29 && t <= 33), s"expected shift near 31, got $cps")
   }
+
+  test("binnedQuantiles: hand-computed bins and within-binWidth accuracy") {
+    val vals = (1 to 100).map(v => ("a", v.toLong)).toDF("k", "v")
+    val row = Monitoring.binnedQuantiles(vals, Seq("k"), "v", binWidth = 10L,
+        percents = Seq(50, 95, 100))
+      .select("n", "p50_lo", "p95_lo", "p100_lo")
+      .as[(Long, Long, Long, Long)].head()
+    // bin 5 (values 50-59) is the first with cum ≥ 50 of 100; bin 9 ≥ 95
+    assert(row == ((100L, 50L, 90L, 100L)))
+    // pseudo-random corpus: the bin lower bound is within binWidth of the
+    // true discrete percentile
+    val rnd = (0 until 1000).map(i => ("b", (i * 7919L) % 5000L)).toDF("k", "v")
+    val got = Monitoring.binnedQuantiles(rnd, Seq("k"), "v", 100L, Seq(50, 95))
+      .select("p50_lo", "p95_lo").as[(Long, Long)].head()
+    val sorted = (0 until 1000).map(i => (i * 7919L) % 5000L).sorted
+    def exact(p: Int) = sorted((p * 1000 / 100) - 1)
+    assert(math.abs(got._1 - exact(50)) <= 100, s"p50 ${got._1} vs ${exact(50)}")
+    assert(math.abs(got._2 - exact(95)) <= 100, s"p95 ${got._2} vs ${exact(95)}")
+  }
 }
