@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Streaming exact deduplication for a continuous document-ingest
   * stream — the incremental counterpart of the batch fingerprint dedup
-  * (`graft.operators.Dedup.exactByFingerprint`; reference behavior:
+  * (`graft.operators.Dedup.exactDedup`; reference behavior:
   * ordered first-seen-wins URL/content dedup, `etl/handlers/atom_feed
   * .py:86-111`).
   *
