@@ -947,6 +947,16 @@ object SparkEntry {
         percents = Seq(50, 95, 99))
       .orderBy("event_type")
 
+  /** Corpus-relative OOV quality signal
+    * ([[graft.operators.Vocabulary.oovRate]]): each doc scored against
+    * the corpus' own top-20 vocabulary (deterministic freq-desc,
+    * token-asc tie-break). Two-pass: TakeOrdered vocabulary → broadcast
+    * membership probe; the corpus never shuffles on a token key.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocabulary.oovRate(t(s, d, "documents"), vocabSize = 20)
+      .orderBy("doc_id")
+
   private def q71(s: SparkSession, d: String): DataFrame =
     graft.streaming.StreamingDedup.drainDedup(
         t(s, d, "documents")
@@ -1031,7 +1041,8 @@ object SparkEntry {
     "q70_snapshot_diff"     -> (q70 _),
     "q71_dedup_stream"      -> (q71 _),
     "q72_windows_stream"    -> (q72 _),
-    "q73_binned_quantiles"  -> (q73 _)
+    "q73_binned_quantiles"  -> (q73 _),
+    "q74_oov_rate"          -> (q74 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1889,6 +1900,20 @@ object SparkEntry {
          | ${pLo(50)}, ${pLo(95)}, ${pLo(99)}
          |FROM w GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // vocabulary = top-20 tokens (freq desc, token asc — total order);
+    // floor(100.0·oov/n) of exact ints is correctly rounded identically
+    "q74_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |            FROM documents),
+        | t2 AS (SELECT * FROM tok WHERE length(tok) > 0),
+        | vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS freq FROM t2
+        |           GROUP BY tok ORDER BY freq DESC, tok LIMIT 20)),
+        | s AS (SELECT t2.doc_id, COUNT(*) AS n_tok,
+        |   CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |   FROM t2 LEFT JOIN vocab v ON t2.tok = v.tok GROUP BY t2.doc_id)
+        |SELECT doc_id, n_tok, n_oov,
+        | CAST(floor(100.0 * n_oov / n_tok) AS BIGINT) AS oov_pct
+        |FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }
