@@ -146,18 +146,35 @@ object Dedup {
     * Zipfian corpora invert that: candidates dominate, and this is
     * the variant that survives 100× scale.
     */
-  def jaccardNearDupPairsPrefix(docs: DataFrame, thresholdPct: Int): DataFrame = {
-    val t = thresholdPct.toLong
+  def jaccardNearDupPairsPrefix(docs: DataFrame, thresholdPct: Int): DataFrame =
+    jaccardPairsFromPrefixIndex(buildJaccardPrefixIndex(docs), thresholdPct)
+
+  /** The per-doc index [[jaccardNearDupPairsPrefix]] consumes: one row
+    * per doc with its token array in global rarity order (df asc, word
+    * asc) and size. Split out because the pair join reads the index
+    * FOUR times (both join sides + both verification lookups): at 100 TB
+    * the fused form would re-tokenize the corpus four times, so build
+    * the index once, persist or write it, and call
+    * [[jaccardPairsFromPrefixIndex]] — the same build/probe split as
+    * the IVF family (`Similarity.buildIvfIndex`/`ivfProbe`).
+    */
+  def buildJaccardPrefixIndex(docs: DataFrame): DataFrame = {
     val words = docs
       .select(col("doc_id"), explode(TextFunctions.wordSet(col("text"))).as("word"))
     val dfreq = words.groupBy("word").agg(count(lit(1)).as("df"))
-    // One row per doc: tokens in global rarity order (df asc, word asc).
-    val byDoc = words
+    words
       .join(dfreq, "word")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("word")))).as("tw"))
       .select(col("doc_id"), size(col("tw")).cast("long").as("nw"),
         transform(col("tw"), x => x.getField("word")).as("ws"))
+  }
+
+  /** Prefix-filtered exact Jaccard pairs over a prebuilt
+    * [[buildJaccardPrefixIndex]] frame (persist it first at scale).
+    */
+  def jaccardPairsFromPrefixIndex(byDoc: DataFrame, thresholdPct: Int): DataFrame = {
+    val t = thresholdPct.toLong
     val pref = byDoc
       .withColumn("cmin", ((lit(t) * col("nw") + 99L) / 100L).cast("long"))
       .select(col("doc_id"), col("nw"),

@@ -72,6 +72,15 @@ class DedupSpec extends SparkSpec {
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
         .as[(Long, Long, Long, Long, Long)].collect().toSet
       assert(viaPrefix == viaCount)
+      // the scale path — persisted index, then the pair join — is the
+      // same computation (q63 uses the fused convenience form)
+      val idx = Dedup.buildJaccardPrefixIndex(corpus).persist()
+      try {
+        val viaIndex = Dedup.jaccardPairsFromPrefixIndex(idx, thresholdPct = t)
+          .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(viaIndex == viaCount)
+      } finally { idx.unpersist(); () }
     }
   }
 
