@@ -304,7 +304,7 @@ object Similarity {
     }.sortBy { case (cos, id) => (-cos, -id) }.take(nProbe).map(_._2)
     val qCol = array(qq.map(lit): _*)
     val cells = spark.read.parquet(s"$path/cells")
-      .filter(col("cent_id").isin(probeIds: _*))
+      .filter(col("cent_id").isin(probeIds.toIndexedSeq: _*))
     exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
       .withColumn("dot", VectorFunctions.qdot(col("q"), qCol))
       .withColumn("cos", col("dot").cast("double") /

@@ -27,12 +27,7 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
     mappings: MappingManager = new MappingManager(Seq.empty),
     stagingDb: String = "staging") {
 
-  /** One ledger row per (source, phase) — the Summary surface (A1):
-    * phase ∈ {stage, geoprocess, publish}, status ∈ {done, skip, error}.
-    */
-  final case class LedgerRow(
-      source: String, authority: String, phase: String, status: String,
-      table: String, rows: Long, error: String, level: Long = 0L)
+  import EtlPipeline.LedgerRow
 
   private val ledger    = mutable.ArrayBuffer[LedgerRow]()
   private val usedNames = mutable.Set[String]()
@@ -237,4 +232,15 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
     staged.foreach { case (s, fc) => publishTable(s, fc) }
     results
   }
+}
+
+object EtlPipeline {
+  /** One ledger row per (source, phase) — the Summary surface (A1):
+    * phase ∈ {stage, geoprocess, publish}, status ∈ {done, skip, error}.
+    * Top-level (not nested in the class) so the case-class type test
+    * needs no outer-instance check.
+    */
+  final case class LedgerRow(
+      source: String, authority: String, phase: String, status: String,
+      table: String, rows: Long, error: String, level: Long = 0L)
 }
