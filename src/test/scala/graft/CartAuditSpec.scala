@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
+/** Global audit #2: condition-less joins. A cartesian between two big
+  * relations is the other classic scale-killer (O(n·m) rows); the only
+  * sanctioned instances are query-vector broadcasts — one side is a
+  * single row (the ANN probe) or the nCentroids-row centroid table, so
+  * the "cartesian" is a BroadcastNestedLoopJoin over a handful of rows.
+  * A new condition-less join anywhere else must justify itself here.
+  */
+class CartAuditSpec extends SparkSpec {
+
+  private val allowedConditionlessJoins = Map(
+    "q22_cosine_topk"     -> 1, // 1-row query vector broadcast
+    "q37_media_embed_ann" -> 1, // 1-row probe embedding broadcast
+    "q51_ivf_ann"         -> 3, // query row + centroid table (≤32 rows) ×2
+    "q68_ann_int8"        -> 1  // 1-row quantized query broadcast
+  )
+
+  test("no query has an unsanctioned condition-less join") {
+    graft.plans.GraftExtensions.install(spark)
+    val sfDir = sf("sf0.001")
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val n = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case j: Join if j.condition.isEmpty => j
+      }.size
+      if (n > allowedConditionlessJoins.getOrElse(name, 0)) Some(name -> n) else None
+    }
+    assert(offenders.isEmpty,
+      s"condition-less joins outside the sanctioned ANN broadcasts: $offenders")
+  }
+}
