@@ -313,10 +313,18 @@ object SparkEntry {
   private def q25(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopKPortable(t(s, d, "embeddings"), queryId = 0L, k = 10)
 
-  /** F9: JSON parse of the open `props` column → typed value → agg. */
+  /** F9: JSON parse of the open `props` column → typed value → agg.
+    * One `from_json` with an explicit schema, not per-key
+    * `get_json_object`: the struct parse runs the Jackson tokenizer
+    * once per row straight into a typed field (and prunes to the
+    * requested keys), where the path form re-parses the document for
+    * every extracted key — the difference compounds linearly with the
+    * number of keys a real pipeline pulls out.
+    */
   private def q26(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k",
+        from_json(col("props"), "k LONG", Map.empty[String, String]).getField("k"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"),
         sum(cents(col("value"))).as("total_value"))
@@ -900,6 +908,17 @@ object SparkEntry {
     * contract (which copy survives is arrival order), and it must equal
     * DuckDB's DISTINCT md5 over the same corpus.
     */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingDedup.drainDedup(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            // +1 day: an event time EQUAL to the initial watermark (epoch
+            // 0) is judged late and silently dropped — doc 0 vanished
+            timestamp_seconds(col("doc_id") + 86400L).as("event_time")),
+        eventTimeCol = "event_time", horizon = "10 hours")
+      .select(col("fingerprint"))
+      .orderBy("fingerprint")
+
   /** Streaming sliding-window aggregation held to a batch oracle: the
     * real watermark + `window()` pipeline
     * ([[graft.streaming.MonitorStream.windowedStats]]) drains the
@@ -917,12 +936,12 @@ object SparkEntry {
     val drained = graft.streaming.FileStreamDrain.drain(
       staged,
       graft.streaming.MonitorStream.windowedStats(_),
-      secondBatch = st => {
-        val maxTs = st.agg(max("ts")).head().getLong(0)
-        Some(st.sparkSession.range(1).select(
-          lit("_hb").as("event_type"),
-          lit(maxTs + 30L * 86400L * 1000000000L).as("ts"),
-          lit(0L).as("value")))
+      secondBatch = graft.streaming.FileStreamDrain.watermarkCloser(col("ts")) {
+        (ss, maxTs) =>
+          ss.range(1).select(
+            lit("_hb").as("event_type"),
+            lit(maxTs + 30L * 86400L * 1000000000L).as("ts"),
+            lit(0L).as("value"))
       })
     drained
       .filter(col("event_type") =!= "_hb")
@@ -956,17 +975,6 @@ object SparkEntry {
   private def q74(s: SparkSession, d: String): DataFrame =
     graft.operators.Vocabulary.oovRate(t(s, d, "documents"), vocabSize = 20)
       .orderBy("doc_id")
-
-  private def q71(s: SparkSession, d: String): DataFrame =
-    graft.streaming.StreamingDedup.drainDedup(
-        t(s, d, "documents")
-          .select(col("doc_id"), col("text"),
-            // +1 day: an event time EQUAL to the initial watermark (epoch
-            // 0) is judged late and silently dropped — doc 0 vanished
-            timestamp_seconds(col("doc_id") + 86400L).as("event_time")),
-        eventTimeCol = "event_time", horizon = "10 hours")
-      .select(col("fingerprint"))
-      .orderBy("fingerprint")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),

@@ -172,6 +172,16 @@ object Dedup {
 
   /** Prefix-filtered exact Jaccard pairs over a prebuilt
     * [[buildJaccardPrefixIndex]] frame (persist it first at scale).
+    *
+    * NO forced broadcast anywhere: the index and the doc→word-array
+    * table are both O(corpus), so a mandatory `broadcast()` hint would
+    * OOM exactly at the scale this variant exists for. The candidate
+    * self-join is a plain shuffle equi-join on the prefix token — cold
+    * keys by construction (rarest-first prefixes), so it partitions
+    * evenly — and the two verification lookups are plain equi-joins on
+    * doc_id. At test scale AQE promotes all three to broadcast joins on
+    * its own; at 100 TB they stay shuffles, which is the only shape
+    * that survives.
     */
   def jaccardPairsFromPrefixIndex(byDoc: DataFrame, thresholdPct: Int): DataFrame = {
     val t = thresholdPct.toLong
@@ -180,8 +190,8 @@ object Dedup {
       .select(col("doc_id"), col("nw"),
         explode(slice(col("ws"), lit(1),
           (col("nw") - col("cmin") + 1L).cast("int"))).as("word"))
-    val a = spread(pref, "doc_id").as("a")
-    val b = broadcast(pref).as("b")
+    val a = pref.as("a")
+    val b = pref.as("b")
     val cand = a
       .join(b, col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id") &&
         lit(100L) * least(col("a.nw"), col("b.nw")) >=
@@ -190,8 +200,8 @@ object Dedup {
       .distinct()
     val sets = byDoc.select(col("doc_id"), col("ws"), col("nw"))
     cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("ws").as("wa"), col("nw").as("n_a"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("ws").as("wb"), col("nw").as("n_b"))), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("wa"), col("nw").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("wb"), col("nw").as("n_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("wa"), col("wb"))).cast("long"))
       .filter(lit(100L) * col("n_common") >=
         lit(t) * (col("n_a") + col("n_b") - col("n_common")))

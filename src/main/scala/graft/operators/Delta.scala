@@ -20,6 +20,13 @@ object Delta {
 
   /** One row per id present in either snapshot, with status
     * `added` / `removed` / `changed` / `unchanged`.
+    *
+    * Ids need not be unique within a snapshot: each side is reduced to
+    * ONE fingerprint per id (the lexicographic min) before the join, so
+    * duplicate ids can neither fan out the full-outer join nor emit
+    * contradictory status rows. The groupBy adds no extra exchange —
+    * the full-outer join repartitions on the id anyway, and the partial
+    * aggregate shrinks what that shuffle carries.
     */
   def snapshotDiff(
       oldDocs: DataFrame,
@@ -28,8 +35,10 @@ object Delta {
       contentCol: String = "text"): DataFrame = {
     val o = oldDocs.select(col(idCol).as(idCol),
       TextFunctions.fingerprint(col(contentCol)).as("_fp_old"))
+      .groupBy(idCol).agg(min("_fp_old").as("_fp_old"))
     val n = newDocs.select(col(idCol).as(idCol),
       TextFunctions.fingerprint(col(contentCol)).as("_fp_new"))
+      .groupBy(idCol).agg(min("_fp_new").as("_fp_new"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("_fp_old").isNull, "added")

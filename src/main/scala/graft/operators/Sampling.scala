@@ -33,9 +33,17 @@ object Sampling {
   def pctBucket(id: Column, salt: String): Column =
     PortableHash.md5Hex32(concat(lit(salt), lit(":"), id.cast("string"))) % 100
 
-  /** DuckDB rendering of [[pctBucket]] for oracle SQL. */
-  def pctBucketSql(idExpr: String, salt: String): String =
+  /** DuckDB rendering of [[pctBucket]] for oracle SQL. The salt is
+    * interpolated into a SQL string literal, so it is restricted to a
+    * quote-free identifier charset rather than escaped — salts are
+    * pipeline config, not data, and a rejected salt fails loudly at
+    * plan time instead of corrupting the oracle query.
+    */
+  def pctBucketSql(idExpr: String, salt: String): String = {
+    require(salt.matches("[A-Za-z0-9_.\\-]*"),
+      s"salt must match [A-Za-z0-9_.-]* (it is spliced into a SQL literal), got '$salt'")
     s"${PortableHash.md5Hex32Sql(s"'$salt:' || CAST($idExpr AS VARCHAR)")} % 100"
+  }
 
   /** Append a `split` column assigning each row to the first named
     * split whose cumulative weight exceeds the row's bucket —
@@ -51,6 +59,9 @@ object Sampling {
       salt: String = "split"): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,
       s"split weights must sum to 100, got ${splits.map(_._2).sum}")
+    require(splits.forall(_._2 > 0),
+      s"every split weight must be positive (a zero or negative weight is an " +
+        s"unreachable or overlapping split), got ${splits.map(_._2).mkString(",")}")
     val bucket = pctBucket(col(idCol), salt)
     val cum = splits.scanLeft(0)(_ + _._2).tail
     val assigned = splits.zip(cum).tail.foldLeft(

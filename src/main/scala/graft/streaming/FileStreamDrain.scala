@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.max
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Shared harness for holding streaming operators to batch oracles: run
@@ -13,6 +14,18 @@ import org.apache.spark.sql.streaming.OutputMode
   * repeatedly in one session (unique sink names).
   */
 private[graft] object FileStreamDrain {
+
+  /** Build a `secondBatch` closure for [[drain]] that closes every real
+    * window/session in Append mode: read the staged frame's max event
+    * time under `timeExpr` and emit ONE far-future heartbeat row built
+    * by `mk(spark, maxTime)`. The `agg(max).head()` here is the single
+    * sanctioned driver-side scalar in the streaming harnesses — one
+    * long per drain, read from the STATIC batch frame (never the
+    * stream) — centralized so call sites don't hand-roll driver reads.
+    */
+  def watermarkCloser(timeExpr: Column)(
+      mk: (SparkSession, Long) => DataFrame): DataFrame => Option[DataFrame] =
+    st => Some(mk(st.sparkSession, st.agg(max(timeExpr)).head().getLong(0)))
 
   /** @param staged      the static input frame (written once as batch 0)
     * @param pipeline    streaming transform under test

@@ -131,11 +131,11 @@ object SessionStream {
     FileStreamDrain.drain(
         staged,
         closedSessions(_, gapUs).toDF(),
-        secondBatch = st => {
-          val maxUs = st.agg(max(unix_micros(col("event_time")))).head().getLong(0)
-          Some(st.sparkSession.range(1)
-            .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
-              timestamp_micros(lit(maxUs + gapUs + 86400000000L)).as("event_time")))
+        secondBatch = FileStreamDrain.watermarkCloser(unix_micros(col("event_time"))) {
+          (ss, maxUs) =>
+            ss.range(1)
+              .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+                timestamp_micros(lit(maxUs + gapUs + 86400000000L)).as("event_time"))
         })
       .filter(col("user_id") =!= -1L)
   }

@@ -13,6 +13,7 @@ either side, and (b) compares floats by repr — final outputs must be
 BIGINT/string/date only.
 
 Usage: python3 tools/selfcheck.py [sfdir] [outdir] [--skip-verify]
+                                  [--only=q01_x,q02_y]
 """
 import decimal
 import json
@@ -23,14 +24,18 @@ from pathlib import Path
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
+OUT = pos[1] if len(pos) > 1 else "/tmp/graft_verify"
+ONLY = next((set(a.split("=", 1)[1].split(","))
+             for a in sys.argv[1:] if a.startswith("--only=")), None)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def run_verify():
+    flt = f" {','.join(sorted(ONLY))}" if ONLY else ""
     cp = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{flt}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     for line in cp.stdout.splitlines():
         if "[verify]" in line or "error" in line.lower():
@@ -77,6 +82,8 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     n_pass = n_fail = 0
     for name, sql in oracle.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         spark_dir = Path(OUT) / name
         if not spark_dir.exists():
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
@@ -109,7 +116,8 @@ def main():
                     break
     # queries without oracle → rows-only note
     extra = [p.name for p in Path(OUT).iterdir()
-             if p.is_dir() and p.name not in oracle]
+             if p.is_dir() and p.name not in oracle
+             and (ONLY is None or p.name in ONLY)]
     for name in sorted(extra):
         try:
             n = con.sql(f"SELECT count(*) FROM '{OUT}/{name}/*.parquet'").fetchone()[0]
