@@ -3,21 +3,51 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
-/** Plan inspection: `runMain graft.Explain [sfDir] [query...]` prints the
-  * formatted plan of each named query (default: a representative set).
-  * The review loop for "is this the plan I'd want at 100 TB": check
-  * PushedFilters, ReadSchema, broadcast vs sort-merge, WholeStageCodegen
-  * spans, partial aggregation.
+/** Plan inspection: `runMain graft.Explain [--out=PLANS.md] [sfDir]
+  * [query...]` prints (or writes) the formatted plan of each named query
+  * (default: the headline set). The review loop for "is this the plan
+  * I'd want at 100 TB": check PushedFilters, ReadSchema, broadcast vs
+  * sort-merge, WholeStageCodegen spans, partial aggregation.
+  *
+  * With `--out=PLANS.md` the dump is committed per round so plan
+  * regressions (a lost broadcast, a new Exchange, a filter that stopped
+  * pushing down) surface as git diffs — complementing the two plan-audit
+  * specs, which gate only the two known scale-killers. Expression ids
+  * (`#123`) and plan ids are normalized out so diffs show plan-SHAPE
+  * changes, not counter churn from unrelated queries.
   */
 object Explain {
+
+  /** The committed-plan set: scans with pushdown (q15), the broadcast
+    * join chain (q03), dedup/LSH kernels (q20/q23/q63), the native
+    * as-of join (q50), salted and range joins (q52/q53), sketch
+    * aggregates (q57), packing's two-level scan (q66), ANN (q68), the
+    * bucketed join (q75), and the mixing rate join (q76). Streaming
+    * drains are excluded: their returned frame is a checkpoint scan —
+    * the real streaming plan lives inside the drain harness.
+    */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_nation_revenue", "q15_bbox_parts",
+    "q20_fingerprint_dedup", "q22_cosine_topk", "q23_minhash_pairs",
+    "q50_asof_native", "q52_salted_join", "q53_range_join",
+    "q57_hll_distinct", "q63_jaccard_prefix", "q66_seq_pack",
+    "q68_ann_int8", "q75_bucketed_join", "q76_temperature_mix")
+
+  /** Strip run-dependent counters so committed dumps diff cleanly:
+    * expression ids, codegen stage ids, plan ids, temp-view uuids.
+    */
+  def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+L?", "#x")
+      .replaceAll("\\[codegen id : \\d+\\]", "[codegen id : x]")
+      .replaceAll("\\[plan_id=\\d+\\]", "[plan_id=x]")
+      .replaceAll("cte\\[\\d+\\]", "cte[x]")
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.tail.toSeq
-      else Seq("q01_pricing_summary", "q03_nation_revenue", "q15_bbox_parts",
-        "q20_fingerprint_dedup", "q22_cosine_topk", "q23_minhash_pairs",
-        "q50_asof_native", "q52_salted_join", "q53_range_join",
-        "q57_hll_distinct", "q63_jaccard_prefix", "q66_seq_pack",
-        "q68_ann_int8")
+    val out = args.collectFirst { case a if a.startsWith("--out=") => a.drop(6) }
+    val rest = args.filterNot(_.startsWith("--out="))
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (rest.length > 1) rest.tail.toSeq else headline
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -28,10 +58,27 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.install(spark)
-    for (n <- names) {
-      println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+    val body = names.map { n =>
+      val plan = SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      s"\n## $n\n\n```\n${normalize(plan).trim}\n```\n"
+    }.mkString
+    out match {
+      case Some(path) =>
+        val header =
+          s"""# PLANS — formatted plans of the headline queries
+             |
+             |Regenerated per round (`sbt "runMain graft.Explain --out=PLANS.md"`,
+             |sf0.01) and committed so plan regressions — a lost broadcast, a new
+             |Exchange, a filter that stopped pushing down — show up as diffs.
+             |Expression/codegen/plan ids are normalized to `x`.
+             |""".stripMargin
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), header + body)
+        println(s"wrote ${names.size} plans to $path")
+      case None =>
+        names.zip(body.split("\n## ").tail).foreach { case (n, p) =>
+          println(s"\n========== $n ==========\n${p.dropWhile(_ != '\n')}")
+        }
     }
     spark.stop()
   }

@@ -976,6 +976,50 @@ object SparkEntry {
     graft.operators.Vocabulary.oovRate(t(s, d, "documents"), vocabSize = 20)
       .orderBy("doc_id")
 
+  /** §2.10 bucketed layout as a driver query
+    * ([[graft.operators.Bucketing.writeBucketed]]): both fact tables
+    * are written `bucketBy(8, orderkey)` + `sortBy` once — the
+    * pay-at-ingest layout — then the fact⋈fact join consumes the
+    * co-located bucket files with NO exchange below the join; at 100 TB
+    * that converts the pipeline's dominant network cost into a local
+    * merge, reused by every subsequent query on the key. Bucketing is
+    * semantics-preserving, so the oracle is the plain DuckDB join
+    * (the q52 pattern); BucketingSpec pins the plan shape — with
+    * broadcast disabled the whole query contains exactly ONE hash
+    * Exchange (the aggregation), zero under the join.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    graft.operators.Bucketing.writeBucketed(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_q75_lineitem", buckets = 8, bucketCols = Seq("l_orderkey"))
+    graft.operators.Bucketing.writeBucketed(
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_q75_orders", buckets = 8, bucketCols = Seq("o_orderkey"))
+    s.table("graft_q75_lineitem")
+      .join(s.table("graft_q75_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPriceE4(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Temperature-weighted mixture rebalancing
+    * ([[graft.operators.Mixing.temperatureMixT2]]) over the corpus's
+    * skewed language distribution: keep the rarest language in full,
+    * thin the rest toward shares ∝ √n — the multilingual-pretraining
+    * reweighting, T=2. Completes the pretraining data path
+    * split (q65) → mix (q76) → pack (q66) → chunk (q69). Output is the
+    * per-language audit (rate and kept count), every value exact
+    * integer arithmetic (isqrt + md5 permille bucket) so the oracle
+    * reproduces acceptance decisions bit-for-bit.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mixing.temperatureMixT2(
+        t(s, d, "documents"), sourceCol = "lang", idCol = "doc_id")
+      .groupBy(col("lang"), col("rate_pm"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1050,7 +1094,9 @@ object SparkEntry {
     "q71_dedup_stream"      -> (q71 _),
     "q72_windows_stream"    -> (q72 _),
     "q73_binned_quantiles"  -> (q73 _),
-    "q74_oov_rate"          -> (q74 _)
+    "q74_oov_rate"          -> (q74 _),
+    "q75_bucketed_join"     -> (q75 _),
+    "q76_temperature_mix"   -> (q76 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1922,6 +1968,27 @@ object SparkEntry {
         |   FROM t2 LEFT JOIN vocab v ON t2.tok = v.tok GROUP BY t2.doc_id)
         |SELECT doc_id, n_tok, n_oov,
         | CAST(floor(100.0 * n_oov / n_tok) AS BIGINT) AS oov_pct
-        |FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        |FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // bucketing is layout, not semantics: the oracle is the plain join
+    "q75_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         | CAST(SUM($discPriceE4Sql) AS BIGINT) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+    // T=2 temperature mix: isqrt + integer division + md5 permille
+    // bucket — every acceptance decision exact in both engines
+    "q76_temperature_mix" -> {
+      val isq = graft.operators.Mixing.isqrtSql("n_s * n_min")
+      val bucket = graft.operators.Mixing.permilleBucketSql("d.doc_id", "mix")
+      s"""WITH n AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang),
+         | mn AS (SELECT MIN(n_s) AS n_min FROM n),
+         | r AS (SELECT lang, CAST((1000 * $isq) // n_s AS BIGINT) AS rate_pm FROM n, mn)
+         |SELECT d.lang, r.rate_pm, COUNT(*) AS n_kept
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE $bucket < r.rate_pm
+         |GROUP BY d.lang, r.rate_pm ORDER BY d.lang"""
+        .stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -15,7 +15,10 @@ class CartAuditSpec extends SparkSpec {
     "q22_cosine_topk"     -> 1, // 1-row query vector broadcast
     "q37_media_embed_ann" -> 1, // 1-row probe embedding broadcast
     "q51_ivf_ann"         -> 3, // query row + centroid table (≤32 rows) ×2
-    "q68_ann_int8"        -> 1  // 1-row quantized query broadcast
+    "q68_ann_int8"        -> 1, // 1-row quantized query broadcast
+    "q76_temperature_mix" -> 1  // 1-row global n_min over the per-source
+                                // counts (the q42 scalar-subquery shape);
+                                // both sides O(#sources), never the corpus
   )
 
   test("no query has an unsanctioned condition-less join") {

@@ -37,4 +37,20 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("q75 plan shape: the only hash exchange is the aggregation, none under the join") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan inspection
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val df = graft.SparkEntry.queries("q75_bucketed_join")(spark, sf())
+      val plan = df.queryExecution.executedPlan.toString
+      val nHashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(nHashExchanges == 1,
+        s"expected exactly 1 hash exchange (the groupBy) — a second one means " +
+          s"a bucketed side shuffled:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }
