@@ -176,6 +176,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"index probe must match the in-query IVF: $got vs $want")
   }
 
+  test("IVF recall@10: floor at the operating point, Lloyd non-regression, nProbe monotone") {
+    // centroid-QUALITY gate (the file-pruning proof above is layout
+    // only). The fixture is ISOTROPIC random (measured: within-label
+    // mean cos ≈ cross-label ≈ 0), the worst case for any IVF — there
+    // recall is bounded by the probed fraction plus the neighbor/cell
+    // correlation, so the gate is (a) an absolute floor at the q51
+    // operating point, (b) refinement must not LOSE recall vs the raw
+    // seeded centroids (the actual Lloyd-regression catch), (c) recall
+    // grows with nProbe. 20 spread queries, mean over their top-10s.
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queryIds = (0 until 20).map(_ * 25L) // 0, 25, …, 475: spread
+    val qvecs = emb.filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val truths = queryIds.map { qid =>
+      qid -> Similarity.bruteForceTopKPortable(emb, queryId = qid, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+    }.toMap
+    def meanRecall(dir: String, nProbe: Int): Double =
+      queryIds.map { qid =>
+        val got = Similarity.ivfProbe(spark, dir, qvecs(qid).toSeq, k = 10,
+            nProbe = nProbe, exclude = Some(qid))
+          .select("vec_id").as[Long].collect().toSet
+        truths(qid).intersect(got).size / 10.0
+      }.sum / queryIds.size
+
+    val seedDir = s"${java.nio.file.Files.createTempDirectory("graft_ivf_seed")}/ivf"
+    val refDir  = s"${java.nio.file.Files.createTempDirectory("graft_ivf_ref")}/ivf"
+    Similarity.buildIvfIndex(emb, seedDir, nCentroids = 32, refineIters = 0)
+    Similarity.buildIvfIndex(emb, refDir, nCentroids = 32, refineIters = 2)
+
+    val seed4 = meanRecall(seedDir, 4)
+    val ref4  = meanRecall(refDir, 4)
+    val ref8  = meanRecall(refDir, 8)
+    info(s"recall@10 seeded/4=$seed4 refined/4=$ref4 refined/8=$ref8")
+    assert(ref4 >= 0.35, s"refined recall@10 at nProbe=4 collapsed: $ref4")
+    assert(ref4 >= seed4 - 0.05, s"Lloyd refinement LOST recall: $ref4 < $seed4")
+    assert(ref8 >= ref4, s"recall must grow with nProbe: $ref8 < $ref4")
+  }
+
   test("quantizeInt8: bounded, sign-preserving, extremes pinned, zero vector safe") {
     val in = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 1.0f)),
