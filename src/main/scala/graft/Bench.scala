@@ -25,7 +25,12 @@ object Bench {
     // also absorbs the one-time codegen cost of each query, so the
     // median reflects steady state.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional comma-separated name filter for local iteration; the
+    // driver sets no filter and benches everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -38,14 +38,40 @@ private[graft] object FileStreamDrain {
       pipeline: DataFrame => DataFrame,
       secondBatch: DataFrame => Option[DataFrame] = _ => None): DataFrame = {
     val spark = staged.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_drain")
-    staged.write.parquet(s"$dir/b0.parquet")
-    val schema = spark.read.parquet(s"$dir/b0.parquet").schema
+    // tmpfs when available: the drain's staging files, offset/commit
+    // logs and state-store deltas are all throwaway scratch whose
+    // fsyncs otherwise dominate the harness's fixed cost on disk
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_stream_drain")
+      else java.nio.file.Files.createTempDirectory("graft_stream_drain")
+    // one file per batch: the staged frame is a parity fixture, not a
+    // distributed write path, and per-file stream-source overhead is
+    // what these drains pay, not data volume
+    staged.coalesce(1).write.parquet(s"$dir/b0.parquet")
+    // the staged frame's own schema IS the written schema (we wrote it
+    // one line up) — re-reading the footer would cost a listing + job
+    val schema = staged.schema
     val name = "graft_stream_drain_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = pipeline(spark.readStream.schema(schema).parquet(s"$dir/*.parquet"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
+    // A streaming query clones the session at start(), freezing conf —
+    // so the drain (and only the drain) runs with few shuffle
+    // partitions. Each stateful operator commits one state store per
+    // shuffle partition per micro-batch (delta file + fsync); at the
+    // session default 32 that fixed cost dominates these
+    // seconds-long parity drains. Results are partition-count-
+    // invariant (the oracle compare proves it), and the production
+    // entry points (closedSessions, windowedStats, startAlertTableSink
+    // on a real stream) inherit the session's own parallelism.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      pipeline(spark.readStream.schema(schema).parquet(s"$dir/*.parquet"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$dir/_ckpt")
+        .outputMode(OutputMode.Append()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
       secondBatch(staged).foreach { b =>
