@@ -49,6 +49,16 @@ class MixingSpec extends SparkSpec {
     assert(gotIds.toSeq == expected.toSeq)
   }
 
+  test("single source and equal sources are kept whole (rate 1000)") {
+    val one = (0 until 30).map(i => (i.toLong, "only")).toDF("doc_id", "src")
+    assert(Mixing.temperatureMixT2(one, "src", "doc_id").count() == 30)
+    val eq = ((0 until 40).map(i => (i.toLong, "A")) ++
+      (40 until 80).map(i => (i.toLong, "B"))).toDF("doc_id", "src")
+    val rates = Mixing.mixRatesT2(eq, "src")
+      .select("rate_pm").as[Long].collect().toSeq
+    assert(rates == Seq(1000L, 1000L), s"equal sources must not be thinned: $rates")
+  }
+
   test("mix is deterministic and stable under corpus growth for fixed rates") {
     val docs = (0 until 50).map(i => (i.toLong, "A")).toDF("doc_id", "src")
     val r1 = Mixing.temperatureMixT2(docs, "src", "doc_id")

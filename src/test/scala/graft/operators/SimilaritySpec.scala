@@ -215,6 +215,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ref8 >= ref4, s"recall must grow with nProbe: $ref8 < $ref4")
   }
 
+  test("cosine near-dup: raising nBits only prunes (the monotone occupancy knob)") {
+    // The 100 TB scaling knob documented in COVERAGE.md: bucket count
+    // must grow with corpus size to bound per-bucket occupancy. The
+    // seeded planes are PREFIX-NESTED (one xorshift stream, planes
+    // drawn in order), so an nBits=8 bucket collision implies the
+    // nBits=6 one — raising nBits can only drop candidate pairs, never
+    // corrupt survivors: found(8) ⊆ found(6), and every found pair
+    // passes the same exact integer threshold.
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    def pairSet(nBits: Int): Set[(Long, Long)] =
+      Similarity.cosineNearDupPairsPortable(emb, minCosineMilli = 400, nBits = nBits)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val at6 = pairSet(6)
+    val at8 = pairSet(8)
+    assert(at8.subsetOf(at6), s"nBits=8 found pairs missing at nBits=6: ${at8 -- at6}")
+    // and the planes really are prefix-nested (the property the subset
+    // claim rides on)
+    assert(VectorFunctions.quantPlanes(42L, 64, 6) ==
+      VectorFunctions.quantPlanes(42L, 64, 8).take(6))
+  }
+
   test("quantizeInt8: bounded, sign-preserving, extremes pinned, zero vector safe") {
     val in = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 1.0f)),
