@@ -434,12 +434,21 @@ object Similarity {
     * have no cosine and are excluded on both engines.
     */
   def bruteForceTopKInt8(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val b = quantizeInt8(embeddings)
+    // zero-vector exclusion happens on the RAW embedding (maxabs > 0 ⟺
+    // the quantized norm is > 0: the max-|x| element always quantizes
+    // to ±127). Filtering on the computed nrm column instead lets
+    // PushDownPredicate substitute the whole quantize chain into the
+    // filter condition — measured as the quantize kernel evaluating 3×
+    // per row at sf1.0 (plan showed maxabs recomputed 4× inside the
+    // pushed filter).
+    def nonZero(df: DataFrame): DataFrame =
+      df.filter(array_max(transform(col("embedding"), x => abs(x.cast("double")))) > 0)
+    val qrow = quantizeInt8(embeddings.filter(col("vec_id") === queryId))
+      .select(col("qvec").as("qv"))
+      .withColumn("qn", VectorFunctions.qdot(col("qv"), col("qv")))
+    quantizeInt8(nonZero(embeddings.filter(col("vec_id") =!= queryId)))
       .select(col("vec_id"), col("qvec").as("q"))
       .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
-    val qrow = b.filter(col("vec_id") === queryId)
-      .select(col("q").as("qv"), col("nrm").as("qn"))
-    b.filter(col("vec_id") =!= queryId && col("nrm") > 0)
       .crossJoin(broadcast(qrow))
       .withColumn("dot", VectorFunctions.qdot(col("q"), col("qv")))
       .withColumn("cos", col("dot").cast("double") /

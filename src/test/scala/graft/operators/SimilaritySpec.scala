@@ -215,6 +215,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ref8 >= ref4, s"recall must grow with nProbe: $ref8 < $ref4")
   }
 
+  test("fused qdot equals the HOF reference on randomized quantized vectors") {
+    // the native expression replaced aggregate(zip_with(...)) in every
+    // portable path; results must be bit-identical (index-order long
+    // sums) — negatives, zeros, and the fixture's real quantized range
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val d = if (i % 3 == 0) 64 else 1 + rnd.nextInt(8)
+      (i.toLong,
+        Array.fill(d)(rnd.nextLong() % 1000L),
+        Array.fill(d)(rnd.nextLong() % 1000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+        VectorFunctions.qdot($"a", $"b").as("fused"),
+        VectorFunctions.qdotComposed($"a", $"b").as("ref"))
+      .filter($"fused" =!= $"ref")
+    assert(diff.count() == 0)
+  }
+
   test("cosine near-dup: raising nBits only prunes (the monotone occupancy knob)") {
     // The 100 TB scaling knob documented in COVERAGE.md: bucket count
     // must grow with corpus size to bound per-bucket occupancy. The
