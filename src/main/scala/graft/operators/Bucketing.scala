@@ -38,4 +38,33 @@ object Bucketing {
     */
   def isShuffleFree(df: DataFrame): Boolean =
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Idempotent bucketed ingest — the R5 caching contract applied to
+    * layout: "pay the bucketing once at ingest, reuse it every query"
+    * only holds if re-running the pipeline over the SAME landed inputs
+    * skips the rewrite. Validity key = the caller's source tag (e.g.
+    * the input directory) plus the frame's schema, stored in
+    * TBLPROPERTIES — a new input path, or a code change that alters the
+    * projected schema, forces a rewrite; anything else reuses the
+    * files. (Same-path-different-data is out of scope by the landing
+    * contract: landed directories are immutable snapshots.)
+    */
+  def ensureBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      bucketCols: Seq[String],
+      srcTag: String,
+      sortCols: Seq[String] = Seq.empty): Unit = {
+    val spark = df.sparkSession
+    val key = s"$srcTag|b=$buckets|k=${bucketCols.mkString(",")}|${df.schema.catalogString}"
+    val escaped = key.replace("'", "''")
+    if (spark.catalog.tableExists(table)) {
+      val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      if (props.get("graft.src").contains(key)) return
+    }
+    writeBucketed(df, table, buckets, bucketCols, sortCols)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('graft.src'='$escaped')")
+  }
 }

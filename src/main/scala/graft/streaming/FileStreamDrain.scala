@@ -65,8 +65,13 @@ private[graft] object FileStreamDrain {
     // entry points (closedSessions, windowedStats, startAlertTableSink
     // on a real stream) inherit the session's own parallelism.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // a quarter of the cores, floor 4: enough tasks that a million-row
+    // batch still parallelizes, few enough that state-store commit
+    // overhead stays off the floor for the common small drains
+    val drainParts =
+      math.max(4, spark.sparkContext.defaultParallelism / 4).toString
     val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.shuffle.partitions", drainParts)
       pipeline(spark.readStream.schema(schema).parquet(s"$dir/*.parquet"))
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"$dir/_ckpt")

@@ -38,6 +38,31 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("ensureBucketed: writes once, skips on same key, rewrites on new source/schema") {
+    val dir = sf()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_quantity")
+    def files(): Map[String, Long] = {
+      val loc = new java.io.File(s"spark-warehouse/ensure_bkt")
+      loc.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    Bucketing.ensureBucketed(li, "ensure_bkt", 4, Seq("l_orderkey"), srcTag = dir)
+    val first = files()
+    assert(first.nonEmpty)
+    // same source tag + schema: no rewrite (identical file listing)
+    Bucketing.ensureBucketed(li, "ensure_bkt", 4, Seq("l_orderkey"), srcTag = dir)
+    assert(files() == first, "identical ingest must be skipped")
+    // a new source tag forces a rewrite
+    Bucketing.ensureBucketed(li, "ensure_bkt", 4, Seq("l_orderkey"), srcTag = s"$dir/v2")
+    assert(files() != first, "new source tag must rewrite")
+    // a schema change under the SAME tag also rewrites
+    val before = files()
+    Bucketing.ensureBucketed(
+      spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_extendedprice"),
+      "ensure_bkt", 4, Seq("l_orderkey"), srcTag = s"$dir/v2")
+    assert(files() != before, "schema change must rewrite")
+  }
+
   test("q75 plan shape: the only hash exchange is the aggregation, none under the join") {
     spark.conf.set("spark.sql.adaptive.enabled", "false") // stable plan inspection
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
