@@ -203,8 +203,11 @@ object Dedup {
       .join(sets.select(col("doc_id").as("doc_a"), col("ws").as("wa"), col("nw").as("n_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ws").as("wb"), col("nw").as("n_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("wa"), col("wb"))).cast("long"))
-      .filter(lit(100L) * col("n_common") >=
-        lit(t) * (col("n_a") + col("n_b") - col("n_common")))
+      // 100c ≥ t(a+b−c) ⟺ (100+t)c ≥ t(a+b): the single-c form matters
+      // because predicate pushdown SUBSTITUTES n_common's defining
+      // expression into the filter — one reference means the
+      // array_intersect evaluates once per candidate, not twice
+      .filter(lit(100L + t) * col("n_common") >= lit(t) * (col("n_a") + col("n_b")))
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
   }
 
