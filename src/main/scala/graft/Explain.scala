@@ -58,11 +58,10 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.install(spark)
-    val body = names.map { n =>
-      val plan = SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted"))
-      s"\n## $n\n\n```\n${normalize(plan).trim}\n```\n"
-    }.mkString
+    val plans = names.map { n =>
+      n -> normalize(SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))).trim
+    }
     out match {
       case Some(path) =>
         val header =
@@ -73,12 +72,11 @@ object Explain {
              |Exchange, a filter that stopped pushing down — show up as diffs.
              |Expression/codegen/plan ids are normalized to `x`.
              |""".stripMargin
+        val body = plans.map { case (n, p) => s"\n## $n\n\n```\n$p\n```\n" }.mkString
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path), header + body)
         println(s"wrote ${names.size} plans to $path")
       case None =>
-        names.zip(body.split("\n## ").tail).foreach { case (n, p) =>
-          println(s"\n========== $n ==========\n${p.dropWhile(_ != '\n')}")
-        }
+        plans.foreach { case (n, p) => println(s"\n========== $n ==========\n$p") }
     }
     spark.stop()
   }

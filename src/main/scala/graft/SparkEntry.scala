@@ -1910,8 +1910,8 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id + 1000000, 'added doc ' || CAST(doc_id AS VARCHAR)
          |  FROM documents WHERE doc_id % 13 = 0),
-         | o AS (SELECT doc_id, $fingerprintSql AS fp FROM documents),
-         | n AS (SELECT doc_id, $fingerprintSql AS fp FROM today),
+         | o AS (SELECT doc_id, MIN($fingerprintSql) AS fp FROM documents GROUP BY doc_id),
+         | n AS (SELECT doc_id, MIN($fingerprintSql) AS fp FROM today GROUP BY doc_id),
          | j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
          |                   WHEN n.doc_id IS NULL THEN 'removed'
          |                   WHEN o.fp = n.fp THEN 'unchanged'

@@ -18,16 +18,20 @@ import org.apache.spark.sql.types._
   * IVF assignment at 5.0 s. This expression emits one fused primitive
   * loop (same shape as [[CosineSimExpr]]).
   *
-  * Semantics match the composed form on every input the engine
-  * produces: equal-dim null-free long arrays, index-order summation,
-  * silent wrap on overflow (callers bound |qᵢ| so products stay far
-  * below 2^63 — see the overflow guards at the call sites). Mismatched
-  * lengths use the shorter prefix.
+  * Semantics match the composed form EXACTLY, not just on the engine's
+  * equal-dim null-free domain: index-order summation with silent wrap
+  * on overflow (callers bound |qᵢ| so products stay far below 2^63 —
+  * see the overflow guards at the call sites), and NULL for mismatched
+  * lengths or any null element (`zip_with` pads the shorter side with
+  * null, a null product poisons the aggregate) — so swapping the
+  * implementations can never silently change a result.
   */
 case class QdotExpr(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "qdot"
+  // null even on non-null inputs (ragged lengths / null elements)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
@@ -44,10 +48,12 @@ case class QdotExpr(left: Expression, right: Expression) extends BinaryExpressio
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       dot += a.getLong(i) * b.getLong(i)
       i += 1
     }
@@ -57,14 +63,16 @@ case class QdotExpr(left: Expression, right: Expression) extends BinaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
+      val dot = ctx.freshName("dot"); val bad = ctx.freshName("bad")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         long $dot = 0L;
-        for (int $i = 0; $i < $n; $i++) {
+        boolean $bad = ($n != $b.numElements());
+        for (int $i = 0; !$bad && $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
           $dot += $a.getLong($i) * $b.getLong($i);
         }
-        ${ev.value} = $dot;
+        if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
       """
     })
 

@@ -25,7 +25,13 @@ private[graft] object FileStreamDrain {
     */
   def watermarkCloser(timeExpr: Column)(
       mk: (SparkSession, Long) => DataFrame): DataFrame => Option[DataFrame] =
-    st => Some(mk(st.sparkSession, st.agg(max(timeExpr)).head().getLong(0)))
+    st => {
+      val row = st.agg(max(timeExpr)).head()
+      require(!row.isNullAt(0),
+        "watermarkCloser: staged frame is empty (max event time is null) — " +
+          "an empty drain has no watermark to close")
+      Some(mk(st.sparkSession, row.getLong(0)))
+    }
 
   /** @param staged      the static input frame (written once as batch 0)
     * @param pipeline    streaming transform under test
@@ -40,10 +46,14 @@ private[graft] object FileStreamDrain {
     val spark = staged.sparkSession
     // tmpfs when available: the drain's staging files, offset/commit
     // logs and state-store deltas are all throwaway scratch whose
-    // fsyncs otherwise dominate the harness's fixed cost on disk
+    // fsyncs otherwise dominate the harness's fixed cost on disk.
+    // Capacity-guarded: a default Docker /dev/shm is 64 MB — writable
+    // but too small for a staged table — so require real headroom
+    // before preferring it over java.io.tmpdir.
     val shm = java.nio.file.Paths.get("/dev/shm")
     val dir =
-      if (java.nio.file.Files.isWritable(shm))
+      if (java.nio.file.Files.isWritable(shm) &&
+          shm.toFile.getUsableSpace > (4L << 30))
         java.nio.file.Files.createTempDirectory(shm, "graft_stream_drain")
       else java.nio.file.Files.createTempDirectory("graft_stream_drain")
     // one file per batch: the staged frame is a parity fixture, not a

@@ -24,4 +24,15 @@ class DeltaSpec extends SparkSpec {
       1L -> "unchanged", 2L -> "removed", 3L -> "changed",
       4L -> "unchanged", 5L -> "added"))
   }
+
+  test("duplicate ids within a snapshot reduce to one deterministic status row") {
+    // each side collapses to min-fingerprint per id BEFORE the join —
+    // no fan-out, no contradictory rows, order-independent
+    val old = Seq((1L, "zz text"), (1L, "aa text"), (2L, "stable")).toDF("doc_id", "text")
+    val neu = Seq((1L, "aa text"), (1L, "zz text"), (2L, "stable")).toDF("doc_id", "text")
+    val got = Delta.snapshotDiff(old, neu).as[(Long, String)].collect().toSeq
+    assert(got.size == 2, s"one row per id expected: $got")
+    // both sides carry the same duplicate set → same min fp → unchanged
+    assert(got.toMap == Map(1L -> "unchanged", 2L -> "unchanged"))
+  }
 }

@@ -232,6 +232,19 @@ class SimilaritySpec extends SparkSpec {
         VectorFunctions.qdotComposed($"a", $"b").as("ref"))
       .filter($"fused" =!= $"ref")
     assert(diff.count() == 0)
+
+    // off-domain inputs too: ragged lengths and null elements must be
+    // NULL in both forms (zip_with pads, null poisons the aggregate)
+    val ragged = Seq(
+      (Array[java.lang.Long](1L, 2L, 3L), Array[java.lang.Long](1L, 2L)),
+      (Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](1L, 2L, 3L))
+    ).toDF("a", "b")
+    val both = ragged.select(
+        VectorFunctions.qdot($"a", $"b").as("fused"),
+        VectorFunctions.qdotComposed($"a", $"b").as("ref"))
+      .collect()
+    assert(both.forall(r => r.isNullAt(0) && r.isNullAt(1)),
+      s"ragged/null inputs must be NULL in both forms: ${both.mkString(",")}")
   }
 
   test("cosine near-dup: raising nBits only prunes (the monotone occupancy knob)") {
