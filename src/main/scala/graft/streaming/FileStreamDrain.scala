@@ -58,7 +58,8 @@ private[graft] object FileStreamDrain {
       else java.nio.file.Files.createTempDirectory("graft_stream_drain")
     // one file per batch: the staged frame is a parity fixture, not a
     // distributed write path, and per-file stream-source overhead is
-    // what these drains pay, not data volume
+    // what these drains pay, not data volume (measured: dropping the
+    // coalesce costs +2s on the triad at BOTH sf0.1 and sf1.0)
     staged.coalesce(1).write.parquet(s"$dir/b0.parquet")
     // the staged frame's own schema IS the written schema (we wrote it
     // one line up) — re-reading the footer would cost a listing + job
