@@ -57,7 +57,11 @@ object Bucketing {
       srcTag: String,
       sortCols: Seq[String] = Seq.empty): Unit = {
     val spark = df.sparkSession
-    val key = s"$srcTag|b=$buckets|k=${bucketCols.mkString(",")}|${df.schema.catalogString}"
+    // sortCols is part of the layout contract: a caller changing the
+    // sort order MUST get a rewrite, or the table keeps its stale order
+    // and the sort-free merge silently degrades to sort-merge.
+    val key = s"$srcTag|b=$buckets|k=${bucketCols.mkString(",")}" +
+      s"|s=${sortCols.mkString(",")}|${df.schema.catalogString}"
     val escaped = key.replace("'", "''")
     if (spark.catalog.tableExists(table)) {
       val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()

@@ -57,23 +57,34 @@ object Mixing {
   }
 
   /** Exact ⌊√x⌋ for a non-negative long column: floor of the double
-    * sqrt, corrected down by one where t·t > x. IEEE sqrt is correctly
-    * rounded in both engines, so the true isqrt is within one of the
-    * floored double and a single conditional repairs the only possible
-    * error direction (sqrt rounding UP across an integer).
-    * DuckDB mirror: [[isqrtSql]].
+    * sqrt, corrected by at most one in EITHER direction. For x ≤ 2^53
+    * the only possible error is sqrt rounding UP across an integer
+    * (fixed by the downward correction); for x > 2^53 the long→double
+    * cast itself can round x DOWN across k², leaving the floored sqrt
+    * one too LOW — the upward correction repairs that. The upward
+    * probe (t+1)² is guarded against 64-bit wrap: t+1 ≤ 3037000499
+    * (= ⌊√Long.MAX⌋) keeps the square in range, and any t past that
+    * bound already exceeds every representable x. IEEE sqrt is
+    * correctly rounded in both engines, so the true isqrt is within
+    * one of the floored double and the pair of conditionals is
+    * exhaustive. DuckDB mirror: [[isqrtSql]] — the IDENTICAL formula,
+    * so the cross-engine contract holds over the full long range.
     */
   def isqrt(x: Column): Column = {
     val t = floor(sqrt(x.cast("double"))).cast("long")
-    t - when(t * t > x, lit(1L)).otherwise(lit(0L))
+    val down = when(t * t > x, lit(1L)).otherwise(lit(0L))
+    val up = when(t < lit(3037000499L) && (t + 1L) * (t + 1L) <= x, lit(1L))
+      .otherwise(lit(0L))
+    t - down + up
   }
 
-  /** DuckDB rendering of [[isqrt]] as a derived-column pair: callers
-    * select `$tAlias` then apply the correction. Kept as one expression
-    * here for inlining. */
+  /** DuckDB rendering of [[isqrt]] — same formula, same guard. Kept as
+    * one expression for inlining (xExpr and the floored sqrt are each
+    * repeated; callers pass cheap column refs). */
   def isqrtSql(xExpr: String): String = {
     val t = s"CAST(floor(sqrt(CAST(($xExpr) AS DOUBLE))) AS BIGINT)"
-    s"($t - CASE WHEN $t * $t > ($xExpr) THEN 1 ELSE 0 END)"
+    s"($t - CASE WHEN $t * $t > ($xExpr) THEN 1 ELSE 0 END" +
+      s" + CASE WHEN $t < 3037000499 AND ($t + 1) * ($t + 1) <= ($xExpr) THEN 1 ELSE 0 END)"
   }
 
   /** Per-source T=2 acceptance-rate table: one row per source with its

@@ -66,38 +66,40 @@ private[graft] object FileStreamDrain {
     val schema = staged.schema
     val name = "graft_stream_drain_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    // A streaming query clones the session at start(), freezing conf —
-    // so the drain (and only the drain) runs with few shuffle
-    // partitions. Each stateful operator commits one state store per
-    // shuffle partition per micro-batch (delta file + fsync); at the
-    // session default 32 that fixed cost dominates these
-    // seconds-long parity drains. Results are partition-count-
-    // invariant (the oracle compare proves it), and the production
-    // entry points (closedSessions, windowedStats, startAlertTableSink
-    // on a real stream) inherit the session's own parallelism.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // The drain runs with few shuffle partitions: each stateful
+    // operator commits one state store per shuffle partition per
+    // micro-batch (delta file + fsync); at the session default 32 that
+    // fixed cost dominates these seconds-long parity drains. Results
+    // are partition-count-invariant (the oracle compare proves it),
+    // and the production entry points (closedSessions, windowedStats,
+    // startAlertTableSink on a real stream) inherit the session's own
+    // parallelism. The reduced conf lives on a CLONED session (same
+    // SparkContext, isolated SQLConf/catalog), so queries planned
+    // concurrently on the caller's session never race on it.
+    val drainSession = spark.newSession()
     // a quarter of the cores, floor 4: enough tasks that a million-row
     // batch still parallelizes, few enough that state-store commit
     // overhead stays off the floor for the common small drains
-    val drainParts =
-      math.max(4, spark.sparkContext.defaultParallelism / 4).toString
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", drainParts)
-      pipeline(spark.readStream.schema(schema).parquet(s"$dir/*.parquet"))
+    drainSession.conf.set("spark.sql.shuffle.partitions",
+      math.max(4, spark.sparkContext.defaultParallelism / 4).toString)
+    val q =
+      pipeline(drainSession.readStream.schema(schema).parquet(s"$dir/*.parquet"))
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"$dir/_ckpt")
         .outputMode(OutputMode.Append()).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
       secondBatch(staged).foreach { b =>
         b.write.mode("append").parquet(s"$dir/b1.parquet")
         q.processAllAvailable()
       }
-      spark.table(name).localCheckpoint(true)
+      // localCheckpoint materializes the rows, so the returned frame is
+      // self-contained and safe to use from the caller's session even
+      // though it was planned on the drain clone
+      drainSession.table(name).localCheckpoint(true)
     } finally {
       q.stop()
-      spark.catalog.dropTempView(name)
+      drainSession.catalog.dropTempView(name)
       scala.util.Try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

@@ -42,7 +42,13 @@ class BucketingSpec extends SparkSpec {
     val dir = sf()
     val li = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_quantity")
     def files(): Map[String, Long] = {
-      val loc = new java.io.File(s"spark-warehouse/ensure_bkt")
+      // resolve through the catalog so the test follows
+      // spark.sql.warehouse.dir / working-directory configuration
+      val uri = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("ensure_bkt"))
+        .location
+      val loc = new java.io.File(uri)
+      assert(loc.isDirectory, s"bucketed table location missing: $uri")
       loc.listFiles().filter(_.getName.endsWith(".parquet"))
         .map(f => f.getName -> f.lastModified()).toMap
     }

@@ -9,8 +9,14 @@ class MixingSpec extends SparkSpec {
 
   test("isqrt is exact across perfect squares and their neighbours") {
     // k² − 1, k², k² + 1 around squares big enough that a 1-ulp sqrt
-    // error would flip the floor without the correction
-    val ks = Seq(0L, 1L, 2L, 3L, 999L, 1000L, 1000000L, 3037000499L)
+    // error would flip the floor without the correction; ks past
+    // √(2^53) ≈ 9.49e7 exercise the range where the long→double CAST
+    // is itself lossy (the upward-correction territory — n_s·n_min
+    // products at 100 TB scale live here), up to ⌊√Long.MAX⌋ where
+    // the (t+1)² probe must not wrap
+    val ks = Seq(0L, 1L, 2L, 3L, 999L, 1000L, 1000000L,
+      94906265L, 94906267L, 100000001L, 1000000007L, 2000000011L,
+      3000000019L, 3037000499L)
     val xs = ks.flatMap(k => Seq(k * k - 1, k * k, k * k + 1)).filter(_ >= 0).distinct
     val got = xs.toDF("x").select(col("x"), Mixing.isqrt(col("x")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
