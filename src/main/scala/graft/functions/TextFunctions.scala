@@ -235,8 +235,20 @@ object TextFunctions {
     * first (so an address's digits are gone before the number pass),
     * then URLs, then bare digit runs — a port or path number is masked
     * as part of its URL, never double-masked.
+    *
+    * Runs as the fused byte-scanner kernel
+    * [[graft.plans.PiiMaskExpr]] (one codegen'd expression, no regex
+    * engine); [[maskPiiRegex]] is the definitional three-pass
+    * `regexp_replace` chain it is spec-checked against, and the
+    * DuckDB oracle runs the same three patterns via RE2.
     */
-  def maskPii(text: Column): Column = {
+  def maskPii(text: Column): Column = graft.plans.PiiMaskExpr(text)
+
+  /** The definitional regex chain for [[maskPii]] — kept as the
+    * differential-test reference (PiiMaskSpec) and for engines where
+    * the custom expression is unavailable.
+    */
+  def maskPiiRegex(text: Column): Column = {
     val email = regexp_replace(text, PiiEmailPattern, "[EMAIL]")
     val url   = regexp_replace(email, PiiUrlPattern, "[URL]")
     regexp_replace(url, PiiNumPattern, "[NUM]")
