@@ -25,7 +25,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SessionStream {
 
-  final case class SessionEvent(user_id: Long, event_id: Long, event_time: Timestamp)
+  /** Typed-boundary row: only the two fields the kernel reads. The
+    * event id never enters the stateful operator — dropping it cuts a
+    * third out of every deserialized row, the key-extraction pass, and
+    * the shuffle payload (the typed path pays per FIELD: AppendColumns
+    * deserializes each row once to extract the key and the flatMap
+    * deserializes it again). The watermark column itself must survive
+    * into the operator's input — Spark's unsupported-operation checker
+    * requires a watermark-tagged attribute for EventTimeTimeout — so
+    * event_time stays a Timestamp here.
+    */
+  final case class SessionEvent(user_id: Long, event_time: Timestamp)
 
   final case class OpenSession(
       user_id: Long, n_events: Long, start_us: Long, end_us: Long)
@@ -88,7 +98,8 @@ object SessionStream {
     }
   }
 
-  /** events(user_id, event_id, event_time) stream → closed sessions.
+  /** events(user_id, event_time) stream → closed sessions (extra
+    * input columns are projected away before the stateful operator).
     * `watermarkDelay` bounds late data; a session closes `gapUs` µs
     * after its last event (by proof or by timeout).
     */
@@ -99,7 +110,7 @@ object SessionStream {
     import events.sparkSession.implicits._
     events
       .withWatermark("event_time", watermarkDelay)
-      .select(col("user_id"), col("event_id"), col("event_time"))
+      .select(col("user_id"), col("event_time"))
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
@@ -121,20 +132,20 @@ object SessionStream {
     * is `localCheckpoint`ed so the memory-sink view and scratch files
     * can be dropped before returning.
     *
-    * `events` needs (user_id, event_id, event_time: timestamp);
-    * timestamps are µs-precision (the stream state folds µs longs).
+    * `events` needs (user_id, event_time: timestamp); timestamps are
+    * µs-precision (the stream state folds µs longs).
     */
   def drainClosedSessions(
       events: DataFrame,
       gapUs: Long = 1800000000L): DataFrame = {
-    val staged = events.select(col("user_id"), col("event_id"), col("event_time"))
+    val staged = events.select(col("user_id"), col("event_time"))
     FileStreamDrain.drain(
         staged,
         closedSessions(_, gapUs).toDF(),
         secondBatch = FileStreamDrain.watermarkCloser(unix_micros(col("event_time"))) {
           (ss, maxUs) =>
             ss.range(1)
-              .select(lit(-1L).as("user_id"), lit(-1L).as("event_id"),
+              .select(lit(-1L).as("user_id"),
                 timestamp_micros(lit(maxUs + gapUs + 86400000000L)).as("event_time"))
         })
       .filter(col("user_id") =!= -1L)
