@@ -1021,6 +1021,66 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
 
+  /** A 40-token web-boilerplate header (two exact 20-token chunks)
+    * prepended to every document in q77, so the corpus carries the real
+    * phenomenon chunk-dedup exists for: shared headers duplicated
+    * across every page of a crawl. The oracle interpolates the same
+    * constant.
+    */
+  private val BoilerplateHeader: String =
+    "subscribe to our newsletter for updates follow us on social media " +
+      "all rights reserved terms of service privacy policy cookie settings " +
+      "about contact careers press sitemap help faq support login register " +
+      "search menu home back next previous share print download"
+
+  /** CCNet-style cross-document boilerplate removal
+    * ([[graft.operators.Boilerplate.dedupStats]]): disjoint 20-token
+    * chunks, fingerprinted corpus-wide; a chunk survives only as its
+    * fingerprint's first (lowest doc_id, chunk_id) occurrence. The
+    * injected header makes every document's first two chunks duplicates
+    * of doc 0's — the per-doc kept/dropped tallies are hash-checked
+    * against a DuckDB window-rank mirror.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    graft.operators.Boilerplate.dedupStats(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(lit(BoilerplateHeader + " "), col("text")).as("text")),
+        window = 20)
+      .orderBy("doc_id")
+
+  /** Per-document tf·idf keyword extraction
+    * ([[graft.operators.Keywords.tfidfTopK]]): top-5 tokens per doc by
+    * the exact-integer score `tf · ((10^6·N) div df)`, ties broken on
+    * token text — rank, tf, df and score all integer-reproducible in
+    * DuckDB.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame =
+    graft.operators.Keywords.tfidfTopK(t(s, d, "documents"), k = 5)
+      .orderBy("doc_id", "rnk")
+
+  /** Domain balancing ([[graft.operators.Sampling.perKeyCap]]): at most
+    * 10 documents per source, chosen by the deterministic (salt, id)
+    * hash order — the absolute per-domain bound that a rate cannot
+    * guarantee under skew. The cap binds at every SF (each source has
+    * ≥ 25 docs), so the oracle exercises real eviction.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.perKeyCap(
+        t(s, d, "documents"), keyCol = "source", idCol = "doc_id", cap = 10)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+
+  /** Unigram surprisal scoring
+    * ([[graft.operators.Vocabulary.surprisalScore]]): the LM-free
+    * perplexity proxy — tf-weighted mean whole-bit surprisal of each
+    * document's tokens under the corpus' own unigram distribution,
+    * exact integer arithmetic end to end (see the operator's ⌊log₂⌋
+    * precision argument).
+    */
+  private def q80(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocabulary.surprisalScore(t(s, d, "documents"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1097,7 +1157,11 @@ object SparkEntry {
     "q73_binned_quantiles"  -> (q73 _),
     "q74_oov_rate"          -> (q74 _),
     "q75_bucketed_join"     -> (q75 _),
-    "q76_temperature_mix"   -> (q76 _)
+    "q76_temperature_mix"   -> (q76 _),
+    "q77_chunk_dedup"       -> (q77 _),
+    "q78_tfidf_keywords"    -> (q78 _),
+    "q79_source_cap"        -> (q79 _),
+    "q80_surprisal"         -> (q80 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -1990,6 +2054,67 @@ object SparkEntry {
          |WHERE $bucket < r.rate_pm
          |GROUP BY d.lang, r.rate_pm ORDER BY d.lang"""
         .stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // chunking mirrors q69's idiom (trim-split, NO lower — Chunking
+    // keeps case); canonical pick = window rank over the fingerprint,
+    // equivalent to the Spark side's groupBy-min + equi-join
+    "q77_chunk_dedup" -> {
+      val tokSplit = """regexp_split_to_array(trim(text), '\s+')"""
+      s"""WITH base AS (SELECT doc_id, '$BoilerplateHeader ' || text AS text FROM documents),
+         | toks AS (SELECT doc_id, $tokSplit AS tk FROM base WHERE trim(text) <> ''),
+         | st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 20)) AS s FROM toks),
+         | ch AS (SELECT doc_id, s // 20 AS chunk_id,
+         |   md5(array_to_string(tk[s+1:s+20], ' ')) AS fp FROM st),
+         | rk AS (SELECT doc_id, chunk_id,
+         |   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) AS rn FROM ch)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    // integer idf: score = tf * ((1e6 * N) div df); both engines rank
+    // by (score DESC, tok) — a total order since tok is unique per doc
+    "q78_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf_t FROM toks
+        |   WHERE tok <> '' GROUP BY doc_id, tok),
+        | dfx AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+        | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        | sc AS (SELECT doc_id, tok, tf_t, df_t,
+        |   tf_t * ((1000000 * n_docs) // df_t) AS score
+        |   FROM tf JOIN dfx USING (tok) CROSS JOIN n),
+        | rk AS (SELECT *, ROW_NUMBER() OVER
+        |   (PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok, CAST(tf_t AS BIGINT) AS tf_t,
+        | CAST(df_t AS BIGINT) AS df_t, CAST(score AS BIGINT) AS score
+        |FROM rk WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin.replaceAll("\n", " "),
+    // per-source cap: the same md5 rank order on both sides
+    "q79_source_cap" -> {
+      val rank = graft.functions.PortableHash
+        .md5Hex32Sql("'cap:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH rk AS (SELECT source, doc_id,
+         |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY $rank, doc_id) AS rn
+         | FROM documents)
+         |SELECT source, doc_id FROM rk WHERE rn <= 10
+         |ORDER BY source, doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    // whole-bit surprisal: floor(log2) is exact for counts << 2^40 in
+    // both engines (see Vocabulary.surprisalScore), everything else is
+    // BIGINT arithmetic with truncating division on both sides
+    "q80_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf_t FROM toks
+        |   WHERE tok <> '' GROUP BY doc_id, tok),
+        | c AS (SELECT tok, CAST(SUM(tf_t) AS BIGINT) AS cnt FROM tf GROUP BY tok),
+        | t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+        | j AS (SELECT doc_id, tf_t,
+        |   CAST(floor(log2(CAST(total AS DOUBLE))) AS BIGINT)
+        |     - CAST(floor(log2(CAST(cnt AS DOUBLE))) AS BIGINT) AS sbits
+        |   FROM tf JOIN c USING (tok) CROSS JOIN t)
+        |SELECT doc_id, CAST(SUM(tf_t) AS BIGINT) AS n_tok,
+        | CAST(SUM(tf_t * sbits) // SUM(tf_t) AS BIGINT) AS avg_surprisal_bits
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -82,6 +82,38 @@ object Sampling {
     df.filter(pctBucket(col(idCol), salt) < pct)
   }
 
+  /** Per-key occurrence cap — the domain-balancing primitive of a web
+    * corpus (cap documents per domain/source so no single crawl host
+    * dominates the mixture). Keeps at most `cap` rows per `keyCol`
+    * value: rows are ranked inside each key by the deterministic
+    * (salt, id) hash with the id as tiebreak — a uniform "random"
+    * order that is reproducible cross-engine and stable across runs —
+    * and ranks > cap are dropped. Unlike a rate (stratifiedSample), a
+    * cap guarantees an absolute bound per key no matter how skewed the
+    * key distribution is.
+    *
+    * Scale shape: one hash-partitioned window per key — the shuffle
+    * moves (key, hash, id) plus payload once; no global ordering
+    * anywhere. A pathological single-key corpus degrades to one
+    * partition's sort, which is the cap semantics' inherent cost (the
+    * rank inside one key is a total order by definition).
+    */
+  def perKeyCap(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      cap: Int,
+      salt: String = "cap"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(PortableHash.md5Hex32(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
   /** Per-stratum sampling rates — the mixture-balancing primitive
     * (downsample the dominant language, keep all of a rare one).
     * `rates` maps stratum value → pct; strata not listed use

@@ -28,6 +28,51 @@ object Vocabulary {
       .orderBy(col("freq").desc, col("tok"))
       .limit(k)
 
+  /** Per-document unigram surprisal — the language-model-free
+    * perplexity proxy: how "surprising" a document's tokens are under
+    * the corpus' own unigram distribution. Rare-token-heavy documents
+    * (jargon, gibberish, other-language) score high; stopword soup
+    * scores low.
+    *
+    * Surprisal is measured in WHOLE BITS so the score is exact integer
+    * arithmetic end to end: token surprisal
+    * `s(w) = ⌊log₂ total⌋ − ⌊log₂ cnt(w)⌋` (the bit-length gap between
+    * the corpus size and the token's occurrence count — a floor of the
+    * real −log₂ p(w) within ±1 bit), and the document score is the
+    * tf-weighted integer mean `(Σ tf·s) div (Σ tf)`.
+    *
+    * `⌊log₂ n⌋` via double log2 is exact here in BOTH engines: a
+    * non-power-of-two integer n ≤ 2^40 keeps log₂ n at least
+    * |log₂(2^k±1) − k| ≈ 2^−k/ln 2 ≥ 2^−40.5 away from the nearest
+    * floor boundary (and exact powers of two hit it exactly), which
+    * is ~10^3 × a 1-ulp libm error at this magnitude — no rounding
+    * can cross the floor. Counts beyond 2^40 (a quadrillion-token
+    * corpus) would need the bit-length form instead.
+    *
+    * Scale shape: token occurrences reduce to (doc, token) tf pairs
+    * (map-side combine); corpus counts are a second groupBy of THAT
+    * keyed by token; the one-row total broadcasts back (q42 shape);
+    * the tf⋈cnt join shuffles on the token key; the final rollup
+    * shuffles pre-combined per-doc partials. The corpus text itself
+    * never shuffles.
+    */
+  def surprisalScore(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextFunctions.loweredTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_t"))
+    val cnt = tf.groupBy("tok").agg(sum("tf_t").as("cnt"))
+    val tot = cnt.agg(sum("cnt").as("total"))
+    tf.join(cnt, Seq("tok"))
+      .crossJoin(broadcast(tot)) // one-row corpus total (q42 shape)
+      .withColumn("sbits",
+        (floor(log2(col("total").cast("double"))) -
+          floor(log2(col("cnt").cast("double")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("tf_t").as("n_tok"),
+        expr("sum(tf_t * sbits) div sum(tf_t)").as("avg_surprisal_bits"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus' own top-`k`
     * vocabulary: `oov_pct = ⌊100·n_oov/n_tok⌋` over token OCCURRENCES
     * (a high rate flags gibberish, boilerplate codes, or wrong-language

@@ -16,9 +16,13 @@ class CartAuditSpec extends SparkSpec {
     "q37_media_embed_ann" -> 1, // 1-row probe embedding broadcast
     "q51_ivf_ann"         -> 3, // query row + centroid table (≤32 rows) ×2
     "q68_ann_int8"        -> 1, // 1-row quantized query broadcast
-    "q76_temperature_mix" -> 1  // 1-row global n_min over the per-source
+    "q76_temperature_mix" -> 1, // 1-row global n_min over the per-source
                                 // counts (the q42 scalar-subquery shape);
                                 // both sides O(#sources), never the corpus
+    "q78_tfidf_keywords"  -> 1, // 1-row corpus doc count broadcast into
+                                // the (doc, token) tf table (q42 shape)
+    "q80_surprisal"       -> 1  // 1-row corpus token total broadcast
+                                // into the tf⋈cnt join (q42 shape)
   )
 
   test("no query has an unsanctioned condition-less join") {

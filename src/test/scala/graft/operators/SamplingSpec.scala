@@ -68,4 +68,28 @@ class SamplingSpec extends SparkSpec {
       rates = Map("common" -> 50), defaultPct = 100)
     assert(rerated.filter($"lang" === "rare").select("id").as[Long].collect().toSet == rareKept)
   }
+
+  test("perKeyCap bounds every key, keeps small keys whole, and is deterministic") {
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 103).map(i => (i.toLong, "small"))).toDF("id", "domain")
+    val kept = Sampling.perKeyCap(df, "domain", "id", cap = 10)
+      .select("domain", "id").as[(String, Long)].collect()
+    val byKey = kept.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byKey("big").size == 10)       // cap binds exactly
+    assert(byKey("small") == Set(100L, 101L, 102L)) // under-cap key untouched
+    // deterministic: same kept set on re-run
+    val again = Sampling.perKeyCap(df, "domain", "id", cap = 10)
+      .filter($"domain" === "big").select("id").as[Long].collect().toSet
+    assert(again == byKey("big"))
+  }
+
+  test("perKeyCap: one key's population never disturbs another key's kept set") {
+    val a = (0 until 50).map(i => (i.toLong, "a"))
+    val keptA = Sampling.perKeyCap(a.toDF("id", "domain"), "domain", "id", cap = 5)
+      .select("id").as[Long].collect().toSet
+    val grownB = (a ++ (1000 until 2000).map(i => (i.toLong, "b"))).toDF("id", "domain")
+    val keptA2 = Sampling.perKeyCap(grownB, "domain", "id", cap = 5)
+      .filter($"domain" === "a").select("id").as[Long].collect().toSet
+    assert(keptA2 == keptA, "rank order inside a key must be key-local")
+  }
 }

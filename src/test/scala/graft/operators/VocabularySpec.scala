@@ -30,4 +30,27 @@ class VocabularySpec extends SparkSpec {
     assert(rates(3L) == ((3L, 4L, 4L, 100L))) // fully OOV
     assert(!rates.contains(4L))               // token-free doc excluded
   }
+
+  test("surprisalScore: hand-computed whole-bit surprisal") {
+    // corpus: a×8, rare×1 -> total=9
+    // sbits(a)    = floor(log2 9) - floor(log2 8) = 3 - 3 = 0
+    // sbits(rare) = floor(log2 9) - floor(log2 1) = 3 - 0 = 3
+    val docs = Seq(
+      (1L, "a a a a a a a"),  // 7 tokens, all common -> avg 0
+      (2L, "a rare"))         // (0 + 3) div 2 = 1
+      .toDF("doc_id", "text")
+    val got = Vocabulary.surprisalScore(docs)
+      .select("doc_id", "n_tok", "avg_surprisal_bits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((7L, 0L)), 2L -> ((2L, 1L))))
+  }
+
+  test("surprisalScore: uniform corpus scores uniformly, empty docs vanish") {
+    // 4 docs of "x y": cnt(x)=cnt(y)=4, total=8 -> sbits = 3-2 = 1
+    val docs = ((1 to 4).map(i => (i.toLong, "x y")) :+ ((9L, ""))).toDF("doc_id", "text")
+    val got = Vocabulary.surprisalScore(docs)
+      .select("doc_id", "n_tok", "avg_surprisal_bits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == (1 to 4).map(i => i.toLong -> ((2L, 1L))).toMap)
+  }
 }
