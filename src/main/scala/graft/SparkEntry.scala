@@ -1081,6 +1081,31 @@ object SparkEntry {
     graft.operators.Vocabulary.surprisalScore(t(s, d, "documents"))
       .orderBy("doc_id")
 
+  /** Bloom runtime-filter semi-join
+    * ([[graft.operators.RuntimeFilter.semiJoin]]): revenue of lineitems
+    * whose order is URGENT — the selective fact⋈dim semi-join every
+    * warehouse query starts with, executed as build-side Bloom bitset →
+    * codegen'd `might_contain` pushed into the probe scan → exact
+    * left-semi join on the survivors. The Bloom is one-sided, so the
+    * result set is EXACTLY the plain semi-join (the DuckDB oracle);
+    * RuntimeFilterSpec proves the pruning itself (no false negatives,
+    * measured fp rate, scan-stage placement).
+    */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    val urgent = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.operators.RuntimeFilter.semiJoin(
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice"), col("l_discount")),
+        "l_orderkey", urgent, "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPriceE4(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1161,7 +1186,8 @@ object SparkEntry {
     "q77_chunk_dedup"       -> (q77 _),
     "q78_tfidf_keywords"    -> (q78 _),
     "q79_source_cap"        -> (q79 _),
-    "q80_surprisal"         -> (q80 _)
+    "q80_surprisal"         -> (q80 _),
+    "q81_bloom_semi"        -> (q81 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2115,6 +2141,17 @@ object SparkEntry {
         |   FROM tf JOIN c USING (tok) CROSS JOIN t)
         |SELECT doc_id, CAST(SUM(tf_t) AS BIGINT) AS n_tok,
         | CAST(SUM(tf_t * sbits) // SUM(tf_t) AS BIGINT) AS avg_surprisal_bits
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // the Bloom filter is pruning-only (one-sided + exact join after),
+    // so the oracle is the PLAIN semi-join — layout/runtime-filter
+    // machinery must be invisible in the result
+    "q81_bloom_semi" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         | CAST(SUM($discPriceE4Sql) AS BIGINT) AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN
+         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " ")
   )
 }
