@@ -1106,6 +1106,36 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** CDC merge/upsert ([[graft.operators.Delta.applyChanges]]) — the
+    * apply half of the q70 diff⋈apply pair: replay a change set
+    * (updates = uppercased text for doc_id ≡ 0 mod 7, inserts = copies
+    * at doc_id+10^6 for ≡ 0 mod 13, deletes = ≡ 0 mod 11; delete wins
+    * on overlap) onto the documents snapshot and emit the merged
+    * corpus keyed by content md5. The oracle replays the same change
+    * set relationally (anti-join + unions) — upsert machinery must be
+    * invisible in the result.
+    */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val updates = docs
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 0)
+      .withColumn("text", upper(col("text")))
+      .withColumn("is_delete", lit(false))
+    val inserts = docs
+      .filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("is_delete", lit(false))
+    val deletes = docs
+      .filter(col("doc_id") % 11 === 0)
+      .withColumn("is_delete", lit(true))
+    graft.operators.Delta.applyChanges(docs,
+        updates.unionByName(inserts).unionByName(deletes), "doc_id", "is_delete")
+      .select(col("doc_id"), md5(col("text")).as("content_md5"),
+        col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1187,7 +1217,8 @@ object SparkEntry {
     "q78_tfidf_keywords"    -> (q78 _),
     "q79_source_cap"        -> (q79 _),
     "q80_surprisal"         -> (q80 _),
-    "q81_bloom_semi"        -> (q81 _)
+    "q81_bloom_semi"        -> (q81 _),
+    "q82_upsert_merge"      -> (q82 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2152,6 +2183,23 @@ object SparkEntry {
          |WHERE l_orderkey IN
          |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
          |GROUP BY l_returnflag ORDER BY l_returnflag"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+    // relational replay of the same change set: anti-join + unions;
+    // delete/update classes are disjoint by construction (mod 11
+    // excluded from updates), inserts land on fresh ids
+    "q82_upsert_merge" ->
+      """WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+        | upd AS (SELECT doc_id, upper(text) AS text, lang, source FROM base
+        |   WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0),
+        | ins AS (SELECT doc_id + 1000000 AS doc_id, text, lang, source FROM base
+        |   WHERE doc_id % 13 = 0),
+        | del AS (SELECT doc_id FROM base WHERE doc_id % 11 = 0),
+        | touched AS (SELECT doc_id FROM upd UNION ALL SELECT doc_id FROM ins
+        |   UNION ALL SELECT doc_id FROM del),
+        | merged AS (
+        |   SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM touched)
+        |   UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT doc_id, md5(text) AS content_md5, lang, source
+        |FROM merged ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -47,4 +47,43 @@ object Delta {
           .otherwise("changed"))
       .select(col(idCol), col("status"))
   }
+
+  /** Apply a CDC change set to a base snapshot — the MERGE/upsert
+    * counterpart of [[snapshotDiff]] (diff produces the change set,
+    * applyChanges replays it): a change row either upserts its id
+    * (replacing the base row, or inserting if absent) or, when
+    * `deleteCol` is true, deletes it. `changes` must carry the base
+    * schema plus the boolean `deleteCol`.
+    *
+    * Duplicate change ids are compacted deterministically before the
+    * merge — delete wins, then the lexicographically greatest payload
+    * (a total order, so the result is partition-independent; the
+    * well-formed CDC input has one row per id and is unaffected).
+    *
+    * Scale shape: the change set is compacted with one groupBy on the
+    * id, then the base is pruned with a left-anti equi-join on the same
+    * key (the two exchanges share the partitioning; a broadcast anti
+    * join applies when the change set is small) and survivors union
+    * with the upserts — the base table is never shuffled twice and no
+    * row carries more than its own payload. With the base bucketed on
+    * the id (q75's layout) the base-side exchange disappears entirely.
+    */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      idCol: String = "doc_id",
+      deleteCol: String = "is_delete"): DataFrame = {
+    val dataCols = base.columns.filter(_ != idCol).toSeq
+    require(changes.columns.toSet == (dataCols.toSet + idCol + deleteCol),
+      s"changes must have base schema + $deleteCol")
+    val compact = changes
+      .groupBy(col(idCol))
+      .agg(max(struct((deleteCol +: dataCols).map(col): _*)).as("_c"))
+    val survivors = base.join(compact.select(col(idCol)), Seq(idCol), "left_anti")
+    // upserts: non-delete compacted changes, re-flattened to base schema
+    compact
+      .filter(!col(s"_c.$deleteCol"))
+      .select(col(idCol) +: dataCols.map(c => col(s"_c.$c").as(c)): _*)
+      .unionByName(survivors.select(col(idCol) +: dataCols.map(col): _*))
+  }
 }
