@@ -1136,6 +1136,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Curriculum sharding ([[graft.operators.Curriculum.shardByScore]]):
+    * the corpus ordered by quality score and cut into 10 contiguous
+    * near-equal shards (easy→hard pretraining order). Global rank is
+    * the q66 two-level prefix sum — the only unpartitioned window runs
+    * over (score, sub-bucket) totals (PlanAuditSpec allowlists it);
+    * the shard id is the exact-integer NTILE identity, so the DuckDB
+    * ROW_NUMBER mirror reproduces every assignment. Output is the
+    * per-shard audit (count, quality range, rank range).
+    */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val scored = t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    graft.operators.Curriculum.shardByScore(scored, "quality", "doc_id", nShards = 10)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("quality").as("min_q"), max("quality").as("max_q"),
+        min("rn").as("first_rn"), max("rn").as("last_rn"))
+      .orderBy("shard")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1218,7 +1239,8 @@ object SparkEntry {
     "q79_source_cap"        -> (q79 _),
     "q80_surprisal"         -> (q80 _),
     "q81_bloom_semi"        -> (q81 _),
-    "q82_upsert_merge"      -> (q82 _)
+    "q82_upsert_merge"      -> (q82 _),
+    "q83_curriculum_shards" -> (q83 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2200,6 +2222,21 @@ object SparkEntry {
         |   SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM touched)
         |   UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
         |SELECT doc_id, md5(text) AS content_md5, lang, source
-        |FROM merged ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        |FROM merged ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // textbook ROW_NUMBER + NTILE-identity formulation; the engine's
+    // two-level prefix sum must produce the identical global ranks.
+    // DuckDB // floors, Spark div truncates — identical on the
+    // all-positive rank domain.
+    "q83_curriculum_shards" ->
+      s"""WITH q AS ($qualitySql),
+         | n AS (SELECT COUNT(*) AS n_all FROM q),
+         | rk AS (SELECT doc_id, quality,
+         |   ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS rn FROM q),
+         | sh AS (SELECT quality, rn,
+         |   (rn - 1) * 10 // n_all + 1 AS shard FROM rk CROSS JOIN n)
+         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+         | MIN(quality) AS min_q, MAX(quality) AS max_q,
+         | CAST(MIN(rn) AS BIGINT) AS first_rn, CAST(MAX(rn) AS BIGINT) AS last_rn
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " ")
   )
 }

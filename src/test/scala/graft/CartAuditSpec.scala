@@ -21,8 +21,10 @@ class CartAuditSpec extends SparkSpec {
                                 // both sides O(#sources), never the corpus
     "q78_tfidf_keywords"  -> 1, // 1-row corpus doc count broadcast into
                                 // the (doc, token) tf table (q42 shape)
-    "q80_surprisal"       -> 1  // 1-row corpus token total broadcast
+    "q80_surprisal"       -> 1, // 1-row corpus token total broadcast
                                 // into the tf⋈cnt join (q42 shape)
+    "q83_curriculum_shards" -> 1 // 1-row corpus size broadcast into the
+                                // ranked rows (q42 shape)
   )
 
   test("no query has an unsanctioned condition-less join") {

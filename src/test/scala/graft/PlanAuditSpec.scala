@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
 class PlanAuditSpec extends SparkSpec {
 
   private val allowedUnpartitionedWindows = Map(
-    "q66_seq_pack" -> 1 // two-level prefix sum: window over bucket totals
+    "q66_seq_pack" -> 1, // two-level prefix sum: window over bucket totals
+    "q83_curriculum_shards" -> 1 // same idiom: window over (score, sub-bucket) totals
   )
 
   test("no query has an unsanctioned unpartitioned window") {
