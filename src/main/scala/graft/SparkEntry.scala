@@ -1157,6 +1157,29 @@ object SparkEntry {
       .orderBy("shard")
   }
 
+  /** Z-order layout ([[graft.operators.ZOrder]]): lineitem re-laid on
+    * the Morton curve of (l_partkey, l_suppkey), then a 2-d box filter
+    * aggregated per return flag. Layout is semantics-free (the q75
+    * contract), so the oracle is the plain filter over the original
+    * table; ZOrderSpec measures what the layout buys (the z-ordered
+    * scan decodes ≤ half the rows of a 1-d sort for the same box) and
+    * pins the wrap-don't-fail kernel. The copy is written once per
+    * source tag ([[graft.operators.ZOrder.ensureZOrdered]], the
+    * ensureBucketed idempotence contract).
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_returnflag"))
+    val path = graft.operators.ZOrder.ensureZOrdered(
+      li, "l_partkey", "l_suppkey", bits = 20, srcTag = d)
+    s.read.parquet(path)
+      .filter(col("l_partkey") <= 50L && col("l_suppkey") <= 5L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum(cents(col("l_quantity"))).as("qty_c"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1240,7 +1263,8 @@ object SparkEntry {
     "q80_surprisal"         -> (q80 _),
     "q81_bloom_semi"        -> (q81 _),
     "q82_upsert_merge"      -> (q82 _),
-    "q83_curriculum_shards" -> (q83 _)
+    "q83_curriculum_shards" -> (q83 _),
+    "q84_zorder_box"        -> (q84 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2237,6 +2261,15 @@ object SparkEntry {
          |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
          | MIN(quality) AS min_q, MAX(quality) AS max_q,
          | CAST(MIN(rn) AS BIGINT) AS first_rn, CAST(MAX(rn) AS BIGINT) AS last_rn
-         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " ")
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin.replaceAll("\n", " "),
+    // layout is semantics-free: the oracle filters the ORIGINAL table —
+    // the z-ordered copy must return the identical box
+    "q84_zorder_box" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_items,
+         | CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty_c
+         |FROM lineitem
+         |WHERE l_partkey <= 50 AND l_suppkey <= 5
+         |GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " ")
   )
 }
