@@ -1180,6 +1180,22 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Exact-size stratified sample
+    * ([[graft.operators.Sampling.stratifiedExact]]): exactly 100
+    * documents allocated across sources by the largest-remainder
+    * method (Hare quota) and picked in deterministic (salt, id) hash
+    * order within each source — the fixed-size benchmark-split
+    * primitive a rate cannot provide. Integer quota/remainder
+    * arithmetic plus the portable md5 rank make every allocation and
+    * every pick bit-reproducible in the DuckDB mirror.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratifiedExact(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        strataCol = "source", idCol = "doc_id", budget = 100L)
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1264,7 +1280,8 @@ object SparkEntry {
     "q81_bloom_semi"        -> (q81 _),
     "q82_upsert_merge"      -> (q82 _),
     "q83_curriculum_shards" -> (q83 _),
-    "q84_zorder_box"        -> (q84 _)
+    "q84_zorder_box"        -> (q84 _),
+    "q85_stratified_exact"  -> (q85 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2270,6 +2287,25 @@ object SparkEntry {
          |FROM lineitem
          |WHERE l_partkey <= 50 AND l_suppkey <= 5
          |GROUP BY l_returnflag ORDER BY l_returnflag"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+    // largest-remainder apportionment in pure integer arithmetic
+    // (quota via //, remainder via %, both truncating on the positive
+    // domain in both engines), then the q79 md5 pick order
+    "q85_stratified_exact" -> {
+      val rank = graft.functions.PortableHash
+        .md5Hex32Sql("'strat:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+         | t AS (SELECT CAST(SUM(ns) AS BIGINT) AS nall FROM c),
+         | q AS (SELECT source, ns, (100 * ns) // nall AS base,
+         |   (100 * ns) % nall AS rem FROM c CROSS JOIN t),
+         | l AS (SELECT 100 - CAST(SUM(base) AS BIGINT) AS leftover FROM q),
+         | rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rr FROM q),
+         | al AS (SELECT source, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+         |   AS alloc FROM rk CROSS JOIN l),
+         | dr AS (SELECT source, doc_id, ROW_NUMBER() OVER
+         |   (PARTITION BY source ORDER BY $rank, doc_id) AS rn FROM documents)
+         |SELECT dr.source, dr.doc_id FROM dr JOIN al USING (source)
+         |WHERE rn <= alloc ORDER BY source, doc_id""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

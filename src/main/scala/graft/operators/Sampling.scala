@@ -136,4 +136,65 @@ object Sampling {
     }
     df.filter(pctBucket(col(idCol), salt) < rate)
   }
+
+  /** EXACT-size proportional stratified sample — the eval-set
+    * construction primitive: draw exactly `budget` rows, allocated
+    * across strata by the largest-remainder method (Hare quota, the
+    * standard apportionment rule): stratum s gets
+    * `⌊budget·n_s/N⌋` rows plus one of the `budget − Σ⌊·⌋` leftovers,
+    * leftovers going to the largest remainders (ties: stratum value
+    * ascending — a total order). Within a stratum the picks are the
+    * [[perKeyCap]] deterministic (salt, id) hash order. A rate
+    * (stratifiedSample) preserves proportions only in expectation;
+    * this allocates exactly, which is what a fixed-size benchmark
+    * split needs. All arithmetic is integer (quota via div, remainder
+    * via mod), so an external SQL oracle reproduces every allocation
+    * and every pick (q85).
+    *
+    * When `budget·n_s/N + 1 > n_s` for a tiny stratum the stratum
+    * yields all its rows (the rank filter cannot exceed n_s); the
+    * output is then smaller than `budget` — the caller sized the
+    * budget above what proportionality can deliver.
+    *
+    * Scale shape: the corpus aggregates once per stratum (tiny
+    * result); quota/remainder/leftover run over that O(#strata) table
+    * (its rank window is unpartitioned but bounded by #strata —
+    * allowlisted like the q66 bucket-totals window); the corpus itself
+    * is touched by one broadcast join of the allocation plus the
+    * per-stratum rank window — no global sort, no second pass.
+    */
+  def stratifiedExact(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      budget: Long,
+      salt: String = "strat"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_ns"))
+    val total  = counts.agg(sum(col("_ns")).as("_nall"))
+    val quotas = counts.crossJoin(broadcast(total)) // one-row N (q42 shape)
+      .withColumn("_base", expr(s"($budget * _ns) div _nall"))
+      .withColumn("_rem",  expr(s"($budget * _ns) % _nall"))
+    // one window pass over the O(#strata) quota table computes both the
+    // remainder rank and the leftover total (same spec → one Window op)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_rem").desc, col(strataCol))
+    val allW = rankW.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val alloc = quotas
+      .withColumn("_rr", row_number().over(rankW))
+      .withColumn("_left", lit(budget) - sum(col("_base")).over(allW))
+      .withColumn("_alloc",
+        col("_base") + when(col("_rr") <= col("_left"), 1L).otherwise(0L))
+      .select(col(strataCol), col("_alloc"))
+    val pickW = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(PortableHash.md5Hex32(
+        concat(lit(salt), lit(":"), col(idCol).cast("string"))), col(idCol))
+    df.join(broadcast(alloc), strataCol)
+      .withColumn("_rn", row_number().over(pickW))
+      .filter(col("_rn") <= col("_alloc"))
+      .drop("_rn", "_alloc")
+  }
 }

@@ -23,8 +23,10 @@ class CartAuditSpec extends SparkSpec {
                                 // the (doc, token) tf table (q42 shape)
     "q80_surprisal"       -> 1, // 1-row corpus token total broadcast
                                 // into the tf⋈cnt join (q42 shape)
-    "q83_curriculum_shards" -> 1 // 1-row corpus size broadcast into the
+    "q83_curriculum_shards" -> 1, // 1-row corpus size broadcast into the
                                 // ranked rows (q42 shape)
+    "q85_stratified_exact" -> 1 // 1-row corpus total into the
+                                // O(#strata) quota table (q42 shape)
   )
 
   test("no query has an unsanctioned condition-less join") {

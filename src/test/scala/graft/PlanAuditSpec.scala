@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSpec {
 
   private val allowedUnpartitionedWindows = Map(
     "q66_seq_pack" -> 1, // two-level prefix sum: window over bucket totals
-    "q83_curriculum_shards" -> 1 // same idiom: window over (score, sub-bucket) totals
+    "q83_curriculum_shards" -> 1, // same idiom: window over (score, sub-bucket) totals
+    "q85_stratified_exact" -> 1 // remainder rank over the O(#strata) quota table
   )
 
   test("no query has an unsanctioned unpartitioned window") {

@@ -92,4 +92,41 @@ class SamplingSpec extends SparkSpec {
       .filter($"domain" === "a").select("id").as[Long].collect().toSet
     assert(keptA2 == keptA, "rank order inside a key must be key-local")
   }
+
+  test("stratifiedExact: hand-checked largest-remainder allocation") {
+    // strata sizes a=5, b=3, c=2, budget 4: quotas 2.0/1.2/0.8 →
+    // bases 2/1/0 (sum 3), remainders 0/2/8 → the one leftover goes to c
+    val df = ((0 until 5).map(i => (i.toLong, "a")) ++
+      (10 until 13).map(i => (i.toLong, "b")) ++
+      (20 until 22).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val got = Sampling.stratifiedExact(df, "s", "id", budget = 4L)
+      .select("s").as[String].collect().groupBy(identity).view.mapValues(_.length).toMap
+    assert(got == Map("a" -> 2, "b" -> 1, "c" -> 1))
+  }
+
+  test("stratifiedExact: exact budget, near-proportional, partition-independent") {
+    val df = ((0 until 700).map(i => (i.toLong, "x")) ++
+      (1000 until 1250).map(i => (i.toLong, "y")) ++
+      (2000 until 2050).map(i => (i.toLong, "z"))).toDF("id", "s")
+    val out = Sampling.stratifiedExact(df, "s", "id", budget = 100L)
+      .select("s", "id").as[(String, Long)].collect()
+    assert(out.length == 100, "budget is exact")
+    val byS = out.groupBy(_._1).view.mapValues(_.length).toMap
+    // proportionality: |alloc − budget·n_s/N| < 1 (largest-remainder bound)
+    assert(byS("x") == 70 && byS("y") == 25 && byS("z") == 5)
+    val again = Sampling.stratifiedExact(df.repartition(13), "s", "id", budget = 100L)
+      .select("s", "id").as[(String, Long)].collect()
+    assert(again.toSet == out.toSet, "picks must not depend on partitioning")
+  }
+
+  test("stratifiedExact: a stratum can never yield more rows than it has") {
+    // budget 12 > N=9: big's quota (10+1 leftover) exceeds its 8 rows —
+    // the rank filter clamps to the population and the output
+    // undershoots the infeasible budget
+    val df = ((0 until 8).map(i => (i.toLong, "big")) ++
+      Seq((100L, "tiny"))).toDF("id", "s")
+    val out = Sampling.stratifiedExact(df, "s", "id", budget = 12L)
+      .select("s").as[String].collect().groupBy(identity).view.mapValues(_.length).toMap
+    assert(out("big") == 8 && out("tiny") == 1)
+  }
 }
