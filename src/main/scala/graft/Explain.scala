@@ -22,16 +22,19 @@ object Explain {
     * join chain (q03), dedup/LSH kernels (q20/q23/q63), the native
     * as-of join (q50), salted and range joins (q52/q53), sketch
     * aggregates (q57), packing's two-level scan (q66), ANN (q68), the
-    * bucketed join (q75), and the mixing rate join (q76). Streaming
-    * drains are excluded: their returned frame is a checkpoint scan —
-    * the real streaming plan lives inside the drain harness.
+    * bucketed join (q75), the mixing rate join (q76), the Bloom
+    * runtime filter (q81 — the probe must sit below the exchange),
+    * and the curriculum two-level rank (q83). Streaming drains are
+    * excluded: their returned frame is a checkpoint scan — the real
+    * streaming plan lives inside the drain harness.
     */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_nation_revenue", "q15_bbox_parts",
     "q20_fingerprint_dedup", "q22_cosine_topk", "q23_minhash_pairs",
     "q50_asof_native", "q52_salted_join", "q53_range_join",
     "q57_hll_distinct", "q63_jaccard_prefix", "q66_seq_pack",
-    "q68_ann_int8", "q75_bucketed_join", "q76_temperature_mix")
+    "q68_ann_int8", "q75_bucketed_join", "q76_temperature_mix",
+    "q81_bloom_semi", "q83_curriculum_shards")
 
   /** Strip run-dependent counters so committed dumps diff cleanly:
     * expression ids, codegen stage ids, plan ids, temp-view uuids.

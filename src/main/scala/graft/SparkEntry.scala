@@ -1146,9 +1146,14 @@ object SparkEntry {
     * per-shard audit (count, quality range, rank range).
     */
   private def q83(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint stages the (id, score) projection — 16 B/row —
+    // so the regex-heavy score is computed ONCE, not re-derived on both
+    // sides of the rank's aggregate/join-back (measured 2x at sf1.0).
+    // Same staging a 100 TB run would do by writing the score column.
     val scored = t(s, d, "documents")
       .select(col("doc_id"),
         graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      .localCheckpoint()
     graft.operators.Curriculum.shardByScore(scored, "quality", "doc_id", nShards = 10)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -1195,6 +1200,29 @@ object SparkEntry {
         strataCol = "source", idCol = "doc_id", budget = 100L)
       .select(col("source"), col("doc_id"))
       .orderBy("source", "doc_id")
+
+  /** Incremental aggregate maintenance
+    * ([[graft.operators.Incremental.maintainSumCount]]): a per-type
+    * (count, cents-sum) materialized view of the events table kept
+    * current under a CDC batch — inserts (event_id ≡ 0 mod 5) plus
+    * retractions (mod-7 rows of the base period, sign −1) fold in as
+    * one delta aggregate merged into the state by group key; the base
+    * rows are never rescanned. The oracle aggregates the effective row
+    * set directly — maintenance must be invisible in the result.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("val_c"))
+    val baseRows = ev.filter(col("event_id") % 5 =!= 0)
+    val state = baseRows.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("val_c").as("sum_c"))
+    val delta = ev.filter(col("event_id") % 5 === 0).withColumn("sign", lit(1L))
+      .unionByName(baseRows.filter(col("event_id") % 7 === 0).withColumn("sign", lit(-1L)))
+      .select(col("event_type"), col("val_c"), col("sign"))
+    graft.operators.Incremental.maintainSumCount(
+        state, delta, Seq("event_type"), "val_c", "sign")
+      .orderBy("event_type")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
@@ -1281,7 +1309,8 @@ object SparkEntry {
     "q82_upsert_merge"      -> (q82 _),
     "q83_curriculum_shards" -> (q83 _),
     "q84_zorder_box"        -> (q84 _),
-    "q85_stratified_exact"  -> (q85 _)
+    "q85_stratified_exact"  -> (q85 _),
+    "q86_incr_maintain"     -> (q86 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2306,6 +2335,15 @@ object SparkEntry {
          |   (PARTITION BY source ORDER BY $rank, doc_id) AS rn FROM documents)
          |SELECT dr.source, dr.doc_id FROM dr JOIN al USING (source)
          |WHERE rn <= alloc ORDER BY source, doc_id""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // effective set = base minus retracted plus inserts:
+    // (%5≠0 AND %7≠0) OR (%5=0)  ⇔  (%5=0) OR (%7≠0)
+    "q86_incr_maintain" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_c
+         |FROM events
+         |WHERE event_id % 5 = 0 OR event_id % 7 <> 0
+         |GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -155,6 +155,12 @@ case class BloomMightContain(child: Expression, bits: Array[Long], k: Int)
   override def nullSafeEval(v: Any): Any =
     java.lang.Boolean.valueOf(BloomHash.mightContain(bits, v.asInstanceOf[Long], k))
 
+  // plan dumps must be run-stable: print the bitset's size and content
+  // digest, not the array's JVM identity hash
+  override def stringArgs: Iterator[Any] = Iterator(
+    child, s"bits[${bits.length * 64}]#${java.lang.Long.toHexString(
+      bits.foldLeft(1125899906842597L)((a, b) => 31 * a + b))}", k)
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
     nullSafeCodeGen(ctx, ev, v =>
