@@ -1224,6 +1224,39 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** STREAMING incremental view maintenance
+    * ([[graft.streaming.IncrementalSink.drainFolded]]): the q86 CDC
+    * delta flows through a REAL foreachBatch stream in two micro-batches
+    * (base rows, then inserts+retractions), each folded into the state
+    * with [[graft.operators.Incremental.maintainSumCount]] and
+    * checkpointed — the lakehouse streaming-upsert serving pattern.
+    * Batch associativity (IncrementalSpec) makes the final state
+    * boundary-independent, so the SAME batch oracle as q86 checks it.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("event_type"), cents(col("value")).as("val_c"))
+    val base = ev.filter(col("event_id") % 5 =!= 0)
+    val b0 = base.withColumn("sign", lit(1L))
+    val b1 = ev.filter(col("event_id") % 5 === 0).withColumn("sign", lit(1L))
+      .unionByName(base.filter(col("event_id") % 7 === 0).withColumn("sign", lit(-1L)))
+    val cols = Seq(col("event_type"), col("val_c"), col("sign"))
+    val zero = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_c",
+          org.apache.spark.sql.types.LongType))))
+    graft.streaming.IncrementalSink.drainFolded(
+        Seq(b0.select(cols: _*), b1.select(cols: _*)), zero,
+        (acc, b) => graft.operators.Incremental.maintainSumCount(
+          acc, b, Seq("event_type"), "val_c", "sign"))
+      .orderBy("event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1310,7 +1343,8 @@ object SparkEntry {
     "q83_curriculum_shards" -> (q83 _),
     "q84_zorder_box"        -> (q84 _),
     "q85_stratified_exact"  -> (q85 _),
-    "q86_incr_maintain"     -> (q86 _)
+    "q86_incr_maintain"     -> (q86 _),
+    "q87_incr_stream"       -> (q87 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2339,6 +2373,15 @@ object SparkEntry {
     // effective set = base minus retracted plus inserts:
     // (%5≠0 AND %7≠0) OR (%5=0)  ⇔  (%5=0) OR (%7≠0)
     "q86_incr_maintain" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         | CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_c
+         |FROM events
+         |WHERE event_id % 5 = 0 OR event_id % 7 <> 0
+         |GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+    // the streaming fold over real micro-batches must land on the same
+    // state as q86's one-shot maintenance — identical oracle
+    "q87_incr_stream" ->
       s"""SELECT event_type, COUNT(*) AS n,
          | CAST(SUM(${centsSql("value")}) AS BIGINT) AS sum_c
          |FROM events

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming materialized-view maintenance — the foreachBatch fold:
+  * drive a CDC stream through a real Structured Streaming query whose
+  * sink FOLDS each micro-batch into an accumulated state table (e.g.
+  * [[graft.operators.Incremental.maintainSumCount]]), the lakehouse
+  * "streaming upsert into a serving aggregate" pattern. The state is
+  * `localCheckpoint`ed after every batch, so the plan stays O(1) deep
+  * no matter how many batches flow — the property that keeps a
+  * long-running maintenance stream from growing an unbounded lineage.
+  *
+  * Parity harness shape (the [[FileStreamDrain]] contract): the input
+  * batches stage as one parquet file each and `maxFilesPerTrigger=1`
+  * makes every file a REAL micro-batch, so cross-batch folding is
+  * exercised by an actual streaming query, not simulated. The fold
+  * must be batch-associative (the IncrementalSpec property) — the
+  * final state is then independent of micro-batch boundaries and a
+  * batch oracle can check it.
+  */
+private[graft] object IncrementalSink {
+
+  /** Drain `batches` (written as one file each → one micro-batch each)
+    * through a foreachBatch stream, folding into `zero`. Returns the
+    * final state, localCheckpoint'ed and self-contained.
+    */
+  def drainFolded(
+      batches: Seq[DataFrame],
+      zero: DataFrame,
+      fold: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    require(batches.nonEmpty, "at least one input batch required")
+    val spark = batches.head.sparkSession
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (java.nio.file.Files.isWritable(shm) &&
+          shm.toFile.getUsableSpace > (4L << 30))
+        java.nio.file.Files.createTempDirectory(shm, "graft_incr_sink")
+      else java.nio.file.Files.createTempDirectory("graft_incr_sink")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.coalesce(1).write.parquet(s"$dir/b$i.parquet")
+    }
+    val drainSession = spark.newSession()
+    drainSession.conf.set("spark.sql.shuffle.partitions",
+      math.max(4, spark.sparkContext.defaultParallelism / 4).toString)
+    var acc = zero.localCheckpoint(true)
+    val q = drainSession.readStream
+      .schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*.parquet")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // eager checkpoint: materialize the fold NOW, cut the lineage
+        acc = fold(acc, batch).localCheckpoint(true)
+        ()
+      }
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      acc
+    } finally {
+      q.stop()
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      ()
+    }
+  }
+}
