@@ -1257,6 +1257,21 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Deterministic negative sampling
+    * ([[graft.operators.Contrastive.negativeSamples]]): 4 affine-probe
+    * negatives per document, same-source candidates excluded (the
+    * in-batch-positive contamination guard), self and missing probes
+    * dropped rather than re-rolled. Every candidate is exact integer
+    * arithmetic over the portable md5 base, so the DuckDB mirror (a
+    * 4-way UNION of the probe family) reproduces the pair set
+    * bit-for-bit.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame =
+    graft.operators.Contrastive.negativeSamples(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        idCol = "doc_id", groupCol = "source", k = 4)
+      .orderBy("doc_id", "j")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1344,7 +1359,8 @@ object SparkEntry {
     "q84_zorder_box"        -> (q84 _),
     "q85_stratified_exact"  -> (q85 _),
     "q86_incr_maintain"     -> (q86 _),
-    "q87_incr_stream"       -> (q87 _)
+    "q87_incr_stream"       -> (q87 _),
+    "q88_neg_samples"       -> (q88 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2387,6 +2403,25 @@ object SparkEntry {
          |FROM events
          |WHERE event_id % 5 = 0 OR event_id % 7 <> 0
          |GROUP BY event_type ORDER BY event_type"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+    // the affine probe family as a 4-way UNION, one branch per j;
+    // (doc_id, j) is unique so ORDER BY doc_id, j is total
+    "q88_neg_samples" -> {
+      val h = graft.functions.PortableHash
+        .md5Hex32Sql("'neg:' || CAST(doc_id AS VARCHAR)")
+      val branches = graft.functions.PortableHash.affineConstants(7L, 4)
+        .zipWithIndex.map { case (ab, j) =>
+          s"SELECT doc_id, source, $j AS j, " +
+            s"(${graft.functions.PortableHash.affineSql("h", ab)} % n_docs) AS cand " +
+            "FROM a CROSS JOIN n"
+        }.mkString(" UNION ALL ")
+      s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         | a AS (SELECT doc_id, source, $h AS h FROM documents),
+         | c AS ($branches)
+         |SELECT c.doc_id, CAST(c.j AS BIGINT) AS j, d.doc_id AS neg_id
+         |FROM c JOIN documents d ON d.doc_id = c.cand
+         |WHERE d.source <> c.source AND d.doc_id <> c.doc_id
+         |ORDER BY c.doc_id, j""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -25,8 +25,10 @@ class CartAuditSpec extends SparkSpec {
                                 // into the tf⋈cnt join (q42 shape)
     "q83_curriculum_shards" -> 1, // 1-row corpus size broadcast into the
                                 // ranked rows (q42 shape)
-    "q85_stratified_exact" -> 1 // 1-row corpus total into the
+    "q85_stratified_exact" -> 1, // 1-row corpus total into the
                                 // O(#strata) quota table (q42 shape)
+    "q88_neg_samples" -> 1      // 1-row corpus size broadcast into the
+                                // anchor projection (q42 shape)
   )
 
   test("no query has an unsanctioned condition-less join") {
