@@ -1272,6 +1272,18 @@ object SparkEntry {
         idCol = "doc_id", groupCol = "source", k = 4)
       .orderBy("doc_id", "j")
 
+  /** Bigram conditional surprisal
+    * ([[graft.operators.Vocabulary.bigramSurprisalScore]]): the
+    * order-sensitive fluency score q80's bag-of-words surprisal cannot
+    * see — whole-bit `⌊log₂ cnt(prev·)⌋ − ⌊log₂ cnt(prev,cur)⌋` under
+    * the corpus' own bigram counts, tf-weighted integer mean per
+    * document. Same cross-engine floor(log2) exactness argument as
+    * q80.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocabulary.bigramSurprisalScore(t(s, d, "documents"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1360,7 +1372,8 @@ object SparkEntry {
     "q85_stratified_exact"  -> (q85 _),
     "q86_incr_maintain"     -> (q86 _),
     "q87_incr_stream"       -> (q87 _),
-    "q88_neg_samples"       -> (q88 _)
+    "q88_neg_samples"       -> (q88 _),
+    "q89_bigram_surprisal"  -> (q89 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2422,6 +2435,29 @@ object SparkEntry {
          |FROM c JOIN documents d ON d.doc_id = c.cand
          |WHERE d.source <> c.source AND d.doc_id <> c.doc_id
          |ORDER BY c.doc_id, j""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // bigram positions via the q77 unnest(range) idiom (1-based array
+    // indexing; range(1, len) is empty for single-token docs, matching
+    // the Spark side's size >= 2 filter); context counts derive from
+    // the bigram table so both engines share one definition
+    "q89_bigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |   FROM documents WHERE trim(text) <> ''),
+        | st AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+        | bgp AS (SELECT doc_id, tk[i] AS prev, tk[i+1] AS cur FROM st),
+        | tf AS (SELECT doc_id, prev, cur, COUNT(*) AS tf_t FROM bgp
+        |   GROUP BY doc_id, prev, cur),
+        | cbg AS (SELECT prev, cur, CAST(SUM(tf_t) AS BIGINT) AS cnt_bg FROM tf
+        |   GROUP BY prev, cur),
+        | cctx AS (SELECT prev, CAST(SUM(cnt_bg) AS BIGINT) AS cnt_ctx FROM cbg
+        |   GROUP BY prev),
+        | j AS (SELECT doc_id, tf_t,
+        |   CAST(floor(log2(CAST(cnt_ctx AS DOUBLE))) AS BIGINT)
+        |     - CAST(floor(log2(CAST(cnt_bg AS DOUBLE))) AS BIGINT) AS sbits
+        |   FROM tf JOIN cbg USING (prev, cur) JOIN cctx USING (prev))
+        |SELECT doc_id, CAST(SUM(tf_t) AS BIGINT) AS n_bigrams,
+        | CAST(SUM(tf_t * sbits) // SUM(tf_t) AS BIGINT) AS avg_bigram_bits
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

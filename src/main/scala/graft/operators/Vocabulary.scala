@@ -73,6 +73,51 @@ object Vocabulary {
         expr("sum(tf_t * sbits) div sum(tf_t)").as("avg_surprisal_bits"))
   }
 
+  /** Per-document BIGRAM (conditional) surprisal — the order-sensitive
+    * refinement of [[surprisalScore]]: how surprising each token is
+    * GIVEN its predecessor, under the corpus' own bigram counts. A
+    * document of common words in an uncommon order (shuffled text,
+    * keyword stuffing, template glitches) scores high here while
+    * unigram surprisal stays low — the fluency axis a bag-of-words
+    * score cannot see.
+    *
+    * Same whole-bit exactness contract as [[surprisalScore]]:
+    * `s(w|p) = ⌊log₂ cnt(p·)⌋ − ⌊log₂ cnt(p,w)⌋` (context count over
+    * bigram count — a floor of −log₂ p(w|p) within ±1 bit), document
+    * score `(Σ tf·s) div (Σ tf)` over bigram positions. The context
+    * count is derived FROM the bigram table (occurrences of p in
+    * non-final position), so the conditional distribution sums to one
+    * by construction. Documents with fewer than two tokens have no
+    * bigrams and emit no row.
+    *
+    * Scale shape: the corpus reduces to (doc, prev, cur) tf partials
+    * map-side; corpus bigram counts and context counts are groupBys of
+    * THAT (token-key shuffles of count rows, the q80 shape); the text
+    * itself never shuffles. The token array is staged once per row and
+    * referenced ≥2 times, so CollapseProject cannot inline the
+    * tokenizer into per-element re-evaluation (the q54 lesson).
+    */
+  def bigramSurprisalScore(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.loweredTokens(col("text")).as("_tk"))
+      .filter(size(col("_tk")) >= 2)
+    val bg = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(_tk) - 2), " +
+          "i -> struct(_tk[i] AS prev, _tk[i + 1] AS cur))")).as("_p"))
+      .select(col("doc_id"), col("_p.prev").as("prev"), col("_p.cur").as("cur"))
+    val tf   = bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("tf_t"))
+    val cbg  = tf.groupBy("prev", "cur").agg(sum("tf_t").as("cnt_bg"))
+    val cctx = cbg.groupBy("prev").agg(sum("cnt_bg").as("cnt_ctx"))
+    tf.join(cbg, Seq("prev", "cur")).join(cctx, Seq("prev"))
+      .withColumn("sbits",
+        (floor(log2(col("cnt_ctx").cast("double"))) -
+          floor(log2(col("cnt_bg").cast("double")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("tf_t").as("n_bigrams"),
+        expr("sum(tf_t * sbits) div sum(tf_t)").as("avg_bigram_bits"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus' own top-`k`
     * vocabulary: `oov_pct = ⌊100·n_oov/n_tok⌋` over token OCCURRENCES
     * (a high rate flags gibberish, boilerplate codes, or wrong-language

@@ -53,4 +53,37 @@ class VocabularySpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == (1 to 4).map(i => i.toLong -> ((2L, 1L))).toMap)
   }
+
+  test("bigramSurprisalScore: rare continuations score high, hand-checked") {
+    // bigrams: (b,a) x3, (a,b) x1, (b,c) x1 -> cnt_ctx: b=4, a=1
+    // sbits: (b,a)=floor(log2 4)-floor(log2 3)=1, (a,b)=0-0=0, (b,c)=2-0=2
+    val docs = Seq(
+      (1L, "b a b a"),   // (2*1 + 1*0) div 3 = 0
+      (2L, "b a"),       // 1 div 1 = 1
+      (3L, "b c"),       // 2 div 1 = 2: common words, rare ORDER
+      (4L, "solo"))      // one token: no bigrams, no row
+      .toDF("doc_id", "text")
+    val got = Vocabulary.bigramSurprisalScore(docs)
+      .select("doc_id", "n_bigrams", "avg_bigram_bits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((3L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 2L))))
+  }
+
+  test("bigramSurprisalScore sees word order where unigram surprisal cannot") {
+    // same bag of words, different order. The contexts of the shuffled
+    // doc's bigrams must stay COMMON (else p(·|ctx)=1 and the score is
+    // legitimately 0 bits): 6 copies of "the cat sat" keep 'the' and
+    // 'cat' frequent contexts; doc 7 = "cat the sat" then chains two
+    // never-repeated continuations of those common contexts.
+    // cctx(the)=7, cnt(the,sat)=1 -> 2 bits; cctx(cat)=7, cnt(cat,the)=1 -> 2.
+    val docs = ((1 to 6).map(i => (i.toLong, "the cat sat")) :+ ((7L, "cat the sat")))
+      .toDF("doc_id", "text")
+    val uni = Vocabulary.surprisalScore(docs)
+      .select("doc_id", "avg_surprisal_bits").as[(Long, Long)].collect().toMap
+    assert(uni(7L) == uni(1L), "bag-of-words score must tie")
+    val bi = Vocabulary.bigramSurprisalScore(docs)
+      .select("doc_id", "avg_bigram_bits").as[(Long, Long)].collect().toMap
+    assert(bi(1L) == 0L && bi(7L) == 2L,
+      s"shuffled word order must raise bigram surprisal: $bi")
+  }
 }
