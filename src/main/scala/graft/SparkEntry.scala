@@ -1284,6 +1284,19 @@ object SparkEntry {
     graft.operators.Vocabulary.bigramSurprisalScore(t(s, d, "documents"))
       .orderBy("doc_id")
 
+  /** Lexical inverted-index retrieval ([[graft.operators.Search]]):
+    * documents containing BOTH a rare term ('dup', ~5% df) and a common
+    * one ('join') via the count-intersection AND query over the
+    * (tok, doc_id) pair index — the serving-path complement of the ANN
+    * family. The oracle re-derives membership from the text itself, so
+    * index construction must be lossless.
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.operators.Search.buildIndex(t(s, d, "documents"))
+    graft.operators.Search.andQuery(idx, Seq("dup", "join"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1373,7 +1386,8 @@ object SparkEntry {
     "q86_incr_maintain"     -> (q86 _),
     "q87_incr_stream"       -> (q87 _),
     "q88_neg_samples"       -> (q88 _),
-    "q89_bigram_surprisal"  -> (q89 _)
+    "q89_bigram_surprisal"  -> (q89 _),
+    "q90_lexical_and"       -> (q90 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2458,6 +2472,13 @@ object SparkEntry {
         |   FROM tf JOIN cbg USING (prev, cur) JOIN cctx USING (prev))
         |SELECT doc_id, CAST(SUM(tf_t) AS BIGINT) AS n_bigrams,
         | CAST(SUM(tf_t * sbits) // SUM(tf_t) AS BIGINT) AS avg_bigram_bits
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // membership re-derived from the raw text — the index must be a
+    // lossless view of the tokenizer
+    "q90_lexical_and" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'dup')
+        |  AND list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'join')
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical (inverted-index) search — the serving-path complement of the
+  * ANN family: build a term→document index once at ingest, answer
+  * conjunctive keyword queries from the index without touching document
+  * text.
+  *
+  * The index is a (tok, doc_id) PAIR TABLE, not per-token posting
+  * arrays: a 100 TB corpus puts billions of documents behind a stopword,
+  * and a collect_list row of that size is an executor OOM by
+  * construction — the pair-table form keeps every row O(1), buckets by
+  * `tok` ([[Bucketing]]) for shuffle-free term lookup, and lets the
+  * term filter push down to the scan. (The array form is the textbook
+  * single-node layout; this is its distributed normalization.)
+  *
+  * AND queries use the count-intersection identity: a document matches
+  * k terms iff it carries k distinct index rows among them — one
+  * scan-pushed `tok IN (...)` filter, one groupBy on the candidate
+  * doc_ids (only documents containing at least one query term ever
+  * enter the shuffle).
+  */
+object Search {
+
+  /** The inverted index: one row per (distinct token, document). */
+  def buildIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.loweredTokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Per-token document frequency from the index (vocabulary stats /
+    * stopword discovery / the df input a ranking layer needs). */
+  def documentFrequencies(index: DataFrame): DataFrame =
+    index.groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** Documents containing EVERY query term (conjunctive lexical
+    * retrieval). Terms are deduplicated — a repeated term must not
+    * raise the match bar. */
+  def andQuery(index: DataFrame, terms: Seq[String], idCol: String = "doc_id"): DataFrame = {
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    require(distinctTerms.nonEmpty, "at least one term required")
+    index
+      .filter(col("tok").isin(distinctTerms: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nt"))
+      .filter(col("_nt") === distinctTerms.length)
+      .select(col(idCol))
+  }
+}
