@@ -1297,6 +1297,21 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Ranked lexical retrieval ([[graft.operators.Search.rankedQuery]]):
+    * top-10 documents for a 3-term query by the exact-integer tf·idf
+    * score (q78's idf contract applied to search) — the rare term
+    * ('dup') dominates through its ~20× idf, which is the behavior
+    * ranking exists for. Ties break on doc_id; every score is BIGINT
+    * arithmetic, so the oracle reproduces the full ranking.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.operators.Search.rankedQuery(
+        graft.operators.Search.buildTfIndex(docs),
+        docs.agg(count(lit(1)).as("n_docs")),
+        Seq("dup", "join", "vector"), k = 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1387,7 +1402,8 @@ object SparkEntry {
     "q87_incr_stream"       -> (q87 _),
     "q88_neg_samples"       -> (q88 _),
     "q89_bigram_surprisal"  -> (q89 _),
-    "q90_lexical_and"       -> (q90 _)
+    "q90_lexical_and"       -> (q90 _),
+    "q91_ranked_tfidf"      -> (q91 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2479,6 +2495,20 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'dup')
         |  AND list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'join')
-        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // df computed over the HIT rows (same as the engine: df of a term =
+    // docs containing it, derived after the term filter)
+    "q91_ranked_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf_t FROM toks
+        |   WHERE tok IN ('dup', 'join', 'vector') GROUP BY doc_id, tok),
+        | dfx AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+        | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        | sc AS (SELECT doc_id,
+        |   SUM(tf_t * ((1000000 * n_docs) // df_t)) AS score
+        |   FROM tf JOIN dfx USING (tok) CROSS JOIN n GROUP BY doc_id)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -51,4 +51,46 @@ object Search {
       .filter(col("_nt") === distinctTerms.length)
       .select(col(idCol))
   }
+
+  /** The weighted index: one row per (token, document) with the term
+    * frequency — what a ranking layer consumes. */
+  def buildTfIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.loweredTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf_t"))
+
+  /** Disjunctive RANKED retrieval: top-`k` documents by the
+    * exact-integer tf·idf score `Σ_terms tf · ((10^6·N) div df)` — the
+    * [[Keywords]] idf contract applied to search, so the ranking is
+    * bit-reproducible by a SQL oracle (no BM25-style fractions). Ties
+    * break on the id ascending — a total order.
+    *
+    * Scale shape: the term filter cuts the tf index to the query
+    * terms' rows BEFORE anything else (scan-pushed IN); document
+    * frequencies reduce to one row per query term and BROADCAST into
+    * the scoring join along with the one-row corpus size (q42 shape);
+    * the per-doc rollup shuffles only docs containing ≥1 term, and the
+    * final top-k is a TakeOrdered, never a global sort.
+    */
+  def rankedQuery(
+      tfIndex: DataFrame,
+      nDocs: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    require(distinctTerms.nonEmpty, "at least one term required")
+    require(k >= 1, s"k must be positive, got $k")
+    val hits = tfIndex.filter(col("tok").isin(distinctTerms: _*))
+    val dfT  = hits.groupBy("tok").agg(count(lit(1)).as("df_t"))
+    hits
+      .join(broadcast(dfT), Seq("tok"))
+      .crossJoin(broadcast(nDocs)) // one-row corpus size (q42 shape)
+      .withColumn("_s", col("tf_t") * expr("(1000000 * n_docs) div df_t"))
+      .groupBy(col(idCol))
+      .agg(sum("_s").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -27,8 +27,10 @@ class CartAuditSpec extends SparkSpec {
                                 // ranked rows (q42 shape)
     "q85_stratified_exact" -> 1, // 1-row corpus total into the
                                 // O(#strata) quota table (q42 shape)
-    "q88_neg_samples" -> 1      // 1-row corpus size broadcast into the
+    "q88_neg_samples" -> 1,     // 1-row corpus size broadcast into the
                                 // anchor projection (q42 shape)
+    "q91_ranked_tfidf" -> 1     // 1-row corpus size broadcast into the
+                                // term-filtered scoring join (q42 shape)
   )
 
   test("no query has an unsanctioned condition-less join") {

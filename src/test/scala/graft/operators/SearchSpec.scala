@@ -37,6 +37,24 @@ class SearchSpec extends SparkSpec {
       == once)
   }
 
+  test("rankedQuery: rare terms dominate through idf; ties break on id") {
+    val corpus = Seq(
+      (1L, "join join join"),  // tf(join)=3
+      (2L, "rare join"),       // the only 'rare' doc
+      (3L, "join"),
+      (4L, "other words here")
+    ).toDF("doc_id", "text")
+    val n = corpus.groupBy().count().withColumnRenamed("count", "n_docs")
+    val got = Search.rankedQuery(
+        Search.buildTfIndex(corpus), n, Seq("rare", "join"), k = 3)
+      .as[(Long, Long)].collect()
+    // idf(join) = (4e6) div 3 = 1333333; idf(rare) = 4e6
+    // doc2 = 4e6 + 1333333; doc1 = 3*1333333; doc3 = 1333333
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L))
+    assert(got.head._2 == 4000000L + 1333333L)
+    assert(got(1)._2 == 3L * 1333333L)
+  }
+
   test("the term filter reaches the index scan (pushdown-able shape)") {
     val idx = Search.buildIndex(docs)
     val plan = Search.andQuery(idx, Seq("join", "hash"))
