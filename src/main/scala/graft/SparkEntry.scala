@@ -1312,6 +1312,19 @@ object SparkEntry {
         Seq("dup", "join", "vector"), k = 10)
   }
 
+  /** Phrase retrieval ([[graft.operators.Search.phraseQuery]]):
+    * documents containing the exact consecutive phrase "hash join",
+    * answered by the adjacency join over the positional index — the
+    * positional-intersection plan every lexical engine runs. The
+    * oracle re-derives adjacency from the raw token arrays, so the
+    * positional index must preserve exact occurrence order.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.operators.Search.buildPositionalIndex(t(s, d, "documents"))
+    graft.operators.Search.phraseQuery(idx, Seq("hash", "join"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1403,7 +1416,8 @@ object SparkEntry {
     "q88_neg_samples"       -> (q88 _),
     "q89_bigram_surprisal"  -> (q89 _),
     "q90_lexical_and"       -> (q90 _),
-    "q91_ranked_tfidf"      -> (q91 _)
+    "q91_ranked_tfidf"      -> (q91 _),
+    "q92_phrase_query"      -> (q92 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2509,6 +2523,16 @@ object SparkEntry {
         |   SUM(tf_t * ((1000000 * n_docs) // df_t)) AS score
         |   FROM tf JOIN dfx USING (tok) CROSS JOIN n GROUP BY doc_id)
         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    // adjacency re-derived from the raw 1-based token arrays (q77's
+    // unnest(range) idiom): tk[i]='hash' AND tk[i+1]='join'
+    "q92_phrase_query" ->
+      """WITH toks AS (SELECT doc_id,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |   FROM documents WHERE trim(text) <> ''),
+        | st AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
+        |SELECT DISTINCT doc_id FROM st
+        |WHERE tk[i] = 'hash' AND tk[i+1] = 'join'
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -52,6 +52,40 @@ object Search {
       .select(col(idCol))
   }
 
+  /** The positional index: one row per token OCCURRENCE with its
+    * 0-based position — what phrase and proximity queries consume.
+    * Same O(1)-row normalization argument as [[buildIndex]]. */
+  def buildPositionalIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(TextFunctions.loweredTokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+
+  /** Documents containing the exact consecutive `phrase` (adjacency
+    * join over the positional index). Matching is one equi-join per
+    * adjacent word pair on (doc, shifted position) — the classic
+    * positional-intersection plan: the term filters push to the scan,
+    * each join key is (id, pos+i), and only occurrences of the
+    * phrase's own words ever shuffle. Returns distinct ids (a doc may
+    * contain the phrase twice).
+    */
+  def phraseQuery(
+      positional: DataFrame,
+      phrase: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    val words = phrase.map(_.toLowerCase)
+    require(words.nonEmpty, "phrase must have at least one word")
+    val first = positional.filter(col("tok") === words.head)
+      .select(col(idCol), col("pos").as("_p0"))
+    words.zipWithIndex.tail
+      .foldLeft(first) { case (acc, (w, i)) =>
+        val next = positional.filter(col("tok") === w)
+          .select(col(idCol), (col("pos") - i).as("_p0"))
+        acc.join(next, Seq(idCol, "_p0"))
+      }
+      .select(col(idCol)).distinct()
+  }
+
   /** The weighted index: one row per (token, document) with the term
     * frequency — what a ranking layer consumes. */
   def buildTfIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame =

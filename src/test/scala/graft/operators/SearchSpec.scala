@@ -55,6 +55,25 @@ class SearchSpec extends SparkSpec {
     assert(got(1)._2 == 3L * 1333333L)
   }
 
+  test("phraseQuery matches exact adjacency only, in order") {
+    val corpus = Seq(
+      (1L, "the hash join wins"),     // match
+      (2L, "hash then join"),          // words present, not adjacent
+      (3L, "join hash"),               // adjacent, wrong order
+      (4L, "hash join hash join"),     // two occurrences -> ONE row
+      (5L, "sort merge join")
+    ).toDF("doc_id", "text")
+    val idx = Search.buildPositionalIndex(corpus)
+    val got = Search.phraseQuery(idx, Seq("hash", "join")).as[Long].collect().toSet
+    assert(got == Set(1L, 4L))
+    // three-word phrase spans the pairwise joins
+    assert(Search.phraseQuery(idx, Seq("sort", "merge", "join"))
+      .as[Long].collect().toSet == Set(5L))
+    // single-word phrase degenerates to membership
+    assert(Search.phraseQuery(idx, Seq("join")).as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("the term filter reaches the index scan (pushdown-able shape)") {
     val idx = Search.buildIndex(docs)
     val plan = Search.andQuery(idx, Seq("join", "hash"))
