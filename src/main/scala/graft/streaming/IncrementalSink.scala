@@ -43,7 +43,12 @@ private[graft] object IncrementalSink {
     val drainSession = spark.newSession()
     drainSession.conf.set("spark.sql.shuffle.partitions",
       math.max(4, spark.sparkContext.defaultParallelism / 4).toString)
-    var acc = zero.localCheckpoint(true)
+    // AtomicReference, not a var: the fold runs on the stream-execution
+    // thread and the result is read on the caller's thread — the
+    // progress lock inside processAllAvailable happens to order the
+    // two, but the atomic makes the cross-thread handoff explicit
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      zero.localCheckpoint(true))
     val q = drainSession.readStream
       .schema(batches.head.schema)
       .option("maxFilesPerTrigger", "1")
@@ -51,14 +56,14 @@ private[graft] object IncrementalSink {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // eager checkpoint: materialize the fold NOW, cut the lineage
-        acc = fold(acc, batch).localCheckpoint(true)
+        acc.set(fold(acc.get(), batch).localCheckpoint(true))
         ()
       }
       .option("checkpointLocation", s"$dir/_ckpt")
       .start()
     try {
       q.processAllAvailable()
-      acc
+      acc.get()
     } finally {
       q.stop()
       scala.util.Try {
