@@ -121,4 +121,53 @@ class KernelPropertySpec extends AnyFunSuite {
           }
     }, n = 100)
   }
+
+  test("bloom kernel: no false negatives for any key set, any filter geometry") {
+    import graft.plans.BloomHash
+    val geom = for {
+      words <- Gen.oneOf(1, 2, 8, 64) // 64..4096 bits
+      k     <- Gen.chooseNum(1, 8)
+      keys  <- Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    } yield (words, k, keys)
+    check("bloom-one-sided", Prop.forAll(geom) { case (words, k, keys) =>
+      val bits = new Array[Long](words)
+      keys.foreach(BloomHash.set(bits, _, k))
+      keys.forall(BloomHash.mightContain(bits, _, k))
+    })
+    // merge = OR: the union filter accepts everything either side set
+    check("bloom-merge-union", Prop.forAll(geom) { case (words, k, keys) =>
+      val (l, r) = keys.splitAt(keys.length / 2)
+      val a = new Array[Long](words); val b = new Array[Long](words)
+      l.foreach(BloomHash.set(a, _, k)); r.foreach(BloomHash.set(b, _, k))
+      val merged = a.zip(b).map { case (x, y) => x | y }
+      keys.forall(BloomHash.mightContain(merged, _, k))
+    })
+  }
+
+  test("z-order kernel: bijective on its domain and order-preserving per axis") {
+    import graft.plans.ZOrderKernel
+    val bits = 12
+    val inDomain = Gen.chooseNum(0L, (1L << bits) - 1)
+    // bijectivity: deinterleave by reading back alternate bits
+    def unzip(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L
+      (0 until bits).foreach { i =>
+        a |= ((z >>> (2 * i)) & 1L) << i
+        b |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    check("z-bijective", Prop.forAll(Gen.zip(inDomain, inDomain)) { case (x, y) =>
+      unzip(ZOrderKernel.interleave(x, y, bits)) == ((x, y))
+    })
+    // fixing one axis, z is strictly monotone in the other — the
+    // property that makes min/max stats tight per dimension
+    check("z-monotone-per-axis", Prop.forAll(
+      Gen.zip(inDomain, inDomain, inDomain)) { case (x1, x2, y) =>
+      (x1 == x2) || {
+        val (lo, hi) = if (x1 < x2) (x1, x2) else (x2, x1)
+        ZOrderKernel.interleave(lo, y, bits) < ZOrderKernel.interleave(hi, y, bits)
+      }
+    })
+  }
 }
