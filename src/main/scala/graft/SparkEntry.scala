@@ -1325,6 +1325,18 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Proximity retrieval ([[graft.operators.Search.proximityQuery]]):
+    * documents where 'dup' and 'join' fall within 2 token positions of
+    * each other, either order — the NEAR operator between AND's
+    * looseness and a phrase's rigidity. The oracle re-derives
+    * positions from the raw token arrays.
+    */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.operators.Search.buildPositionalIndex(t(s, d, "documents"))
+    graft.operators.Search.proximityQuery(idx, "dup", "join", maxDist = 2)
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1417,7 +1429,8 @@ object SparkEntry {
     "q89_bigram_surprisal"  -> (q89 _),
     "q90_lexical_and"       -> (q90 _),
     "q91_ranked_tfidf"      -> (q91 _),
-    "q92_phrase_query"      -> (q92 _)
+    "q92_phrase_query"      -> (q92 _),
+    "q93_proximity"         -> (q93 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2533,6 +2546,17 @@ object SparkEntry {
         | st AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)
         |SELECT DISTINCT doc_id FROM st
         |WHERE tk[i] = 'hash' AND tk[i+1] = 'join'
-        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // positions re-derived 1-based on both terms; |pa-pb| is
+    // base-independent so the Spark side's 0-based index agrees
+    "q93_proximity" ->
+      """WITH toks AS (SELECT doc_id,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |   FROM documents WHERE trim(text) <> ''),
+        | st AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks),
+        | a AS (SELECT doc_id, i FROM st WHERE tk[i] = 'dup'),
+        | b AS (SELECT doc_id, i FROM st WHERE tk[i] = 'join')
+        |SELECT DISTINCT a.doc_id FROM a JOIN b USING (doc_id)
+        |WHERE abs(a.i - b.i) <= 2 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -86,6 +86,29 @@ object Search {
       .select(col(idCol)).distinct()
   }
 
+  /** Documents where `termA` and `termB` occur within `maxDist` token
+    * positions of each other, either order (proximity / NEAR
+    * retrieval — the relevance signal between AND's looseness and a
+    * phrase's rigidity). One hash equi-join of the two terms'
+    * occurrence lists on the doc id with the distance refinement as a
+    * join residual; only the two terms' occurrences shuffle.
+    */
+  def proximityQuery(
+      positional: DataFrame,
+      termA: String,
+      termB: String,
+      maxDist: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be positive, got $maxDist")
+    val a = positional.filter(col("tok") === termA.toLowerCase)
+      .select(col(idCol), col("pos").as("_pa"))
+    val b = positional.filter(col("tok") === termB.toLowerCase)
+      .select(col(idCol).as("_idb"), col("pos").as("_pb"))
+    a.join(b, col(idCol) === col("_idb") &&
+        abs(col("_pa") - col("_pb")) <= maxDist)
+      .select(col(idCol)).distinct()
+  }
+
   /** The weighted index: one row per (token, document) with the term
     * frequency — what a ranking layer consumes. */
   def buildTfIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame =

@@ -74,6 +74,22 @@ class SearchSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("proximityQuery: within-window both orders, outside-window excluded") {
+    val corpus = Seq(
+      (1L, "dup near join"),        // distance 2: in at maxDist=2
+      (2L, "join dup"),             // distance 1, reversed order: in
+      (3L, "dup far far far join"), // distance 4: out
+      (4L, "dup only"),
+      (5L, "join only")
+    ).toDF("doc_id", "text")
+    val idx = Search.buildPositionalIndex(corpus)
+    val got = Search.proximityQuery(idx, "dup", "join", maxDist = 2)
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+    assert(Search.proximityQuery(idx, "dup", "join", maxDist = 4)
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("the term filter reaches the index scan (pushdown-able shape)") {
     val idx = Search.buildIndex(docs)
     val plan = Search.andQuery(idx, Seq("join", "hash"))
