@@ -1337,6 +1337,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** m-of-n boolean retrieval
+    * ([[graft.operators.Search.minShouldMatch]]): documents matching at
+    * least 2 of {'dup', 'slow', 'vector'} with the matched-term count —
+    * the recall/precision dial between AND (n-of-n, q90) and OR
+    * (1-of-n). Oracle re-derives per-term membership from raw text and
+    * applies the same bar.
+    */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val idx = graft.operators.Search.buildIndex(t(s, d, "documents"))
+    graft.operators.Search.minShouldMatch(idx, Seq("dup", "slow", "vector"), minMatch = 2)
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1430,7 +1443,8 @@ object SparkEntry {
     "q90_lexical_and"       -> (q90 _),
     "q91_ranked_tfidf"      -> (q91 _),
     "q92_phrase_query"      -> (q92 _),
-    "q93_proximity"         -> (q93 _)
+    "q93_proximity"         -> (q93 _),
+    "q94_min_should_match"  -> (q94 _)
   )
 
   // ---------------------------------------------------------------------------
@@ -2557,6 +2571,16 @@ object SparkEntry {
         | a AS (SELECT doc_id, i FROM st WHERE tk[i] = 'dup'),
         | b AS (SELECT doc_id, i FROM st WHERE tk[i] = 'join')
         |SELECT DISTINCT a.doc_id FROM a JOIN b USING (doc_id)
-        |WHERE abs(a.i - b.i) <= 2 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        |WHERE abs(a.i - b.i) <= 2 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // per-term membership from raw text, summed against the m-of-n bar
+    "q94_min_should_match" -> {
+      def has(w: String) =
+        s"CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\\s+'), '$w') THEN 1 ELSE 0 END"
+      s"""SELECT doc_id,
+         | CAST(${has("dup")} + ${has("slow")} + ${has("vector")} AS BIGINT) AS n_matched
+         |FROM documents
+         |WHERE ${has("dup")} + ${has("slow")} + ${has("vector")} >= 2
+         |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

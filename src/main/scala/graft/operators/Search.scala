@@ -52,6 +52,27 @@ object Search {
       .select(col(idCol))
   }
 
+  /** Boolean retrieval in its general m-of-n form: documents matching
+    * at least `minMatch` of the query terms (AND is n-of-n, OR is
+    * 1-of-n, "min should match" everything between — the recall/
+    * precision dial). Same count-intersection shape as [[andQuery]]
+    * with the bar lowered to `minMatch`. */
+  def minShouldMatch(
+      index: DataFrame,
+      terms: Seq[String],
+      minMatch: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    require(distinctTerms.nonEmpty, "at least one term required")
+    require(minMatch >= 1 && minMatch <= distinctTerms.length,
+      s"minMatch must be in [1, ${distinctTerms.length}], got $minMatch")
+    index
+      .filter(col("tok").isin(distinctTerms: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+  }
+
   /** The positional index: one row per token OCCURRENCE with its
     * 0-based position — what phrase and proximity queries consume.
     * Same O(1)-row normalization argument as [[buildIndex]]. */

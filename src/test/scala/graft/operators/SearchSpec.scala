@@ -90,6 +90,20 @@ class SearchSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("minShouldMatch spans the AND-OR dial") {
+    val idx = Search.buildIndex(docs)
+    // 1-of-n = OR, n-of-n = AND, the middle bar sits between
+    val or2 = Search.minShouldMatch(idx, Seq("join", "hash"), 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(or2 == Set(1L, 2L, 3L, 4L))
+    val and2 = Search.minShouldMatch(idx, Seq("join", "hash"), 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(and2 == Search.andQuery(idx, Seq("join", "hash")).as[Long].collect().toSet)
+    val mid = Search.minShouldMatch(idx, Seq("join", "hash", "merge"), 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(mid == Set(1L, 2L, 4L)) // doc2: join+merge; docs 1,4: join+hash
+  }
+
   test("the term filter reaches the index scan (pushdown-able shape)") {
     val idx = Search.buildIndex(docs)
     val plan = Search.andQuery(idx, Seq("join", "hash"))
