@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The JUnit XML listener dies (MalformedInputException) when a failure
+// message contains a lone UTF-16 surrogate, aborting the whole forked
+// harness mid-run. ScalaTest console output is the source of truth here;
+// drop the XML reports so a weird failure message can't truncate the run.
+disablePlugins(JUnitXmlReportPlugin)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -989,13 +989,20 @@ object SparkEntry {
     * broadcast disabled the whole query contains exactly ONE hash
     * Exchange (the aggregation), zero under the join.
     */
-  private def q75(s: SparkSession, d: String): DataFrame = {
+  /** q75's pay-once bucketed ingest, shared with [[prepareLayouts]] so
+    * Bench warms exactly the layout the query reuses (arg drift here
+    * would silently double-write). */
+  private def ensureQ75Tables(s: SparkSession, d: String): Unit = {
     graft.operators.Bucketing.ensureBucketed(
       t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
       "graft_q75_lineitem", buckets = 8, bucketCols = Seq("l_orderkey"), srcTag = d)
     graft.operators.Bucketing.ensureBucketed(
       t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
       "graft_q75_orders", buckets = 8, bucketCols = Seq("o_orderkey"), srcTag = d)
+  }
+
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    ensureQ75Tables(s, d)
     s.table("graft_q75_lineitem")
       .join(s.table("graft_q75_orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
@@ -1172,12 +1179,17 @@ object SparkEntry {
     * source tag ([[graft.operators.ZOrder.ensureZOrdered]], the
     * ensureBucketed idempotence contract).
     */
-  private def q84(s: SparkSession, d: String): DataFrame = {
+  /** q84's pay-once z-ordered copy, shared with [[prepareLayouts]]. */
+  private def ensureQ84Path(s: SparkSession, d: String): String = {
     val li = t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"), col("l_returnflag"))
-    val path = graft.operators.ZOrder.ensureZOrdered(
+    graft.operators.ZOrder.ensureZOrdered(
       li, "l_partkey", "l_suppkey", bits = 20, srcTag = d)
+  }
+
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    val path = ensureQ84Path(s, d)
     s.read.parquet(path)
       .filter(col("l_partkey") <= 50L && col("l_suppkey") <= 5L)
       .groupBy("l_returnflag")
@@ -1284,16 +1296,29 @@ object SparkEntry {
     graft.operators.Vocabulary.bigramSurprisalScore(t(s, d, "documents"))
       .orderBy("doc_id")
 
+  /** The persisted serving-path indexes for q90–q95
+    * ([[graft.operators.Search.ensureIndexes]]): all three index tables
+    * built ONCE per landed corpus, bucketed by `tok` — every lexical
+    * query reads the bucketed tables (build at ingest, query many),
+    * never re-tokenizes the corpus. Idempotent; Bench additionally runs
+    * this in warmup so medians exclude the pay-once ingest.
+    */
+  private def ensureSearchTables(s: SparkSession, d: String): Unit =
+    graft.operators.Search.ensureIndexes(t(s, d, "documents"), srcTag = d)
+
   /** Lexical inverted-index retrieval ([[graft.operators.Search]]):
     * documents containing BOTH a rare term ('dup', ~5% df) and a common
     * one ('join') via the count-intersection AND query over the
-    * (tok, doc_id) pair index — the serving-path complement of the ANN
-    * family. The oracle re-derives membership from the text itself, so
-    * index construction must be lossless.
+    * PERSISTED (tok, doc_id) pair index — the serving-path complement
+    * of the ANN family: the term filter prunes to the terms' buckets at
+    * the scan (SearchIndexPlanSpec pins it). The oracle re-derives
+    * membership from the text itself, so index construction must be
+    * lossless.
     */
   private def q90(s: SparkSession, d: String): DataFrame = {
-    val idx = graft.operators.Search.buildIndex(t(s, d, "documents"))
-    graft.operators.Search.andQuery(idx, Seq("dup", "join"))
+    ensureSearchTables(s, d)
+    graft.operators.Search.andQuery(s.table(graft.operators.Search.IndexTable),
+        Seq("dup", "join"))
       .orderBy("doc_id")
   }
 
@@ -1305,10 +1330,10 @@ object SparkEntry {
     * arithmetic, so the oracle reproduces the full ranking.
     */
   private def q91(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    ensureSearchTables(s, d)
     graft.operators.Search.rankedQuery(
-        graft.operators.Search.buildTfIndex(docs),
-        docs.agg(count(lit(1)).as("n_docs")),
+        s.table(graft.operators.Search.TfTable),
+        t(s, d, "documents").agg(count(lit(1)).as("n_docs")),
         Seq("dup", "join", "vector"), k = 10)
   }
 
@@ -1320,8 +1345,9 @@ object SparkEntry {
     * positional index must preserve exact occurrence order.
     */
   private def q92(s: SparkSession, d: String): DataFrame = {
-    val idx = graft.operators.Search.buildPositionalIndex(t(s, d, "documents"))
-    graft.operators.Search.phraseQuery(idx, Seq("hash", "join"))
+    ensureSearchTables(s, d)
+    graft.operators.Search.phraseQuery(s.table(graft.operators.Search.PosTable),
+        Seq("hash", "join"))
       .orderBy("doc_id")
   }
 
@@ -1332,8 +1358,9 @@ object SparkEntry {
     * positions from the raw token arrays.
     */
   private def q93(s: SparkSession, d: String): DataFrame = {
-    val idx = graft.operators.Search.buildPositionalIndex(t(s, d, "documents"))
-    graft.operators.Search.proximityQuery(idx, "dup", "join", maxDist = 2)
+    ensureSearchTables(s, d)
+    graft.operators.Search.proximityQuery(s.table(graft.operators.Search.PosTable),
+        "dup", "join", maxDist = 2)
       .orderBy("doc_id")
   }
 
@@ -1345,9 +1372,34 @@ object SparkEntry {
     * applies the same bar.
     */
   private def q94(s: SparkSession, d: String): DataFrame = {
-    val idx = graft.operators.Search.buildIndex(t(s, d, "documents"))
-    graft.operators.Search.minShouldMatch(idx, Seq("dup", "slow", "vector"), minMatch = 2)
+    ensureSearchTables(s, d)
+    graft.operators.Search.minShouldMatch(s.table(graft.operators.Search.IndexTable),
+        Seq("dup", "slow", "vector"), minMatch = 2)
       .orderBy("doc_id")
+  }
+
+  /** Incremental inverted-index maintenance
+    * ([[graft.operators.Search.maintainTfIndex]]) — the q86 CDC delta
+    * algebra unified with the q90–q94 serving path: the PERSISTED tf
+    * index (restricted to the base docs, doc_id ≢ 0 mod 5) absorbs a
+    * document delta — inserts (the mod-5 docs) plus whole-document
+    * retractions (base docs ≡ 0 mod 7) — by tokenizing ONLY the delta
+    * and folding signed counts per (doc_id, tok); zeroed keys leave the
+    * index. The oracle is the rebuild itself: the tf index of the
+    * effective document set, so delta-fold ≡ rebuild is hash-checked
+    * row-for-row.
+    */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    ensureSearchTables(s, d)
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val state = s.table(graft.operators.Search.TfTable)
+      .filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0).withColumn("sign", lit(1L))
+      .unionByName(
+        docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+          .withColumn("sign", lit(-1L)))
+    graft.operators.Search.maintainTfIndex(state, delta)
+      .orderBy("doc_id", "tok")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -1444,8 +1496,23 @@ object SparkEntry {
     "q91_ranked_tfidf"      -> (q91 _),
     "q92_phrase_query"      -> (q92 _),
     "q93_proximity"         -> (q93 _),
-    "q94_min_should_match"  -> (q94 _)
+    "q94_min_should_match"  -> (q94 _),
+    "q95_incr_index"        -> (q95 _)
   )
+
+  /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
+    * copy (q84), the search index tables (q90–q95). These are "pay at
+    * ingest, reuse every query" writes by contract, so Bench runs this
+    * in WARMUP — a fresh warehouse must not inflate per-query medians
+    * with one-time ingest cost. The queries still call the same
+    * idempotent ensure* themselves (a no-op after this), so Verify and
+    * standalone use stay self-contained.
+    */
+  def prepareLayouts(s: SparkSession, d: String): Unit = {
+    ensureQ75Tables(s, d)
+    ensureQ84Path(s, d)
+    ensureSearchTables(s, d)
+  }
 
   // ---------------------------------------------------------------------------
   // DuckDB oracle SQL (ANSI-ish; DuckDB dialect where they differ).
@@ -2581,6 +2648,17 @@ object SparkEntry {
          |FROM documents
          |WHERE ${has("dup")} + ${has("slow")} + ${has("vector")} >= 2
          |ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+    // the oracle IS the rebuild: tf index of the effective document set
+    // (inserts ∪ base∖deletions) from raw text — delta-fold must equal
+    // it row-for-row
+    "q95_incr_index" ->
+      """WITH eff AS (SELECT doc_id, text FROM documents
+        |   WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0),
+        | toks AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM eff)
+        |SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf_t FROM toks
+        |WHERE tok <> '' GROUP BY doc_id, tok
+        |ORDER BY doc_id, tok""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -26,6 +26,32 @@ import graft.functions.TextFunctions
   */
 object Search {
 
+  /** Persisted serving-path table names (bucketed by `tok`). */
+  val IndexTable = "graft_search_index"
+  val PosTable   = "graft_search_pos"
+  val TfTable    = "graft_search_tf"
+
+  /** Persist all three index tables bucketed by `tok` — the serving
+    * path the header scaladoc describes: tokenize the corpus ONCE at
+    * ingest, answer every query from the persisted index without
+    * touching document text. Bucketing by `tok` buys two observable
+    * plan guarantees (SearchIndexPlanSpec pins both): a term lookup
+    * (`tok IN (...)`) prunes to the matching buckets at the SCAN
+    * (SelectedBucketsCount < total — on a 100 TB index only the query
+    * terms' buckets are ever read), and per-token rollups (document
+    * frequencies) consume the bucket partitioning with NO exchange.
+    * Idempotent per the [[Bucketing.ensureBucketed]] source-tag
+    * contract: reruns over the same landed corpus skip the rewrite.
+    */
+  def ensureIndexes(docs: DataFrame, srcTag: String, buckets: Int = 8): Unit = {
+    Bucketing.ensureBucketed(buildIndex(docs), IndexTable, buckets,
+      bucketCols = Seq("tok"), srcTag = srcTag)
+    Bucketing.ensureBucketed(buildPositionalIndex(docs), PosTable, buckets,
+      bucketCols = Seq("tok"), srcTag = srcTag)
+    Bucketing.ensureBucketed(buildTfIndex(docs), TfTable, buckets,
+      bucketCols = Seq("tok"), srcTag = srcTag)
+  }
+
   /** The inverted index: one row per (distinct token, document). */
   def buildIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs
@@ -137,6 +163,43 @@ object Search {
       .select(col(idCol), explode(TextFunctions.loweredTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf_t"))
+
+  /** Fold a document delta (whole-document inserts and deletions) into
+    * a tf index WITHOUT rebuilding it — the q86 materialized-view
+    * algebra ([[Incremental.maintainSumCount]]) applied to the inverted
+    * index: term frequencies are abelian sums, so a deleted document's
+    * occurrences retract with sign −1 and an inserted document's fold
+    * in with +1; keys whose count reaches zero leave the index.
+    * Delta-fold ≡ rebuild-from-scratch (SearchSpec pins the equality;
+    * q95's oracle IS the rebuild).
+    *
+    * Scale shape inherits from maintainSumCount: the delta tokenizes
+    * and aggregates down to one row per touched (id, tok) BEFORE
+    * meeting the index — maintenance cost tracks the changed documents,
+    * never the corpus.
+    *
+    * `docsDelta` carries `idCol`, `text`, and a ±1 `signCol` (+1 insert
+    * a new document, −1 retract a previously indexed one, whose text
+    * must equal what was indexed — the maintainSumCount contract).
+    */
+  def maintainTfIndex(
+      tfIndex: DataFrame,
+      docsDelta: DataFrame,
+      idCol: String = "doc_id",
+      signCol: String = "sign"): DataFrame = {
+    val occ = docsDelta
+      .select(col(idCol), col(signCol),
+        explode(TextFunctions.loweredTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("_one", lit(1L))
+    // reuse the (count, sum) algebra with a unit value: the count IS
+    // the term frequency; the synthetic sum mirrors it and is dropped.
+    Incremental.maintainSumCount(
+        tfIndex.withColumn("_mirror", col("tf_t")),
+        occ, keyCols = Seq(idCol, "tok"), valueCol = "_one",
+        signCol = signCol, nCol = "tf_t", sumCol = "_mirror")
+      .drop("_mirror")
+  }
 
   /** Disjunctive RANKED retrieval: top-`k` documents by the
     * exact-integer tf·idf score `Σ_terms tf · ((10^6·N) div df)` — the

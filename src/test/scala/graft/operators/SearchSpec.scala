@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 
 class SearchSpec extends SparkSpec {
@@ -102,6 +104,29 @@ class SearchSpec extends SparkSpec {
     val mid = Search.minShouldMatch(idx, Seq("join", "hash", "merge"), 2)
       .select("doc_id").as[Long].collect().toSet
     assert(mid == Set(1L, 2L, 4L)) // doc2: join+merge; docs 1,4: join+hash
+  }
+
+  test("maintainTfIndex: delta-fold equals rebuild-from-scratch") {
+    val base = Seq(
+      (1L, "join hash join"),
+      (2L, "merge sort"),
+      (3L, "hash scan filter")
+    ).toDF("doc_id", "text")
+    val inserted = Seq((4L, "join vector join join")).toDF("doc_id", "text")
+    // delete doc 2 entirely (retraction mirrors its indexed text),
+    // insert doc 4
+    val delta = inserted.withColumn("sign", lit(1L))
+      .unionByName(base.filter($"doc_id" === 2L).withColumn("sign", lit(-1L)))
+    val folded = Search.maintainTfIndex(Search.buildTfIndex(base), delta)
+      .as[(Long, String, Long)].collect().toSet
+    val rebuilt = Search.buildTfIndex(
+        base.filter($"doc_id" =!= 2L).unionByName(inserted))
+      .as[(Long, String, Long)].collect().toSet
+    assert(folded == rebuilt)
+    // zeroed keys LEAVE the index — no tf=0 tombstones for doc 2
+    assert(!folded.exists(_._1 == 2L))
+    // and the inserted doc carries its true tf
+    assert(folded.contains((4L, "join", 3L)))
   }
 
   test("the term filter reaches the index scan (pushdown-able shape)") {
