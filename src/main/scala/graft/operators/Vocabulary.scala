@@ -90,23 +90,36 @@ object Vocabulary {
     * by construction. Documents with fewer than two tokens have no
     * bigrams and emit no row.
     *
-    * Scale shape: the corpus reduces to (doc, prev, cur) tf partials
-    * map-side; corpus bigram counts and context counts are groupBys of
-    * THAT (token-key shuffles of count rows, the q80 shape); the text
-    * itself never shuffles. The token array is staged once per row and
-    * referenced ≥2 times, so CollapseProject cannot inline the
-    * tokenizer into per-element re-evaluation (the q54 lesson).
+    * Scale shape: the corpus reduces to (doc, prev, cur, tf) rows
+    * INSIDE the scan stage — [[graft.plans.BigramTfExpr]] counts each
+    * document's distinct adjacent pairs in one fused native pass, so
+    * the explode emits per-doc tf rows directly and no doc-keyed
+    * aggregation exchange ever exists in the plan (the composed
+    * `transform(sequence(...))` + explode + groupBy form this fused is
+    * pinned equal to in VocabularySpec). Corpus bigram counts and
+    * context counts are groupBys of THAT (token-key shuffles of count
+    * rows, the q80 shape); the text itself never shuffles.
     */
-  def bigramSurprisalScore(docs: DataFrame): DataFrame = {
-    val toks = docs
+  /** Per-document distinct bigram term frequencies
+    * `(doc_id, prev, cur, tf_t)` via the fused
+    * [[graft.plans.BigramTfExpr]] kernel. The token array is staged
+    * once per row (the q54 lesson) and handed to ONE codegen call; the
+    * explode that follows emits a row per distinct per-doc pair with
+    * its count already attached.
+    */
+  def bigramTf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    docs
       .select(col("doc_id"), TextFunctions.loweredTokens(col("text")).as("_tk"))
       .filter(size(col("_tk")) >= 2)
-    val bg = toks
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(_tk) - 2), " +
-          "i -> struct(_tk[i] AS prev, _tk[i + 1] AS cur))")).as("_p"))
-      .select(col("doc_id"), col("_p.prev").as("prev"), col("_p.cur").as("cur"))
-    val tf   = bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("tf_t"))
+      .select(col("doc_id"),
+        explode(column(graft.plans.BigramTfExpr(expression(col("_tk"))))).as("_b"))
+      .select(col("doc_id"), col("_b.prev").as("prev"),
+        col("_b.cur").as("cur"), col("_b.tf").as("tf_t"))
+  }
+
+  def bigramSurprisalScore(docs: DataFrame): DataFrame = {
+    val tf = bigramTf(docs)
     val cbg  = tf.groupBy("prev", "cur").agg(sum("tf_t").as("cnt_bg"))
     val cctx = cbg.groupBy("prev").agg(sum("cnt_bg").as("cnt_ctx"))
     tf.join(cbg, Seq("prev", "cur")).join(cctx, Seq("prev"))

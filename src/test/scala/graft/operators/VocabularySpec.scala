@@ -54,6 +54,27 @@ class VocabularySpec extends SparkSpec {
     assert(got == (1 to 4).map(i => i.toLong -> ((2L, 1L))).toMap)
   }
 
+  test("fused bigramTf equals the composed transform/explode/groupBy form") {
+    // differential over the fused codegen kernel vs the HOF composition
+    // it replaced (the WinnowFpExpr precedent) — including multi-space
+    // runs, repeated pairs, unicode, 0/1/2-token edges, blank text
+    val fuzz = Seq(
+      "aa bb aa bb aa", "x", "", "  lead and   trail  ", "a a a a a a",
+      "solo pair", "ü ber ü ber zw ö lf", "p q r p q r p q s",
+      (1 to 60).map(i => s"t${i % 7}").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = fuzz.toDF("doc_id", "text")
+    val got = Vocabulary.bigramTf(df)
+      .as[(Long, String, String, Long)].collect().toSet
+    val want = fuzz.flatMap { case (id, t) =>
+      val tk = t.toLowerCase.trim.split("\\s+", -1).toSeq
+      if (tk.length < 2) Nil
+      else tk.sliding(2).toSeq.groupBy(identity).map { case (p, occ) =>
+        (id, p(0), p(1), occ.size.toLong) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("bigramSurprisalScore: rare continuations score high, hand-checked") {
     // bigrams: (b,a) x3, (a,b) x1, (b,c) x1 -> cnt_ctx: b=4, a=1
     // sbits: (b,a)=floor(log2 4)-floor(log2 3)=1, (a,b)=0-0=0, (b,c)=2-0=2
