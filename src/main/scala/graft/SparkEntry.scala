@@ -1402,6 +1402,23 @@ object SparkEntry {
       .orderBy("doc_id", "tok")
   }
 
+  /** BM25-ranked retrieval ([[graft.operators.Search.bm25Query]]):
+    * top-10 for the q91 query {'dup','join','vector'} under tf
+    * SATURATION + document-LENGTH normalization — the two ranking
+    * effects plain tf·idf lacks (a 50-occurrence spam doc no longer
+    * drowns a short focused one). k1=6/5, b=3/4 cleared to BIGINT
+    * arithmetic, whole-bit idf₂ (q80 ⌊log₂⌋ contract), document length
+    * denormalized into the PERSISTED scored posting table (Lucene
+    * norms) so scoring touches only the query terms' posting rows.
+    */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    ensureSearchTables(s, d)
+    graft.operators.Search.bm25Query(
+        s.table(graft.operators.Search.ScoredTable),
+        graft.operators.Search.corpusStats(t(s, d, "documents")),
+        Seq("dup", "join", "vector"), k = 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1497,7 +1514,8 @@ object SparkEntry {
     "q92_phrase_query"      -> (q92 _),
     "q93_proximity"         -> (q93 _),
     "q94_min_should_match"  -> (q94 _),
-    "q95_incr_index"        -> (q95 _)
+    "q95_incr_index"        -> (q95 _),
+    "q96_bm25"              -> (q96 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -2659,6 +2677,33 @@ object SparkEntry {
         |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM eff)
         |SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf_t FROM toks
         |WHERE tok <> '' GROUP BY doc_id, tok
-        |ORDER BY doc_id, tok""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY doc_id, tok""".stripMargin.replaceAll("\n", " "),
+    // exact-integer BM25: k1=6/5, b=3/4 cleared of fractions
+    // (sat = (1e6·44·tf·A) // (20·tf·A + 6·A + 18000·dl), A = milli-token
+    // avgdl), whole-bit idf₂ from the odd-integer ratio (2N−2df+1)/(2df+1)
+    // — DuckDB // floors, Spark div truncates; every operand here is
+    // positive, so they agree. df over the hit rows, like q91.
+    "q96_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+        | occ AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf_t FROM occ GROUP BY doc_id, tok),
+        | dlx AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY doc_id),
+        | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        | a AS (SELECT greatest((1000 * SUM(dl)) // MAX(n_docs), 1) AS avgdl_x
+        |   FROM dlx, n),
+        | hits AS (SELECT tf.doc_id, tf.tok, tf.tf_t, dlx.dl
+        |   FROM tf JOIN dlx USING (doc_id)
+        |   WHERE tf.tok IN ('dup', 'join', 'vector')),
+        | dfx AS (SELECT tok, COUNT(*) AS df_t FROM hits GROUP BY tok),
+        | sc AS (SELECT doc_id, SUM(
+        |     CAST(floor(log2(CAST(greatest(
+        |       (2 * n_docs - 2 * df_t + 1) // (2 * df_t + 1), 1) AS DOUBLE))) AS BIGINT)
+        |     * ((1000000 * 44 * tf_t * avgdl_x) //
+        |        (20 * tf_t * avgdl_x + 6 * avgdl_x + 18000 * dl))) AS score
+        |   FROM hits JOIN dfx USING (tok) CROSS JOIN n CROSS JOIN a
+        |   GROUP BY doc_id)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -27,9 +27,10 @@ import graft.functions.TextFunctions
 object Search {
 
   /** Persisted serving-path table names (bucketed by `tok`). */
-  val IndexTable = "graft_search_index"
-  val PosTable   = "graft_search_pos"
-  val TfTable    = "graft_search_tf"
+  val IndexTable  = "graft_search_index"
+  val PosTable    = "graft_search_pos"
+  val TfTable     = "graft_search_tf"
+  val ScoredTable = "graft_search_scored"
 
   /** Persist all three index tables bucketed by `tok` — the serving
     * path the header scaladoc describes: tokenize the corpus ONCE at
@@ -49,6 +50,8 @@ object Search {
     Bucketing.ensureBucketed(buildPositionalIndex(docs), PosTable, buckets,
       bucketCols = Seq("tok"), srcTag = srcTag)
     Bucketing.ensureBucketed(buildTfIndex(docs), TfTable, buckets,
+      bucketCols = Seq("tok"), srcTag = srcTag)
+    Bucketing.ensureBucketed(buildScoredIndex(docs), ScoredTable, buckets,
       bucketCols = Seq("tok"), srcTag = srcTag)
   }
 
@@ -229,6 +232,95 @@ object Search {
       .join(broadcast(dfT), Seq("tok"))
       .crossJoin(broadcast(nDocs)) // one-row corpus size (q42 shape)
       .withColumn("_s", col("tf_t") * expr("(1000000 * n_docs) div df_t"))
+      .groupBy(col(idCol))
+      .agg(sum("_s").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The SCORED posting table: the tf index with the document length
+    * denormalized into every posting row — Lucene's norms idea in
+    * columnar form. BM25's length normalization needs `dl` at scoring
+    * time; carrying it in the posting means the query path touches
+    * ONLY the query terms' posting rows — no join against a
+    * corpus-wide doc-length side table (which would shuffle on doc_id
+    * and read a table as wide as the corpus to serve a 3-term query).
+    * The ingest-time join building it is the pay-once cost the
+    * [[ensureIndexes]] contract already covers.
+    */
+  def buildScoredIndex(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val occ = docs
+      .select(col(idCol), explode(TextFunctions.loweredTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = occ.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf_t"))
+    val dl = occ.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    tf.join(dl, Seq(idCol))
+  }
+
+  /** Corpus statistics BM25 needs, as ONE broadcastable row:
+    * `n_docs` and the fixed-point average document length
+    * `avgdl_x = (1000·Σdl) div n_docs` (milli-tokens — integer, so the
+    * oracle reproduces it bit-for-bit). Derived from the corpus the
+    * same way q91 derives `n_docs`; in a production ingest these are
+    * written once as table metadata alongside the index.
+    */
+  def corpusStats(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol),
+        size(filter(TextFunctions.loweredTokens(col("text")),
+          t => length(t) > 0)).as("_dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("greatest((1000 * sum(_dl)) div count(1), 1)").as("avgdl_x"))
+
+  /** BM25-ranked disjunctive retrieval over the scored posting table —
+    * tf SATURATION and document-LENGTH normalization, the two effects
+    * plain tf·idf ([[rankedQuery]]) lacks, in exact BIGINT arithmetic
+    * so a SQL oracle reproduces the full ranking (Robertson & Walker's
+    * k1=1.2, b=0.75 realized as the rationals 6/5 and 3/4):
+    *
+    * classic term score  idf · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))
+    * cleared of fractions (×20·avgdl, then avgdl → A/1000 and ×1000):
+    *
+    *   sat  = (10⁶ · 44·tf·A) div (20·tf·A + 6·A + 18000·dl)
+    *   idf₂ = ⌊log₂ max((2N − 2df + 1) div (2df + 1), 1)⌋
+    *   score = Σ_terms idf₂ · sat
+    *
+    * idf₂ is the whole-bit form of BM25's ln((N−df+½)/(df+½)) — the
+    * ±½ pair becomes the exact odd-integer ratio (2N−2df+1)/(2df+1),
+    * its integer quotient's ⌊log₂⌋ is exact for counts ≪ 2⁴⁰ (the
+    * q80/q89 contract), and the max(·,1) floors a stopword's idf at 0
+    * rather than letting it go negative.
+    *
+    * Scale shape: every factor inside `sat` is a PER-DOCUMENT quantity
+    * (tf, dl, the corpus-average A), so the arithmetic fits BIGINT at
+    * any corpus size — N enters only through idf₂'s logarithm. The
+    * plan is [[rankedQuery]]'s: scan-pushed `tok IN (...)` over the
+    * bucketed postings, per-term df reduced and broadcast, one-row
+    * stats broadcast (q42 shape), per-doc rollup shuffles only docs
+    * containing ≥1 query term, TakeOrdered top-k.
+    */
+  def bm25Query(
+      scored: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val distinctTerms = terms.map(_.toLowerCase).distinct
+    require(distinctTerms.nonEmpty, "at least one term required")
+    require(k >= 1, s"k must be positive, got $k")
+    val hits = scored.filter(col("tok").isin(distinctTerms: _*))
+    val dfT  = hits.groupBy("tok").agg(count(lit(1)).as("df_t"))
+    hits
+      .join(broadcast(dfT), Seq("tok"))
+      .crossJoin(broadcast(stats)) // one-row corpus stats (q42 shape)
+      .withColumn("_idf2",
+        floor(log2(greatest(
+          expr("(2 * n_docs - 2 * df_t + 1) div (2 * df_t + 1)"),
+          lit(1L)))).cast("long"))
+      .withColumn("_sat",
+        expr("(1000000 * 44 * tf_t * avgdl_x) div " +
+             "(20 * tf_t * avgdl_x + 6 * avgdl_x + 18000 * dl)"))
+      .withColumn("_s", col("_idf2") * col("_sat"))
       .groupBy(col(idCol))
       .agg(sum("_s").as("score"))
       .orderBy(col("score").desc, col(idCol))

@@ -129,6 +129,54 @@ class SearchSpec extends SparkSpec {
     assert(folded.contains((4L, "join", 3L)))
   }
 
+  test("buildScoredIndex denormalizes dl into every posting; empty docs absent") {
+    val scored = Search.buildScoredIndex(docs)
+      .as[(Long, String, Long, Long)].collect()
+    // doc 1 "spark join hash join": dl=4 on every posting, tf(join)=2
+    assert(scored.filter(_._1 == 1L).forall(_._4 == 4L))
+    assert(scored.exists(r => r._1 == 1L && r._2 == "join" && r._3 == 2L))
+    // the empty doc has no postings at all
+    assert(!scored.exists(_._1 == 5L))
+  }
+
+  test("bm25Query: pinned exact-integer arithmetic") {
+    val corpus = Seq(
+      (1L, "rare join"),
+      (2L, "join join join join join join join join"),
+      (3L, "join x"),
+      (4L, "a b c d")
+    ).toDF("doc_id", "text")
+    // N=4, Σdl=16 → A=(1000·16) div 4 = 4000
+    // df(rare)=1 → idf₂ = ⌊log₂((8−2+1) div 3 = 2)⌋ = 1
+    // df(join)=3 → idf₂ = ⌊log₂(max((8−6+1) div 7 = 0, 1))⌋ = 0  (stopword floor)
+    // doc1: sat(tf=1,dl=2) = (1e6·44·4000) div (80000+24000+36000) = 1257142
+    val got = Search.bm25Query(Search.buildScoredIndex(corpus),
+        Search.corpusStats(corpus), Seq("rare", "join"), k = 4)
+      .as[(Long, Long)].collect()
+    assert(got.head == ((1L, 1257142L)), got.toSeq)
+    // join-only docs score 0 (idf floored), tie broken by doc_id
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got.tail.forall(_._2 == 0L))
+  }
+
+  test("bm25Query: tf saturates and longer documents are penalized") {
+    val corpus = Seq(
+      (1L, "zeta a"),                                     // tf=1, dl=2
+      (2L, "zeta zeta zeta zeta zeta zeta zeta a"),       // tf=7, dl=8
+      (3L, "zeta a b c d e f g h i j k l m n o p q r s")  // tf=1, dl=20
+    ).toDF("doc_id", "text") union
+      (4L to 10L).map(i => (i, "x y")).toDF("doc_id", "text")
+    val scores = Search.bm25Query(Search.buildScoredIndex(corpus),
+        Search.corpusStats(corpus), Seq("zeta"), k = 10)
+      .as[(Long, Long)].collect().toMap
+    // more occurrences still win…
+    assert(scores(2L) > scores(1L))
+    // …but SUBLINEARLY — 7× the tf is far less than 7× the score
+    assert(scores(2L) < 7L * scores(1L))
+    // same tf, 10× the length → lower score (length normalization)
+    assert(scores(1L) > scores(3L))
+  }
+
   test("the term filter reaches the index scan (pushdown-able shape)") {
     val idx = Search.buildIndex(docs)
     val plan = Search.andQuery(idx, Seq("join", "hash"))
