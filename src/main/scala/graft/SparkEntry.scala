@@ -1419,6 +1419,29 @@ object SparkEntry {
         Seq("dup", "join", "vector"), k = 10)
   }
 
+  /** Hybrid retrieval ([[graft.operators.Hybrid.rrfFuse]]): the q91
+    * lexical top-20 and the q22-portable vector top-20 over the SAME
+    * corpus (doc_id ≡ vec_id in the fixtures) fused by exact-integer
+    * reciprocal-rank fusion — the calibration-free way to combine a
+    * keyword score and a cosine, and the shape every RAG serving stack
+    * runs. Each leg keeps its own 100 TB scale argument (scan-pushed
+    * index lookup / broadcast-query map-only scan); fusion itself
+    * ranks two ≤20-row lists. `n_legs` marks the agreement set.
+    */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    ensureSearchTables(s, d)
+    val lex = graft.operators.Search.rankedQuery(
+        s.table(graft.operators.Search.TfTable),
+        t(s, d, "documents").agg(count(lit(1)).as("n_docs")),
+        Seq("dup", "join", "vector"), k = 20)
+      .select(col("doc_id"), col("score").as("_ord"))
+    val vec = graft.operators.Similarity
+      .bruteForceTopKPortableScored(t(s, d, "embeddings"), queryId = 0L, k = 20)
+      .select(col("vec_id").as("doc_id"), col("cos").as("_ord"))
+    graft.operators.Hybrid.rrfFuse(Seq(lex, vec),
+      idCol = "doc_id", ordCol = "_ord", topK = 10)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1515,7 +1538,8 @@ object SparkEntry {
     "q93_proximity"         -> (q93 _),
     "q94_min_should_match"  -> (q94 _),
     "q95_incr_index"        -> (q95 _),
-    "q96_bm25"              -> (q96 _)
+    "q96_bm25"              -> (q96 _),
+    "q97_hybrid_rrf"        -> (q97 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -2704,6 +2728,41 @@ object SparkEntry {
         |   FROM hits JOIN dfx USING (tok) CROSS JOIN n CROSS JOIN a
         |   GROUP BY doc_id)
         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    // RRF over the q91 lexical top-20 and the q22-portable vector
+    // top-20: ranks re-derived per leg, fused as 1000000 // (60 + r).
+    // The vector leg's ranking cosine is CAST(dot)/sqrt(CAST·CAST) of
+    // identical longs — IEEE-identical on both engines (q51 contract).
+    "q97_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf_t FROM toks
+        |   WHERE tok IN ('dup', 'join', 'vector') GROUP BY doc_id, tok),
+        | dfx AS (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok),
+        | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        | lexsc AS (SELECT doc_id,
+        |   SUM(tf_t * ((1000000 * n_docs) // df_t)) AS score
+        |   FROM tf JOIN dfx USING (tok) CROSS JOIN n GROUP BY doc_id),
+        | lexleg AS (SELECT doc_id, score FROM lexsc
+        |   ORDER BY score DESC, doc_id LIMIT 20),
+        | lexr AS (SELECT doc_id,
+        |   row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM lexleg),
+        | qv AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+        | nv AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm FROM qv),
+        | qq AS (SELECT q AS qvec, nrm AS qn FROM nv WHERE vec_id = 0),
+        | vecsc AS (SELECT vec_id AS doc_id,
+        |   CAST(${qdotSql("q", "qvec")} AS DOUBLE) /
+        |     sqrt(CAST(nrm AS DOUBLE) * CAST(qn AS DOUBLE)) AS cos
+        |   FROM nv, qq WHERE vec_id <> 0),
+        | vecleg AS (SELECT doc_id, cos FROM vecsc
+        |   ORDER BY cos DESC, doc_id LIMIT 20),
+        | vecr AS (SELECT doc_id,
+        |   row_number() OVER (ORDER BY cos DESC, doc_id) AS r FROM vecleg),
+        | contrib AS (SELECT doc_id, 1000000 // (60 + r) AS c FROM lexr
+        |   UNION ALL SELECT doc_id, 1000000 // (60 + r) FROM vecr)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf,
+        | CAST(COUNT(*) AS BIGINT) AS n_legs
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -41,7 +41,17 @@ object Similarity {
     * longs — the q51 pattern). Emits the exact integer `dot` so the
     * result is hash-checkable, not just id-checkable.
     */
-  def bruteForceTopKPortable(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+  def bruteForceTopKPortable(embeddings: DataFrame, queryId: Long, k: Int): DataFrame =
+    bruteForceTopKPortableScored(embeddings, queryId, k).select("vec_id", "dot")
+
+  /** [[bruteForceTopKPortable]] that also emits the ranking cosine
+    * itself — `CAST(dot)/sqrt(CAST(nrm)·CAST(qn))` of identical longs
+    * is the same IEEE double on every engine — for consumers that need
+    * the ORDER KEY, not just the ordered ids (rank fusion,
+    * [[Hybrid]]).
+    */
+  def bruteForceTopKPortableScored(
+      embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
     val b = embeddings
       .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
       .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
@@ -53,7 +63,7 @@ object Similarity {
       .withColumn("cos", col("dot").cast("double") /
         sqrt(col("nrm").cast("double") * col("qn").cast("double")))
       .orderBy(col("cos").desc, col("vec_id"))
-      .select("vec_id", "dot")
+      .select("vec_id", "dot", "cos")
       .limit(k)
   }
 

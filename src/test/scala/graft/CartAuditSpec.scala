@@ -29,8 +29,12 @@ class CartAuditSpec extends SparkSpec {
                                 // O(#strata) quota table (q42 shape)
     "q88_neg_samples" -> 1,     // 1-row corpus size broadcast into the
                                 // anchor projection (q42 shape)
-    "q91_ranked_tfidf" -> 1     // 1-row corpus size broadcast into the
+    "q91_ranked_tfidf" -> 1,    // 1-row corpus size broadcast into the
                                 // term-filtered scoring join (q42 shape)
+    "q96_bm25" -> 1,            // 1-row (n_docs, avgdl) stats broadcast
+                                // into the term-filtered postings (q42 shape)
+    "q97_hybrid_rrf" -> 2       // lexical leg's 1-row n_docs broadcast +
+                                // vector leg's 1-row query broadcast
   )
 
   test("no query has an unsanctioned condition-less join") {
