@@ -1442,6 +1442,48 @@ object SparkEntry {
       idCol = "doc_id", ordCol = "_ord", topK = 10)
   }
 
+  /** STREAMING index maintenance — the q87 foreachBatch fold applied
+    * to the q95 index algebra: the corpus arrives as a REAL
+    * three-micro-batch document stream (two base waves, then
+    * inserts + whole-document retractions), each batch tokenized and
+    * folded into the tf index with
+    * [[graft.operators.Search.maintainTfIndex]] from an EMPTY state.
+    * Batch associativity of the underlying (count, sum) algebra makes
+    * the final index boundary-independent, so the q95 rebuild oracle
+    * checks it row-for-row — the "search index that is never rebuilt,
+    * only maintained" serving pattern.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val b0 = base.filter(col("doc_id") % 2 === 0).withColumn("sign", lit(1L))
+    val b1 = base.filter(col("doc_id") % 2 =!= 0).withColumn("sign", lit(1L))
+    val b2 = docs.filter(col("doc_id") % 5 === 0).withColumn("sign", lit(1L))
+      .unionByName(
+        base.filter(col("doc_id") % 7 === 0).withColumn("sign", lit(-1L)))
+    val zero = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tf_t",
+          org.apache.spark.sql.types.LongType))))
+    graft.streaming.IncrementalSink.drainFolded(Seq(b0, b1, b2), zero,
+        (acc, b) => graft.operators.Search.maintainTfIndex(acc, b))
+      .orderBy("doc_id", "tok")
+  }
+
+  /** Vocabulary induction ([[graft.operators.Vocabulary.bpePairCounts]]):
+    * the top-20 character-pair merge candidates of a BPE round,
+    * counted over the (word, frequency) vocabulary rather than the
+    * corpus — the factoring that makes distributed BPE feasible. The
+    * oracle re-derives pairs by substring over the same vocabulary.
+    */
+  private def q99(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocabulary.bpePairCounts(t(s, d, "documents"), k = 20)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1539,7 +1581,9 @@ object SparkEntry {
     "q94_min_should_match"  -> (q94 _),
     "q95_incr_index"        -> (q95 _),
     "q96_bm25"              -> (q96 _),
-    "q97_hybrid_rrf"        -> (q97 _)
+    "q97_hybrid_rrf"        -> (q97 _),
+    "q98_stream_index"      -> (q98 _),
+    "q99_bpe_pairs"         -> (q99 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -2763,6 +2807,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf,
         | CAST(COUNT(*) AS BIGINT) AS n_legs
         |FROM contrib GROUP BY doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " ")
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin.replaceAll("\n", " "),
+    // the q95 rebuild oracle verbatim: the streamed fold-from-empty must
+    // land on the same tf index as a batch rebuild of the effective set
+    "q98_stream_index" ->
+      """WITH eff AS (SELECT doc_id, text FROM documents
+        |   WHERE doc_id % 5 = 0 OR doc_id % 7 <> 0),
+        | toks AS (SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM eff)
+        |SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf_t FROM toks
+        |WHERE tok <> '' GROUP BY doc_id, tok
+        |ORDER BY doc_id, tok""".stripMargin.replaceAll("\n", " "),
+    // pairs re-derived by 1-based substring over the same vocabulary;
+    // range(1, length) is exclusive-end → i = 1..len-1, like Spark's
+    // inclusive sequence(1, length-1)
+    "q99_bpe_pairs" ->
+      """WITH toks AS (SELECT
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+        | wf AS (SELECT tok, COUNT(*) AS wf FROM toks WHERE tok <> '' GROUP BY tok),
+        | pr AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair, wf
+        |   FROM (SELECT tok, wf, unnest(range(1, length(tok))) AS i FROM wf
+        |         WHERE length(tok) >= 2))
+        |SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt FROM pr
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
+        .stripMargin.replaceAll("\n", " ")
   )
 }

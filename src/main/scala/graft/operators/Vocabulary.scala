@@ -28,6 +28,36 @@ object Vocabulary {
       .orderBy(col("freq").desc, col("tok"))
       .limit(k)
 
+  /** The counting kernel of one BPE merge iteration (Sennrich, Haddow
+    * & Birch 2016): adjacent character-pair frequencies over the
+    * corpus, with the next merge at the head of the list
+    * (count desc, pair asc — a total order).
+    *
+    * Computed from the VOCABULARY, not the corpus: the corpus first
+    * collapses to O(|vocab|) (word, frequency) rows — one shuffle on
+    * the word — and the per-word character scan then runs over UNIQUE
+    * words, each pair weighted by the word's corpus frequency. That
+    * factoring is what makes distributed BPE feasible: a 100 TB corpus
+    * with a 10 M-word vocabulary does 10 M short character scans, not
+    * 10 T. (The `transform(sequence(...))` pair generator is
+    * interpreted HOF, but it runs on vocabulary rows — off the
+    * per-occurrence hot path the q89 fusion lesson is about.)
+    */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(TextFunctions.loweredTokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("wf"))
+      // length-1 words carry no pair; the guard also keeps
+      // sequence(1, 0) from going DESCENDING (the q54 pitfall)
+      .filter(length(col("tok")) >= 2)
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wf").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+
   /** Per-document unigram surprisal — the language-model-free
     * perplexity proxy: how "surprising" a document's tokens are under
     * the corpus' own unigram distribution. Rare-token-heavy documents

@@ -129,6 +129,26 @@ class SearchSpec extends SparkSpec {
     assert(folded.contains((4L, "join", 3L)))
   }
 
+  test("maintainTfIndex folds from an EMPTY state, batch-associatively") {
+    val corpus = Seq(
+      (1L, "join hash join"),
+      (2L, "merge sort"),
+      (3L, "hash scan filter")
+    ).toDF("doc_id", "text")
+    val zero = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Search.buildTfIndex(corpus).schema)
+    // wave 1: docs 1-2; wave 2: doc 3 inserts, doc 2 retracts
+    val w1 = corpus.filter($"doc_id" <= 2L).withColumn("sign", lit(1L))
+    val w2 = corpus.filter($"doc_id" === 3L).withColumn("sign", lit(1L))
+      .unionByName(corpus.filter($"doc_id" === 2L).withColumn("sign", lit(-1L)))
+    val folded = Seq(w1, w2).foldLeft(zero)(Search.maintainTfIndex(_, _))
+      .as[(Long, String, Long)].collect().toSet
+    val rebuilt = Search.buildTfIndex(corpus.filter($"doc_id" =!= 2L))
+      .as[(Long, String, Long)].collect().toSet
+    assert(folded == rebuilt)
+  }
+
   test("buildScoredIndex denormalizes dl into every posting; empty docs absent") {
     val scored = Search.buildScoredIndex(docs)
       .as[(Long, String, Long, Long)].collect()

@@ -107,4 +107,16 @@ class VocabularySpec extends SparkSpec {
     assert(bi(1L) == 0L && bi(7L) == 2L,
       s"shuffled word order must raise bigram surprisal: $bi")
   }
+
+  test("bpePairCounts: vocabulary-weighted adjacent pairs, overlaps included") {
+    val corpus = Seq(
+      (1L, "abab cd"),   // abab: ab,ba,ab — overlapping pairs all count
+      (2L, "abab abab"), // wf(abab)=3 total
+      (3L, "cd x")       // wf(cd)=2; length-1 'x' contributes nothing
+    ).toDF("doc_id", "text")
+    val got = Vocabulary.bpePairCounts(corpus, k = 10)
+      .as[(String, Long)].collect().toSeq
+    // ab: 2 per abab × wf 3 = 6; ba: 1 × 3 = 3; cd: wf 2
+    assert(got == Seq(("ab", 6L), ("ba", 3L), ("cd", 2L)))
+  }
 }
