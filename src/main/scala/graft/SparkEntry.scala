@@ -1484,6 +1484,16 @@ object SparkEntry {
   private def q99(s: SparkSession, d: String): DataFrame =
     graft.operators.Vocabulary.bpePairCounts(t(s, d, "documents"), k = 20)
 
+  /** Collocation mining ([[graft.operators.Vocabulary.collocations]]):
+    * top adjacent word pairs by whole-bit PMI with support ≥ 5 — the
+    * phrase-mining table query expansion and tokenizer seeding read
+    * from. Exact integer arithmetic end to end (per-count ⌊log₂⌋,
+    * never products), so the DuckDB oracle hash-matches.
+    */
+  private def q100(s: SparkSession, d: String): DataFrame =
+    graft.operators.Vocabulary.collocations(t(s, d, "documents"),
+      minCount = 5L, k = 30)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1583,7 +1593,8 @@ object SparkEntry {
     "q96_bm25"              -> (q96 _),
     "q97_hybrid_rrf"        -> (q97 _),
     "q98_stream_index"      -> (q98 _),
-    "q99_bpe_pairs"         -> (q99 _)
+    "q99_bpe_pairs"         -> (q99 _),
+    "q100_pmi_colloc"       -> (q100 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -2830,6 +2841,29 @@ object SparkEntry {
         |         WHERE length(tok) >= 2))
         |SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt FROM pr
         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+    // same per-count floor-log2 form as the engine: never a product,
+    // so every term stays inside the 2^40 exactness bound
+    "q100_pmi_colloc" ->
+      """WITH toks AS (SELECT doc_id,
+        |   regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |   FROM documents WHERE trim(text) <> ''),
+        | st AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+        | cbg AS (SELECT tk[i] AS prev, tk[i+1] AS cur,
+        |   CAST(COUNT(*) AS BIGINT) AS cnt_bg FROM st GROUP BY 1, 2),
+        | cl AS (SELECT prev, CAST(SUM(cnt_bg) AS BIGINT) AS cnt_l FROM cbg
+        |   GROUP BY prev),
+        | cr AS (SELECT cur, CAST(SUM(cnt_bg) AS BIGINT) AS cnt_r FROM cbg
+        |   GROUP BY cur),
+        | tot AS (SELECT CAST(SUM(cnt_bg) AS BIGINT) AS total FROM cbg)
+        |SELECT prev, cur, cnt_bg,
+        | CAST(floor(log2(CAST(total AS DOUBLE)))
+        |   + floor(log2(CAST(cnt_bg AS DOUBLE)))
+        |   - floor(log2(CAST(cnt_l AS DOUBLE)))
+        |   - floor(log2(CAST(cnt_r AS DOUBLE))) AS BIGINT) AS pmi_bits
+        |FROM cbg JOIN cl USING (prev) JOIN cr USING (cur) CROSS JOIN tot
+        |WHERE cnt_bg >= 5
+        |ORDER BY pmi_bits DESC, cnt_bg DESC, prev, cur LIMIT 30"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

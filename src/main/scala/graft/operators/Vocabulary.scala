@@ -161,6 +161,49 @@ object Vocabulary {
         expr("sum(tf_t * sbits) div sum(tf_t)").as("avg_bigram_bits"))
   }
 
+  /** Top-`k` collocations — adjacent word pairs that co-occur far more
+    * often than their parts' frequencies predict — ranked by pointwise
+    * mutual information in WHOLE BITS (Church & Hanks 1990), the
+    * classic phrase-mining signal ("new york", "machine learning") a
+    * tokenizer or query-expansion table is seeded from.
+    *
+    * Exactness contract: every term is a `⌊log₂ count⌋` on a RAW count
+    * (never a product, which could overflow the 2^40 exactness bound
+    * [[surprisalScore]] documents), so
+    * `pmi_bits = ⌊log₂ N⌋ + ⌊log₂ c_ab⌋ − ⌊log₂ c_a⌋ − ⌊log₂ c_b⌋`
+    * is exact integer arithmetic in both engines and sits within ±2
+    * bits of true `log₂ (N·c_ab)/(c_a·c_b)`. Counts are all derived
+    * from the one bigram table: `c_a` = occurrences of `a` as left
+    * token, `c_b` = occurrences of `b` as right token, `N` = total
+    * bigram positions — each marginal sums to `N` by construction.
+    *
+    * Scale shape: the corpus collapses to (prev, cur, cnt) count rows
+    * via the fused [[bigramTf]] kernel (text never shuffles); the
+    * `minCount` support filter prunes the pair table BEFORE the two
+    * marginal joins (token-keyed shuffles of count rows — the q80
+    * shape); the one-row total broadcasts (q42 shape); the ranked
+    * head is a TakeOrdered, k rows to the driver.
+    */
+  def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val cbg = bigramTf(docs).groupBy("prev", "cur").agg(sum("tf_t").as("cnt_bg"))
+    val cl = cbg.groupBy("prev").agg(sum("cnt_bg").as("cnt_l"))
+    val cr = cbg.groupBy("cur").agg(sum("cnt_bg").as("cnt_r"))
+    val tot = cbg.agg(sum("cnt_bg").as("total"))
+    cbg.filter(col("cnt_bg") >= minCount)
+      .join(cl, Seq("prev")).join(cr, Seq("cur"))
+      .crossJoin(broadcast(tot)) // one-row corpus total (q42 shape)
+      .withColumn("pmi_bits",
+        (floor(log2(col("total").cast("double"))) +
+          floor(log2(col("cnt_bg").cast("double"))) -
+          floor(log2(col("cnt_l").cast("double"))) -
+          floor(log2(col("cnt_r").cast("double")))).cast("long"))
+      .select(col("prev"), col("cur"), col("cnt_bg"), col("pmi_bits"))
+      // (prev, cur) is unique after the groupBy, so the tie-break is a
+      // total order and the head deterministic cross-engine
+      .orderBy(col("pmi_bits").desc, col("cnt_bg").desc, col("prev"), col("cur"))
+      .limit(k)
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus' own top-`k`
     * vocabulary: `oov_pct = ⌊100·n_oov/n_tok⌋` over token OCCURRENCES
     * (a high rate flags gibberish, boilerplate codes, or wrong-language

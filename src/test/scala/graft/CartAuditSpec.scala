@@ -33,8 +33,10 @@ class CartAuditSpec extends SparkSpec {
                                 // term-filtered scoring join (q42 shape)
     "q96_bm25" -> 1,            // 1-row (n_docs, avgdl) stats broadcast
                                 // into the term-filtered postings (q42 shape)
-    "q97_hybrid_rrf" -> 2       // lexical leg's 1-row n_docs broadcast +
+    "q97_hybrid_rrf" -> 2,      // lexical leg's 1-row n_docs broadcast +
                                 // vector leg's 1-row query broadcast
+    "q100_pmi_colloc" -> 1      // 1-row bigram-total broadcast into the
+                                // support-filtered pair table (q42 shape)
   )
 
   test("no query has an unsanctioned condition-less join") {

@@ -22,8 +22,8 @@ class ContractSpec extends AnyFunSuite {
 
   test("query names follow the qNN_snake convention and are sequential") {
     val names = SparkEntry.queries.keySet
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
-    val nums = names.map(_.take(3).drop(1).toInt)
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), names.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+")))
+    val nums = names.map(_.takeWhile(_ != '_').drop(1).toInt)
     assert(nums == (1 to names.size).toSet, "query numbering has gaps or duplicates")
   }
 }

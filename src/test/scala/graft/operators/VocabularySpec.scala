@@ -119,4 +119,20 @@ class VocabularySpec extends SparkSpec {
     // ab: 2 per abab × wf 3 = 6; ba: 1 × 3 = 3; cd: wf 2
     assert(got == Seq(("ab", 6L), ("ba", 3L), ("cd", 2L)))
   }
+
+  test("collocations: PMI separates a faithful pair from a promiscuous one") {
+    // bigrams never cross documents, so each two-word doc is one pair.
+    // x→y is exclusive (4/4 of x's uses); a and b are promiscuous
+    // (a pairs with b/c/d, b receives from a/e/f). N=10, all marginals
+    // powers of two, so every floor-log2 is exact by construction:
+    //   pmi(x,y) = ⌊lg 10⌋+⌊lg 4⌋−⌊lg 4⌋−⌊lg 4⌋ = 3+2−2−2 = 1
+    //   pmi(a,b) = 3+1−2−2 = 0
+    val corpus = (Seq.fill(4)("x y") ++ Seq.fill(2)("a b") ++
+        Seq("a c", "a d", "e b", "f b"))
+      .zipWithIndex.map { case (s, i) => (i.toLong + 1, s) }
+      .toDF("doc_id", "text")
+    val got = Vocabulary.collocations(corpus, minCount = 2L, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("x", "y", 4L, 1L), ("a", "b", 2L, 0L)))
+  }
 }
