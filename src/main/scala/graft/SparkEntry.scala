@@ -1494,6 +1494,20 @@ object SparkEntry {
     graft.operators.Vocabulary.collocations(t(s, d, "documents"),
       minCount = 5L, k = 30)
 
+  /** Canonical-doc selection ([[graft.operators.Clusters.canonicalize]]):
+    * the dedup ACTION on the q59 cluster table — longest member wins its
+    * cluster (id tie-break), every member gets a `(keep_id, kept)`
+    * verdict. Same pair graph and doc subset as q59/q23.
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 10000)
+    graft.operators.Clusters.canonicalize(
+        graft.operators.Clusters.connectedComponents(
+          Dedup.minhashNearDupPairsPortable(docs), src = "doc_a", dst = "doc_b"),
+        docs)
+      .orderBy("id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1594,7 +1608,8 @@ object SparkEntry {
     "q97_hybrid_rrf"        -> (q97 _),
     "q98_stream_index"      -> (q98 _),
     "q99_bpe_pairs"         -> (q99 _),
-    "q100_pmi_colloc"       -> (q100 _)
+    "q100_pmi_colloc"       -> (q100 _),
+    "q101_canonical_docs"   -> (q101 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -2864,6 +2879,29 @@ object SparkEntry {
         |FROM cbg JOIN cl USING (prev) JOIN cr USING (cur) CROSS JOIN tot
         |WHERE cnt_bg >= 5
         |ORDER BY pmi_bits DESC, cnt_bg DESC, prev, cur LIMIT 30"""
+        .stripMargin.replaceAll("\n", " "),
+    // q59's recursive components + longest-member-wins window: the
+    // ranking is total within a cluster (n_chars DESC, id ASC on a
+    // unique id), so keep_id is deterministic cross-engine
+    "q101_canonical_docs" ->
+      s"""WITH RECURSIVE $minhashPairsCtesSql,
+         | edges AS (SELECT doc_a AS a, doc_b AS b FROM mhp
+         |           UNION SELECT doc_b, doc_a FROM mhp),
+         | reach(id, lbl) AS (
+         |   SELECT a, a FROM edges
+         |   UNION
+         |   SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+         | cc AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+         | mem AS (SELECT cc.id, cc.cluster,
+         |   CAST(length(d.text) AS BIGINT) AS n_chars
+         |   FROM cc JOIN documents d ON d.doc_id = cc.id),
+         | keep AS (SELECT cluster, id AS keep_id FROM
+         |   (SELECT id, cluster, ROW_NUMBER() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, id ASC) AS rk FROM mem)
+         |   WHERE rk = 1)
+         |SELECT m.id, m.cluster, k.keep_id,
+         |  CAST(m.id = k.keep_id AS BIGINT) AS kept
+         |FROM mem m JOIN keep k USING (cluster) ORDER BY m.id"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

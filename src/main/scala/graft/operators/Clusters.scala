@@ -75,6 +75,41 @@ object Clusters {
     labels
   }
 
+  /** Canonical-document selection — the dedup ACTION a cluster table
+    * exists for: within every near-dup cluster keep the member with the
+    * most text (`length(text)` DESC, id ASC tie-break — "longest wins"
+    * is the standard near-dup policy: truncated mirrors and snippet
+    * copies lose to the full document), and emit the per-member verdict
+    * `(id, cluster, keep_id, kept)` a downstream anti-join or audit
+    * table consumes.
+    *
+    * Scale shape: `clusters` holds only documents that appear in a dup
+    * pair (≪ corpus — singletons never enter the graph); the text
+    * column collapses to an `(id, n_chars)` projection before anything
+    * shuffles, so the id-keyed join moves count-width rows, the
+    * ranking window is PARTITIONED by cluster (bounded clique-ish
+    * groups, never a global sort), and the keep-list joins back
+    * cluster-keyed at cluster-count cardinality.
+    */
+  def canonicalize(
+      clusters: DataFrame,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val len = docs.select(col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    val members = clusters.join(len, "id")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("n_chars").desc, col("id").asc)
+    val keep = members.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("id").as("keep_id"))
+    members.join(keep, "cluster")
+      .select(col("id"), col("cluster"), col("keep_id"),
+        (col("id") === col("keep_id")).cast("long").as("kept"))
+  }
+
   /** Near-dup removal keep-list: for every node in the pair graph that is
     * NOT its cluster's minimum, emit one row (`doc_id`) — the documents a
     * dedup pass drops. Anti-join the corpus against this to keep exactly

@@ -40,6 +40,26 @@ class ClustersSpec extends SparkSpec {
     assert(drops == Set(2L, 3L, 11L))
   }
 
+  test("canonicalize: longest member wins its cluster, min id breaks ties") {
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest one"), (3L, "medium!"), // cluster 1
+      (10L, "same len"), (11L, "same len")                     // cluster 10: tie
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val got = Clusters.canonicalize(clusters, docs)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    // cluster 1: doc 2 (15 chars) beats 3 (7) and 1 (5); cluster 10:
+    // equal lengths → lower id 10 wins the tie
+    assert(got == Seq((1L, 1L, 2L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 2L, 0L),
+      (10L, 10L, 10L, 1L), (11L, 10L, 10L, 0L)))
+    // exactly one kept member per cluster — the invariant an anti-join
+    // dedup pass depends on
+    val perCluster = Clusters.canonicalize(clusters, docs)
+      .groupBy("cluster").agg(sum("kept").as("n")).as[(Long, Long)].collect().toMap
+    assert(perCluster.values.forall(_ == 1L))
+  }
+
   test("nearDedup keeps one survivor per cluster and all singletons") {
     val corpus = Seq(
       (1L, "a"), (2L, "a'"), (3L, "a''"), // one near-dup cluster
