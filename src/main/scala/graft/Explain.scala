@@ -35,7 +35,8 @@ object Explain {
     "q57_hll_distinct", "q63_jaccard_prefix", "q66_seq_pack",
     "q68_ann_int8", "q75_bucketed_join", "q76_temperature_mix",
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
-    "q90_lexical_and", "q91_ranked_tfidf", "q92_phrase_query")
+    "q90_lexical_and", "q91_ranked_tfidf", "q92_phrase_query",
+    "q96_bm25", "q100_pmi_colloc")
 
   /** Strip run-dependent counters so committed dumps diff cleanly:
     * expression ids, codegen stage ids, plan ids, temp-view uuids.

@@ -185,7 +185,16 @@ object Vocabulary {
     * head is a TakeOrdered, k rows to the driver.
     */
   def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
-    val cbg = bigramTf(docs).groupBy("prev", "cur").agg(sum("tf_t").as("cnt_bg"))
+    // materialize the pair-count table ONCE: marginals, total and the
+    // ranked head all derive from it, and without the checkpoint each
+    // leg re-runs the corpus scan + bigram kernel (the q83 lesson —
+    // three scans showed up in the committed PLANS.md dump). The pair
+    // table is token²-bounded count rows, orders of magnitude smaller
+    // than the corpus it summarizes; on a real cluster this is a
+    // persist/checkpoint to cluster storage.
+    val cbg = bigramTf(docs).groupBy("prev", "cur")
+      .agg(sum("tf_t").as("cnt_bg"))
+      .localCheckpoint(true)
     val cl = cbg.groupBy("prev").agg(sum("cnt_bg").as("cnt_l"))
     val cr = cbg.groupBy("cur").agg(sum("cnt_bg").as("cnt_r"))
     val tot = cbg.agg(sum("cnt_bg").as("total"))
