@@ -33,8 +33,14 @@ import graft.plans.KmvBuffer.kmvDistinctPreHashed
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts has shipped as ns-long, TIMESTAMP and TIMESTAMP_NTZ
+    // across fixture generations — normalize to the canonical epoch-ns
+    // BIGINT at the scan boundary (see [[graft.util.EventTime]]) so
+    // every time kernel downstream stays exact-integer and type-blind.
+    if (name == "events") graft.util.EventTime.tsNanos(raw) else raw
+  }
 
   /** Hash-distribute on `key` with an explicit (AQE-proof) partition
     * count before an expensive per-row kernel — regex chains, sketch

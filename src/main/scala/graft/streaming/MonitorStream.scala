@@ -17,15 +17,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object MonitorStream {
 
-  /** events schema as landed (ts = ns-since-epoch long under
-    * nanosAsLong; converted to a timestamp here). Integer `div` — the
-    * former `(ts / 1000).cast("long")` routed a ~1.7e18 long through a
-    * double (53-bit mantissa), rounding timestamps by ~hundreds of ns;
-    * harmless at window granularity but it breaks exact-µs oracle
+  /** events as landed, with an `event_time` TIMESTAMP derived from
+    * whatever type the fixture shipped `ts` as (ns-long, TIMESTAMP or
+    * TIMESTAMP_NTZ — [[graft.util.EventTime.eventTime]] dispatches on
+    * the schema, so the raw read-stream works unmodified). Long nanos
+    * are truncated with integer `div` — a `/ 1000` double round-trip
+    * wobbles ~1.7e18 values by hundreds of ns, breaking exact-µs oracle
     * comparison (q72).
     */
   def eventsWithTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    events.withColumn("event_time", graft.util.EventTime.eventTime(events))
 
   /** Sliding-window per-type metric summaries (A2's window summaries:
     * count / sum / min / max / avg).

@@ -42,8 +42,12 @@ class MonitorStreamSpec extends SparkSpec {
       // single batch never closes its own windows — feed a later
       // heartbeat event to advance event time, then drain again.
       val batch = spark.read.parquet(s"$dir/events.parquet")
-      val maxTs = batch.agg(max("ts")).head().getLong(0)
-      batch.limit(1).withColumn("ts", lit(maxTs + 24L * 3600 * 1000000000L))
+      val maxNs = graft.util.EventTime.tsNanos(batch)
+        .agg(max("ts")).head().getLong(0)
+      // heartbeat in the fixture's OWN ts type: the stream reads every
+      // file under the fixture schema, so an appended long would break
+      batch.limit(1).withColumn("ts", graft.util.EventTime.tsLiteral(
+          maxNs + 24L * 3600 * 1000000000L, batch.schema("ts").dataType))
         .write.mode("append").parquet(dir) // lands beside events.parquet
 
       q.processAllAvailable()
@@ -77,8 +81,10 @@ class MonitorStreamSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val batch = spark.read.parquet(s"$dir/events.parquet")
-      val maxTs = batch.agg(max("ts")).head().getLong(0)
-      batch.limit(1).withColumn("ts", lit(maxTs + 24L * 3600 * 1000000000L))
+      val maxNs = graft.util.EventTime.tsNanos(batch)
+        .agg(max("ts")).head().getLong(0)
+      batch.limit(1).withColumn("ts", graft.util.EventTime.tsLiteral(
+          maxNs + 24L * 3600 * 1000000000L, batch.schema("ts").dataType))
         .write.mode("append").parquet(dir)
       q.processAllAvailable()
       assert(spark.table("alert_sink_t").count() > 0)

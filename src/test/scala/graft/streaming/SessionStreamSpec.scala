@@ -27,7 +27,7 @@ class SessionStreamSpec extends SparkSpec {
   }
 
   test("streamed closed sessions equal the batch sessionization (q49 logic)") {
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val ev = graft.util.EventTime.tsNanos(spark.read.parquet(s"${sf()}/events.parquet"))
       .select($"user_id", $"event_id", $"ts")
     val dir = java.nio.file.Files.createTempDirectory("graft_sess_stream").toString
     def withTime(df: org.apache.spark.sql.DataFrame) =
@@ -66,7 +66,7 @@ class SessionStreamSpec extends SparkSpec {
   }
 
   test("drainClosedSessions drains every session and matches batch (q64 path)") {
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val ev = graft.util.EventTime.tsNanos(spark.read.parquet(s"${sf()}/events.parquet"))
       .select($"user_id", $"event_id", $"ts")
     val drained = SessionStream.drainClosedSessions(
         ev.select($"user_id", $"event_id",
