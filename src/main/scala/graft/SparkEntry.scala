@@ -1514,6 +1514,34 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Full repetition profile ([[graft.operators.Repetition.profile]]):
+    * the Gopher rule set (dup 2-/3-gram, top-word, lexical diversity
+    * permilles) + drop flag in one map-only pass — the no-shuffle
+    * complement of q62's (doc, gram)-aggregated signals; every doc
+    * emits a row, exact integers throughout.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame =
+    graft.operators.Repetition.profile(t(s, d, "documents"))
+      .orderBy("doc_id")
+
+  /** Token-budget corpus selection ([[graft.operators.Curriculum
+    * .selectByBudget]]): the highest-quality ≤15k-token subset, best
+    * first by (quality desc, doc_id) — the inclusive cumulative token
+    * count comes from the q66/q83 two-level prefix sum (no global
+    * sort; the one unpartitioned window runs over bucket totals), and
+    * the budget cut reproduces the textbook SQL running-sum exactly.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curriculum.selectByBudget(
+        t(s, d, "documents").select(col("doc_id"),
+          (-TextFunctions.qualityScore(col("text"))).as("neg_q"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        scoreCol = "neg_q", idCol = "doc_id", weightCol = "n_tokens",
+        budget = 15000L)
+      .select(col("doc_id"), (-col("neg_q")).as("quality"), col("n_tokens"),
+        col("cum_weight").as("cum_tokens"), col("selected"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1615,7 +1643,9 @@ object SparkEntry {
     "q98_stream_index"      -> (q98 _),
     "q99_bpe_pairs"         -> (q99 _),
     "q100_pmi_colloc"       -> (q100 _),
-    "q101_canonical_docs"   -> (q101 _)
+    "q101_canonical_docs"   -> (q101 _),
+    "q102_repetition_profile"       -> (q102 _),
+    "q103_budget_select"    -> (q103 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -2908,6 +2938,70 @@ object SparkEntry {
          |SELECT m.id, m.cluster, k.keep_id,
          |  CAST(m.id = k.keep_id AS BIGINT) AS kept
          |FROM mem m JOIN keep k USING (cluster) ORDER BY m.id"""
-        .stripMargin.replaceAll("\n", " ")
+        .stripMargin.replaceAll("\n", " "),
+    // mirrors Repetition.signals: permilles over lowercased ws tokens,
+    // n-grams space-joined (the q60 idiom), max unigram count via a
+    // per-row correlated count (semantics, not the Spark fold)
+    "q102_repetition_profile" -> {
+      val tokSplit = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+      def gramsSql(n: Int) =
+        s"list_distinct(list_transform(range(0, greatest(len(w)-${n - 1}, 0)), " +
+          s"i -> array_to_string(w[i+1:i+$n], ' ')))"
+      s"""WITH toks AS (SELECT doc_id,
+         |   CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |        ELSE $tokSplit END AS w FROM documents),
+         | base AS (SELECT doc_id,
+         |   CAST(len(w) AS BIGINT) AS n_words,
+         |   CAST(len(list_distinct(w)) AS BIGINT) AS d1,
+         |   CAST(greatest(len(w)-1, 0) AS BIGINT) AS n2,
+         |   CAST(len(${gramsSql(2)}) AS BIGINT) AS d2,
+         |   CAST(greatest(len(w)-2, 0) AS BIGINT) AS n3,
+         |   CAST(len(${gramsSql(3)}) AS BIGINT) AS d3,
+         |   CAST(coalesce((SELECT MAX(c) FROM
+         |     (SELECT COUNT(*) AS c FROM unnest(w) AS t(tok) GROUP BY tok)), 0)
+         |     AS BIGINT) AS maxw
+         |  FROM toks),
+         | sig AS (SELECT doc_id, n_words,
+         |   CAST(CASE WHEN n_words <= 0 THEN 0
+         |     ELSE 1000 * d1 // n_words END AS BIGINT) AS distinct_permille,
+         |   CAST(CASE WHEN n_words <= 0 THEN 0
+         |     ELSE 1000 * maxw // n_words END AS BIGINT) AS top_word_permille,
+         |   CAST(CASE WHEN n2 <= 0 THEN 0
+         |     ELSE 1000 * (n2 - d2) // n2 END AS BIGINT) AS dup2_permille,
+         |   CAST(CASE WHEN n3 <= 0 THEN 0
+         |     ELSE 1000 * (n3 - d3) // n3 END AS BIGINT) AS dup3_permille
+         |  FROM base)
+         |SELECT doc_id, n_words, distinct_permille, top_word_permille,
+         | dup2_permille, dup3_permille,
+         | CAST(CASE WHEN dup2_permille >= 60 OR top_word_permille >= 120
+         |   THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+         |FROM sig ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    // mirrors Curriculum.selectByBudget at the q103 call site: the
+    // textbook running-sum formulation of the two-level prefix sum,
+    // quality arithmetic identical to q19's
+    "q103_budget_select" ->
+      s"""WITH f AS (SELECT doc_id, $tokensSql AS toks,
+         |   CAST(length(text) AS BIGINT) AS chars, $punctSql AS punct,
+         |   ${hitsSql(TextFunctions.StopwordsEn)} AS stops FROM documents),
+         | p AS (SELECT doc_id, toks,
+         |   CASE WHEN chars = 0 THEN 100
+         |     ELSE CAST(floor(100.0 * punct / chars) AS BIGINT) END AS punct_pct,
+         |   CASE WHEN toks = 0 THEN 0
+         |     ELSE CAST(floor(100.0 * stops / toks) AS BIGINT) END AS stop_pct
+         |  FROM f),
+         | q AS (SELECT doc_id, toks AS n_tokens,
+         |   CAST(greatest(0, 100
+         |     - CASE WHEN toks < 5 THEN 40 WHEN toks < 20 THEN 10 ELSE 0 END
+         |     - CASE WHEN punct_pct > 20 THEN 30 WHEN punct_pct > 10 THEN 10 ELSE 0 END
+         |     - CASE WHEN stop_pct > 0 THEN 0 ELSE 20 END) AS BIGINT) AS quality
+         |  FROM p),
+         | c AS (SELECT doc_id, quality, n_tokens,
+         |   CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q)
+         |SELECT doc_id, quality, n_tokens, cum_tokens,
+         | CAST(CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -55,4 +55,55 @@ object Curriculum {
       .withColumn("shard", expr(s"(rn - 1) * $nShards div _n + 1"))
       .drop("_sb", "_boff", "_n")
   }
+
+  /** Token-budget corpus selection: keep the best-first prefix of the
+    * corpus whose cumulative `weightCol` (token count) stays within
+    * `budget` — the "select the highest-quality N-token subset"
+    * step of a data-constrained pretraining run (quality-ranked
+    * selection, fixed compute budget).
+    *
+    * Rows are globally ordered by (scoreCol, idCol) ASCENDING — pass a
+    * negated score for best-first — and each row's INCLUSIVE cumulative
+    * weight under that order is computed with the q66/q83 two-level
+    * prefix sum: per-(score, sub-bucket) weight totals prefix-sum
+    * through the one tiny unpartitioned window (1/blockSize of the
+    * corpus — the allowlisted shape), while the intra-bucket running
+    * sum is partitioned by bucket. No global sort, no corpus-wide
+    * single-task window; a row is `selected` iff its cumulative weight
+    * ≤ budget, so the cut is exactly the SQL
+    * `SUM(w) OVER (ORDER BY score, id) <= budget` in integer
+    * arithmetic.
+    *
+    * Adds `cum_weight` and `selected` (0/1). `scoreCol` and
+    * `weightCol` must be integral; `idCol` a unique integral
+    * tie-break.
+    */
+  def selectByBudget(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      blockSize: Long = 4096L): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(blockSize > 0, s"blockSize must be positive, got $blockSize")
+    val b = df.withColumn("_sb", expr(s"$idCol div $blockSize"))
+    // per-(score, sub-bucket) WEIGHT totals; the only unpartitioned
+    // window prefix-sums these O(corpus/blockSize) rows
+    val offsets = b.groupBy(col(scoreCol), col("_sb"))
+      .agg(sum(col(weightCol)).as("_bw"))
+      .withColumn("_boff",
+        coalesce(sum(col("_bw")).over(
+          Window.orderBy(col(scoreCol), col("_sb"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(scoreCol), col("_sb"), col("_boff"))
+    val intra = Window.partitionBy(col(scoreCol), col("_sb"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(offsets, Seq(scoreCol, "_sb"))
+      .withColumn("cum_weight", col("_boff") + sum(col(weightCol)).over(intra))
+      .withColumn("selected", (col("cum_weight") <= budget).cast("long"))
+      .drop("_sb", "_boff")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -58,5 +58,83 @@ object Repetition {
       .select(col("doc_id"), col("total").as("n_grams"),
         expr("(100 * top) div total").as("top_gram_pct"),
         expr("(100 * (total - n_distinct)) div total").as("dup_gram_pct"))
+  }
+
+  /** Max run length in a pre-SORTED string array — equals the max
+    * element multiplicity. Single linear `aggregate` fold carrying
+    * (prev, run, best); empty arrays yield 0.
+    */
+  private def maxRunSorted(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+
+  /** Per-document repetition PROFILE — the full Gopher rule set (dup
+    * 2-gram AND 3-gram fractions, top-word concentration, lexical
+    * diversity) in ONE map-only pass, plus the drop flag. Complements
+    * [[signals]]: that one measures a single n and finds the per-doc
+    * top GRAM via a (doc, gram) shuffle with map-side combine; this one
+    * computes every signal inside a codegen'd projection over the
+    * row's own token array — the corpus never explodes and NOTHING
+    * shuffles, which is the shape a 100 TB pre-dedup drop filter wants
+    * (the filter consumes the flag row-locally; no agg needed). The
+    * per-doc max-unigram count folds linearly over the SORTED token
+    * array (max run length), not an O(words²) count-per-distinct
+    * probe. Token arrays are staged as attributes once ([[TextFunctions
+    * .ngramsFromTokens]] scaladoc: lambdas never hoist loop-invariant
+    * subexpressions).
+    *
+    * All signals are exact integer permilles, bit-reproducible in SQL:
+    *  - `distinct_permille`  1000·|distinct words| div |words|
+    *  - `top_word_permille`  1000·max unigram count div |words|
+    *  - `dup2_permille` / `dup3_permille`
+    *                         1000·(occurrences − distinct) div occurrences
+    *  - `repetitive`         1 when dup2 ≥ `dup2MaxPermille` or top-word
+    *                         ≥ `topWordMaxPermille`
+    * Degenerate docs (< n words) report 0 for the affected signals and
+    * DO emit a row (unlike [[signals]] — a drop filter must see every
+    * document).
+    */
+  def profile(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dup2MaxPermille: Long = 60L,
+      topWordMaxPermille: Long = 120L): DataFrame = {
+    val toks = TextFunctions.loweredTokens(col(textCol))
+    docs
+      .withColumn("_w", when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>")).otherwise(toks))
+      .withColumn("_g2", TextFunctions.ngramsFromTokens(col("_w"), 2))
+      .withColumn("_g3", TextFunctions.ngramsFromTokens(col("_w"), 3))
+      .select(
+        col(idCol),
+        size(col("_w")).cast("long").as("n_words"),
+        size(array_distinct(col("_w"))).cast("long").as("_d1"),
+        maxRunSorted(array_sort(col("_w"))).as("_maxw"),
+        size(col("_g2")).cast("long").as("_n2"),
+        size(array_distinct(col("_g2"))).cast("long").as("_d2"),
+        size(col("_g3")).cast("long").as("_n3"),
+        size(array_distinct(col("_g3"))).cast("long").as("_d3"))
+      .select(
+        col(idCol), col("n_words"),
+        when(col("n_words") <= 0, lit(0L))
+          .otherwise(expr("1000 * _d1 div n_words")).as("distinct_permille"),
+        when(col("n_words") <= 0, lit(0L))
+          .otherwise(expr("1000 * _maxw div n_words")).as("top_word_permille"),
+        when(col("_n2") <= 0, lit(0L))
+          .otherwise(expr("1000 * (_n2 - _d2) div _n2")).as("dup2_permille"),
+        when(col("_n3") <= 0, lit(0L))
+          .otherwise(expr("1000 * (_n3 - _d3) div _n3")).as("dup3_permille"))
+      .withColumn("repetitive",
+        (col("dup2_permille") >= dup2MaxPermille ||
+          col("top_word_permille") >= topWordMaxPermille).cast("long"))
   }
 }

@@ -16,6 +16,7 @@ class PlanAuditSpec extends SparkSpec {
   private val allowedUnpartitionedWindows = Map(
     "q66_seq_pack" -> 1, // two-level prefix sum: window over bucket totals
     "q83_curriculum_shards" -> 1, // same idiom: window over (score, sub-bucket) totals
+    "q103_budget_select" -> 1, // same idiom: weight prefix sum over bucket totals
     "q85_stratified_exact" -> 1, // remainder rank over the O(#strata) quota table
     // RRF rank windows run over TakeOrdered top-k LISTS (≤20 rows by
     // construction) — bounded by the query k, never by the corpus

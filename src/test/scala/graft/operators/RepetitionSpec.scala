@@ -33,4 +33,54 @@ class RepetitionSpec extends SparkSpec {
     // all tokens lower to "ha": bigrams "ha ha" ×3
     assert(total == 3L && top == 100L && dup == 66L)
   }
+
+  test("profile computes all permilles exactly, every doc emits a row") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),     // 4 words, 1 distinct, maxw=4
+      (2L, "a b c d"),                 // fully diverse
+      (3L, "go stop go stop go stop"), // alternating template
+      (4L, "one"),                     // 1 word: no n-grams, still a row
+      (5L, "")                         // blank: all zeros, still a row
+    ).toDF("doc_id", "text")
+    val out = Repetition.profile(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 5, "profile must emit a row per document")
+    // (doc_id, n_words, distinct‰, top_word‰, dup2‰, dup3‰, repetitive)
+    // doc1: n=4 d=1 maxw=4; g2: 3 occ 1 distinct → dup2=666; g3: 2/1 → 500
+    assert(out(0) == ((1L, 4L, 250L, 1000L, 666L, 500L, 1L)))
+    // doc2: everything distinct → dup=0, top=250
+    assert(out(1) == ((2L, 4L, 1000L, 250L, 0L, 0L, 1L)))
+    // doc3: n=6 d=2 maxw=3 → top=500; g2: 5 occ 2 distinct → 600;
+    // g3: 4 occ 2 distinct → 500
+    assert(out(2) == ((3L, 6L, 333L, 500L, 600L, 500L, 1L)))
+    // doc4: single word → n-gram signals 0, top=1000 flags it
+    assert(out(3) == ((4L, 1L, 1000L, 1000L, 0L, 0L, 1L)))
+    // doc5: blank → all zeros, not flagged
+    assert(out(4) == ((5L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("profile thresholds gate the repetitive flag") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // diverse
+      (2L, "loop loop loop loop loop loop loop loop")        // degenerate
+    ).toDF("doc_id", "text")
+    val flags = Repetition.profile(docs)
+      .select($"doc_id", $"repetitive").as[(Long, Long)].collect().toMap
+    assert(flags(1L) == 0L && flags(2L) == 1L)
+    // permissive thresholds un-flag the loop doc
+    val lax = Repetition.profile(docs,
+        dup2MaxPermille = 2000L, topWordMaxPermille = 2000L)
+      .select($"doc_id", $"repetitive").as[(Long, Long)].collect().toMap
+    assert(lax(2L) == 0L)
+  }
+
+  test("profile is map-only: no exchange in the physical plan") {
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val plan = Repetition.profile(docs).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"profile must not shuffle:\n$plan")
+  }
 }
