@@ -24,9 +24,12 @@ object Explain {
     * aggregates (q57), packing's two-level scan (q66), ANN (q68), the
     * bucketed join (q75), the mixing rate join (q76), the Bloom
     * runtime filter (q81 — the probe must sit below the exchange),
-    * and the curriculum two-level rank (q83). Streaming drains are
-    * excluded: their returned frame is a checkpoint scan — the real
-    * streaming plan lives inside the drain harness.
+    * and the curriculum two-level rank (q83). The map-only repetition
+    * profile (q102 — the plan must be a single projection over the
+    * scan, zero exchanges) and the budget cut's weight prefix sum
+    * (q103). Streaming drains are excluded: their returned frame is a
+    * checkpoint scan — the real streaming plan lives inside the drain
+    * harness.
     */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_nation_revenue", "q15_bbox_parts",
@@ -36,7 +39,8 @@ object Explain {
     "q68_ann_int8", "q75_bucketed_join", "q76_temperature_mix",
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
     "q90_lexical_and", "q91_ranked_tfidf", "q92_phrase_query",
-    "q96_bm25", "q100_pmi_colloc")
+    "q96_bm25", "q100_pmi_colloc", "q102_repetition_profile",
+    "q103_budget_select")
 
   /** Strip run-dependent counters so committed dumps diff cleanly:
     * expression ids, codegen stage ids, plan ids, temp-view uuids.
