@@ -81,15 +81,12 @@ object Repetition {
     * diversity) in ONE map-only pass, plus the drop flag. Complements
     * [[signals]]: that one measures a single n and finds the per-doc
     * top GRAM via a (doc, gram) shuffle with map-side combine; this one
-    * computes every signal inside a codegen'd projection over the
-    * row's own token array — the corpus never explodes and NOTHING
+    * computes every count in ONE native pass per row ([[graft.plans
+    * .RepetitionStatsExpr]], the q54/q89 fusion move — measured 4×
+    * over the staged higher-order-function form kept as
+    * [[profileComposed]]) — the corpus never explodes and NOTHING
     * shuffles, which is the shape a 100 TB pre-dedup drop filter wants
-    * (the filter consumes the flag row-locally; no agg needed). The
-    * per-doc max-unigram count folds linearly over the SORTED token
-    * array (max run length), not an O(words²) count-per-distinct
-    * probe. Token arrays are staged as attributes once ([[TextFunctions
-    * .ngramsFromTokens]] scaladoc: lambdas never hoist loop-invariant
-    * subexpressions).
+    * (the filter consumes the flag row-locally; no agg needed).
     *
     * All signals are exact integer permilles, bit-reproducible in SQL:
     *  - `distinct_permille`  1000·|distinct words| div |words|
@@ -107,22 +104,64 @@ object Repetition {
       idCol: String = "doc_id",
       textCol: String = "text",
       dup2MaxPermille: Long = 60L,
+      topWordMaxPermille: Long = 120L): DataFrame =
+    permilles(
+      docs
+        .withColumn("_r", graft.plans.RepetitionStatsExpr(col(textCol)))
+        .select(
+          col(idCol),
+          col("_r.n_words").as("n_words"),
+          col("_r.d1").as("_d1"),
+          col("_r.maxw").as("_maxw"),
+          col("_r.n2").as("_n2"),
+          col("_r.d2").as("_d2"),
+          col("_r.n3").as("_n3"),
+          col("_r.d3").as("_d3")),
+      idCol, dup2MaxPermille, topWordMaxPermille)
+
+  /** The original `functions._` formulation of [[profile]] — staged
+    * token/n-gram attributes, array_distincts over gram strings, the
+    * sorted max-run fold. Kept as the differential oracle for
+    * [[graft.plans.RepetitionStatsExpr]] (the spec asserts kernel ≡
+    * composed on fixture and edge corpora, the [[graft.plans
+    * .WinnowFpExpr]] pattern), NOT a production path: five interpreted
+    * higher-order-function walks per row cost 4× the fused kernel.
+    */
+  private[graft] def profileComposed(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dup2MaxPermille: Long = 60L,
       topWordMaxPermille: Long = 120L): DataFrame = {
     val toks = TextFunctions.loweredTokens(col(textCol))
-    docs
-      .withColumn("_w", when(length(trim(col(textCol))) === 0,
-        array().cast("array<string>")).otherwise(toks))
-      .withColumn("_g2", TextFunctions.ngramsFromTokens(col("_w"), 2))
-      .withColumn("_g3", TextFunctions.ngramsFromTokens(col("_w"), 3))
-      .select(
-        col(idCol),
-        size(col("_w")).cast("long").as("n_words"),
-        size(array_distinct(col("_w"))).cast("long").as("_d1"),
-        maxRunSorted(array_sort(col("_w"))).as("_maxw"),
-        size(col("_g2")).cast("long").as("_n2"),
-        size(array_distinct(col("_g2"))).cast("long").as("_d2"),
-        size(col("_g3")).cast("long").as("_n3"),
-        size(array_distinct(col("_g3"))).cast("long").as("_d3"))
+    permilles(
+      docs
+        .withColumn("_w", when(length(trim(col(textCol))) === 0,
+          array().cast("array<string>")).otherwise(toks))
+        .withColumn("_g2", TextFunctions.ngramsFromTokens(col("_w"), 2))
+        .withColumn("_g3", TextFunctions.ngramsFromTokens(col("_w"), 3))
+        .select(
+          col(idCol),
+          size(col("_w")).cast("long").as("n_words"),
+          size(array_distinct(col("_w"))).cast("long").as("_d1"),
+          maxRunSorted(array_sort(col("_w"))).as("_maxw"),
+          size(col("_g2")).cast("long").as("_n2"),
+          size(array_distinct(col("_g2"))).cast("long").as("_d2"),
+          size(col("_g3")).cast("long").as("_n3"),
+          size(array_distinct(col("_g3"))).cast("long").as("_d3")),
+      idCol, dup2MaxPermille, topWordMaxPermille)
+  }
+
+  /** Shared permille/flag projection over the staged count columns
+    * (idCol, n_words, _d1, _maxw, _n2, _d2, _n3, _d3) — exact integer
+    * `div`, zero-guarded for degenerate docs.
+    */
+  private def permilles(
+      counts: DataFrame,
+      idCol: String,
+      dup2MaxPermille: Long,
+      topWordMaxPermille: Long): DataFrame =
+    counts
       .select(
         col(idCol), col("n_words"),
         when(col("n_words") <= 0, lit(0L))
@@ -136,5 +175,4 @@ object Repetition {
       .withColumn("repetitive",
         (col("dup2_permille") >= dup2MaxPermille ||
           col("top_word_permille") >= topWordMaxPermille).cast("long"))
-  }
 }

@@ -75,6 +75,27 @@ class RepetitionSpec extends SparkSpec {
     assert(lax(2L) == 0L)
   }
 
+  test("fused kernel equals the composed form on the fixture and edge corpora") {
+    // the WinnowFpExpr differential pattern: RepetitionStatsExpr must
+    // reproduce the staged functions._ composition value-for-value, so
+    // the SQL oracle of the composed arithmetic stays valid
+    val fixture = spark.read.parquet(s"${sf()}/documents.parquet")
+    val edge = Seq(
+      (9001L, ""), (9002L, "   "), (9003L, "x"),
+      (9004L, "Tab\there  and\nnewline"),  // \t\n are split chars, not trim chars
+      (9005L, "a a a a a a a a"),
+      (9006L, "MiXeD CaSe mixed case MIXED CASE")
+    ).toDF("doc_id", "text")
+    for (docs <- Seq(fixture, edge)) {
+      val a = Repetition.profile(docs)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      val b = Repetition.profileComposed(docs)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(a == b, s"kernel/composed mismatch: only-kernel=${(a -- b).take(3)} " +
+        s"only-composed=${(b -- a).take(3)}")
+    }
+  }
+
   test("profile is map-only: no exchange in the physical plan") {
     val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
     val plan = Repetition.profile(docs).queryExecution.executedPlan
