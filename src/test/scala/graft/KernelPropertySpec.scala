@@ -170,4 +170,43 @@ class KernelPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("fuzz: RepetitionStatsExpr.compute equals the joined-string reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // plain-Scala mirror of the composed semantics the DuckDB oracle
+    // runs: lower (UTF8String, locale-free), trim 0x20 only, Java
+    // regex \s+ split with limit -1, n-grams as space-JOINED strings —
+    // deliberately independent of the kernel's packed-id trick
+    def ref(s: String): Seq[Long] = {
+      val lowered = UTF8String.fromString(s).toLowerCase.toString
+      val trimmed = lowered.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      if (trimmed.isEmpty) return Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L)
+      val toks = trimmed.split("\\s+", -1).toSeq
+      val n  = toks.length
+      def grams(k: Int): Seq[String] =
+        if (n < k) Nil else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val g2 = grams(2); val g3 = grams(3)
+      Seq(n.toLong, toks.distinct.size.toLong,
+        toks.groupBy(identity).values.map(_.size).max.toLong,
+        math.max(n - 1, 0).toLong, g2.distinct.size.toLong,
+        math.max(n - 2, 0).toLong, g3.distinct.size.toLong)
+    }
+    // alphabet biased to repetition + whitespace/case/multibyte edges;
+    // tiny word pool makes duplicate grams likely
+    val frag = Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "ab", "spam", "go", "stop", "The", "THE"),
+      3 -> Gen.oneOf(" ", "  ", "\t", "\n", "\r", "\f", ""),
+      2 -> Gen.alphaNumStr.map(_.take(5)),
+      1 -> Gen.oneOf("é", "Ü", "日本", "🙂", ""),
+      1 -> Gen.oneOf(" lead", "trail ", "   "))
+    val strGen = Gen.listOf(frag).map(_.mkString(" "))
+    check("repetition-kernel-vs-reference", Prop.forAll(strGen) { raw =>
+      // UTF8String round-trip: the kernel domain is UTF-8-representable
+      // strings, and this defuses ScalaCheck's char-level shrinker
+      // (which can fabricate lone surrogates) — the PiiMaskSpec lesson
+      val s = UTF8String.fromString(raw).toString
+      val row = graft.plans.RepetitionStatsExpr.compute(UTF8String.fromString(s))
+      (0 until 7).map(row.getLong) == ref(s)
+    }, n = 2000)
+  }
 }
