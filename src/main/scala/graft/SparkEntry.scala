@@ -1531,16 +1531,23 @@ object SparkEntry {
     * sort; the one unpartitioned window runs over bucket totals), and
     * the budget cut reproduces the textbook SQL running-sum exactly.
     */
-  private def q103(s: SparkSession, d: String): DataFrame =
-    graft.operators.Curriculum.selectByBudget(
-        t(s, d, "documents").select(col("doc_id"),
-          (-TextFunctions.qualityScore(col("text"))).as("neg_q"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    // q83's staging move: localCheckpoint the (id, score, weight)
+    // projection — 24 B/row — so the regex-heavy quality/token kernels
+    // run ONCE, not on both sides of the prefix sum's aggregate/join
+    // (the base is consumed twice in the two-level scan).
+    val scored = t(s, d, "documents")
+      .select(col("doc_id"),
+        (-TextFunctions.qualityScore(col("text"))).as("neg_q"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .localCheckpoint()
+    graft.operators.Curriculum.selectByBudget(scored,
         scoreCol = "neg_q", idCol = "doc_id", weightCol = "n_tokens",
         budget = 15000L)
       .select(col("doc_id"), (-col("neg_q")).as("quality"), col("n_tokens"),
         col("cum_weight").as("cum_tokens"), col("selected"))
       .orderBy("doc_id")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
