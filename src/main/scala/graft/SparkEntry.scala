@@ -525,8 +525,9 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
-  /** Time functions over the ns-epoch events.ts (read as long under
-    * nanosAsLong; DuckDB reads the same column as timestamp_ns).
+  /** Time functions over events.ts — normalized to epoch-ns BIGINT by
+    * [[graft.util.EventTime]] in `t()` whatever the fixture shipped
+    * (DuckDB reads the same column with its own timestamp functions).
     */
   private def q43(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
@@ -599,9 +600,9 @@ object SparkEntry {
 
   /** Gap-based sessionization (30-min gap) over the event stream — all
     * integer arithmetic, one shuffle on user_id. Timestamps are
-    * truncated to MICROseconds on both sides (integer `div 1000` here,
-    * epoch_us in the oracle): DuckDB reads the parquet TIMESTAMP(NANOS)
-    * at µs precision, so ns-level values can never hash-match.
+    * truncated to MICROseconds on both sides (integer `div 1000` over
+    * the EventTime-normalized ns longs here, epoch_us in the oracle),
+    * the precision every fixture generation can represent.
     */
   private def q49(s: SparkSession, d: String): DataFrame =
     Sessionize.sessionStats(

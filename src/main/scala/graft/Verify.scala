@@ -21,9 +21,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-      // default; read as long (ns since epoch) — graft.operators exposes
-      // tsNanos helpers for time arithmetic on it.
+      // events.ts has shipped as TIMESTAMP(NANOS), TIMESTAMP_NTZ(us)
+      // and BIGINT across fixture generations; graft.util.EventTime
+      // normalizes at the scan boundary. nanosAsLong maps a NANOS
+      // fixture onto the long leg (Spark 4 rejects it otherwise) and
+      // is harmless for the rest.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       // bucket pruning for the search-index term lookups (see Bench)

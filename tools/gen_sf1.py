@@ -4,14 +4,14 @@
 The driver ships sf{0.001,0.01,0.1} only (TESTDATA.md: read-only). The
 100 TB claims rest on plan shape; this buys one empirical order of
 magnitude on top by generating tables with the SAME schemas (including
-timestamp[ns] events and timestamp[ms] order/ship dates) and closely
-matched distributions, measured off sf0.1:
+timestamp[us] events and order/ship dates, the round-10 fixture
+format) and closely matched distributions, measured off sf0.1:
 
   - customer/supplier/part/orders/lineitem: TPC-H-ish uniforms, 1..17
     Poisson-ish lines per order (mean 4), integer-valued quantities,
     penny-grid prices/discounts/taxes, day-granular dates over the same
     spans;
-  - events: ns timestamps over the same 30-day window, 10x users,
+  - events: us timestamps over the same 30-day window, 10x users,
     value 2dp, props = {"k": 0..99};
   - documents: 10-100 words drawn from the observed 31-word vocabulary,
     lang skew ~(41,15,15,15,14)%, source src0..src19 uniform;
@@ -75,7 +75,9 @@ def money(lo, hi, n):
 
 
 def ts_ms_days(days):
-    return pa.array((days.astype("int64") * DAY_MS), type=pa.timestamp("ms"))
+    # timestamp[us] since the round-10 fixture regeneration (was [ms])
+    return pa.array((days.astype("int64") * DAY_MS * 1000),
+                    type=pa.timestamp("us"))
 
 
 def main():
@@ -147,8 +149,10 @@ def main():
     ek = np.arange(N_EVT, dtype="int64")
     write("events", pa.table({
         "event_id": ek,
-        "ts": pa.array(EVT_LO_NS + rng.integers(0, EVT_SPAN_NS, N_EVT),
-                       type=pa.timestamp("ns")),
+        # timestamp[us] since the round-10 fixture regeneration (was
+        # [ns]); EventTime normalizes either at the scan boundary
+        "ts": pa.array((EVT_LO_NS + rng.integers(0, EVT_SPAN_NS, N_EVT)) // 1000,
+                       type=pa.timestamp("us")),
         "user_id": rng.integers(0, 1500 * SCALE, N_EVT).astype("int64"),
         "event_type": pa.array(ETYPES[rng.integers(0, 5, N_EVT)]),
         "value": money(0, 560, N_EVT),
