@@ -18,12 +18,14 @@ import graft.functions.TextFunctions
   * reference, next to [[TextFunctions.qualityScore]] and the dedup
   * family.
   *
-  * Scale design (100 TB): one spread exchange distributes the n-gram
-  * build (see [[Dedup.spread]]), then a single hash aggregation per
-  * (doc_id, gram) with map-side combine, then a per-doc rollup — the
-  * shuffles carry (doc_id, gram, count) triples, never text. All
-  * outputs are exact integer percents, so the DuckDB oracle (q62)
-  * matches bit-for-bit.
+  * Scale design (100 TB): every signal here is a PER-DOCUMENT fact
+  * over tokens that already sit in the document's own row, so both
+  * entry points are map-only — one native kernel pass per row
+  * ([[graft.plans.NgramStatsExpr]] / [[graft.plans
+  * .RepetitionStatsExpr]]), no explode, no shuffle; a pre-dedup drop
+  * filter consumes the flags row-locally. All outputs are exact
+  * integer percents/permilles, so the DuckDB oracles (q62/q102) match
+  * bit-for-bit.
   */
 object Repetition {
 
@@ -38,8 +40,37 @@ object Repetition {
     *
     * Documents with fewer than `n` tokens produce no row (no n-grams —
     * same convention as [[TextFunctions.ngramsFromTokens]]).
+    *
+    * Map-only: every statistic is a per-document fact over tokens that
+    * already sit in the document's own row, so the counts come from
+    * ONE native pass ([[graft.plans.NgramStatsExpr]]) — no explode, no
+    * shuffle. The original explode → groupBy(doc, gram) formulation
+    * (kept as [[signalsComposed]] for the differential spec) shuffled
+    * every gram of the corpus only to regroup row-local data, and was
+    * the top scaler in the sf1.0 report (8.7×) for it.
     */
-  def signals(docs: DataFrame, n: Int = 2): DataFrame = {
+  def signals(docs: DataFrame, n: Int = 2): DataFrame =
+    docs
+      .withColumn("_s", graft.plans.NgramStatsExpr(col("text"), n))
+      .select(col("doc_id"),
+        col("_s.n_grams").as("n_grams"),
+        col("_s.top_gram").as("_top"),
+        col("_s.d_grams").as("_d"))
+      // the kernel's own count is the "has n-grams" filter (NOT
+      // hasShingles, whose untrimmed token count disagrees on
+      // leading-space edge docs that tokenize below n after trim)
+      .filter(col("n_grams") >= 1)
+      .select(col("doc_id"), col("n_grams"),
+        expr("(100 * _top) div n_grams").as("top_gram_pct"),
+        expr("(100 * (n_grams - _d)) div n_grams").as("dup_gram_pct"))
+
+  /** The original explode → groupBy(doc, gram) formulation of
+    * [[signals]] — kept as the differential oracle for
+    * [[graft.plans.NgramStatsExpr]] (the spec asserts kernel ≡
+    * composed), NOT a production path: it shuffles (doc, gram, count)
+    * triples for per-row facts.
+    */
+  private[graft] def signalsComposed(docs: DataFrame, n: Int = 2): DataFrame = {
     val grams = Dedup
       .spread(docs.filter(TextFunctions.hasShingles(col("text"), n)), "doc_id")
       .withColumn("_tk", TextFunctions.loweredTokens(col("text")))

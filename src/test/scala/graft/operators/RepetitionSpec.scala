@@ -75,6 +75,31 @@ class RepetitionSpec extends SparkSpec {
     assert(lax(2L) == 0L)
   }
 
+  test("signals kernel equals the composed explode/groupBy form, incl. n=1 and n=3") {
+    val fixture = spark.read.parquet(s"${sf()}/documents.parquet")
+    val edge = Seq(
+      (9001L, ""), (9002L, " a"), (9003L, "x y"),
+      (9004L, "go stop go stop go"), (9005L, "a A a\ta  a")
+    ).toDF("doc_id", "text")
+    for (docs <- Seq(fixture, edge); n <- Seq(1, 2, 3, 4)) {
+      val a = Repetition.signals(docs, n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val b = Repetition.signalsComposed(docs, n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(a == b, s"n=$n kernel/composed mismatch: " +
+        s"only-kernel=${(a -- b).take(3)} only-composed=${(b -- a).take(3)}")
+    }
+  }
+
+  test("signals map-only plan: no exchange below the output") {
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val plan = Repetition.signals(docs, n = 2).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"signals must not shuffle:\n$plan")
+  }
+
   test("fused kernel equals the composed form on the fixture and edge corpora") {
     // the WinnowFpExpr differential pattern: RepetitionStatsExpr must
     // reproduce the staged functions._ composition value-for-value, so
