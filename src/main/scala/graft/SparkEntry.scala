@@ -1550,6 +1550,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization ([[TextFunctions.normalizeText]]):
+    * NFC composition + control-char strip + whitespace collapse, the
+    * cleanup pass that runs before any exact-match operator. The raw
+    * column deterministically exercises all three legs (every doc gets
+    * a decomposed accent, a control byte and doubled spaces appended),
+    * so the hash gate proves real normalization work — DuckDB's
+    * `nfc_normalize` + the same RE2 regexes must match byte-for-byte.
+    */
+  private def q104(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" e\u0301\u0001  x")).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("n_raw"),
+        TextFunctions.normalizeText(col("raw")).as("norm"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("norm")).as("n_norm"),
+        md5(col("norm")).as("fp"))
+      .orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1652,8 +1672,9 @@ object SparkEntry {
     "q99_bpe_pairs"         -> (q99 _),
     "q100_pmi_colloc"       -> (q100 _),
     "q101_canonical_docs"   -> (q101 _),
-    "q102_repetition_profile"       -> (q102 _),
-    "q103_budget_select"    -> (q103 _)
+    "q102_repetition_profile" -> (q102 _),
+    "q103_budget_select"    -> (q103 _),
+    "q104_normalize_text"   -> (q104 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3010,6 +3031,19 @@ object SparkEntry {
          |  FROM q)
          |SELECT doc_id, quality, n_tokens, cum_tokens,
          | CAST(CASE WHEN cum_tokens <= 15000 THEN 1 ELSE 0 END AS BIGINT) AS selected
-         |FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+         |FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // mirrors TextFunctions.normalizeText: nfc_normalize + the SAME
+    // control-char class and \s+ collapse (RE2-portable constants);
+    // raw appends chr(769)=U+0301 (combining acute) and chr(1)
+    "q104_normalize_text" ->
+      s"""WITH r AS (SELECT doc_id,
+         |   text || ' e' || chr(769) || chr(1) || '  x' AS raw FROM documents),
+         | n AS (SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+         |   trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+         |     '${TextFunctions.ControlCharPattern}', '', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM r)
+         |SELECT doc_id, n_raw, CAST(length(norm) AS BIGINT) AS n_norm,
+         | md5(norm) AS fp
+         |FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -253,4 +253,26 @@ object TextFunctions {
     val url   = regexp_replace(email, PiiUrlPattern, "[URL]")
     regexp_replace(url, PiiNumPattern, "[NUM]")
   }
+
+  /** Control characters to strip during normalization: C0 controls
+    * minus \t\n\r (which are whitespace, handled by the collapse), plus
+    * DEL. Plain hex classes — RE2/DuckDB-portable like the PII
+    * patterns, so the q104 oracle interpolates this constant verbatim.
+    */
+  final val ControlCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Canonical text normalization — the cleanup pass a pretraining
+    * corpus runs BEFORE any exact-match operator (fingerprints, token
+    * counts, gram sets all silently fracture on un-normalized text):
+    * Unicode NFC composition ([[graft.plans.NfcNormalizeExpr]] — Spark
+    * has no builtin), control-character strip
+    * ([[ControlCharPattern]]), whitespace-run collapse to single
+    * spaces, trim. Deterministic and engine-portable: DuckDB's
+    * `nfc_normalize` + the same two RE2 regexes reproduce it
+    * byte-for-byte (q104's hash gate).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.plans.NfcNormalizeExpr(text), ControlCharPattern, ""),
+      "\\s+", " "))
 }

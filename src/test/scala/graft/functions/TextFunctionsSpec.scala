@@ -109,4 +109,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(qProse > qJunk)
     assert(qProse <= 100L && qJunk >= 0L)
   }
+
+  test("normalizeText: NFC composes, controls strip, whitespace collapses, trim") {
+    def n(s: String) = one[String](TextFunctions.normalizeText($"text"), s)
+    val decomposed = "cafe\u0301"  // e + combining acute (U+0301)
+    val composed   = "caf\u00e9"   // precomposed e-acute
+    assert(n(decomposed) == composed) // the fingerprints unify
+    assert(n(composed) == composed)   // already-NFC text untouched
+    // C0 controls and DEL vanish; \t\n\r are whitespace, not stripped
+    assert(n("a\u0001b\u0002c\u007fd") == "abcd")
+    assert(n("a\tb\nc\rd") == "a b c d")
+    // runs collapse, edges trim
+    assert(n("  a   b  ") == "a b")
+    // all legs together
+    assert(n("  Cafe\u0301 \t menu \u0000  ") == "Caf\u00e9 menu")
+    // NFC never folds compatibility characters (that's NFKC policy)
+    assert(n("\u2460 \ufb01") == "\u2460 \ufb01") // circled-1 and fi-ligature survive
+  }
+
+  test("NfcNormalizeExpr: null-safe and idempotent") {
+    def n(s: String) = one[String](TextFunctions.normalizeText($"text"), s)
+    val messy = "cafe\u0301 x \u0003 y"
+    assert(n(n(messy)) == n(messy)) // idempotent
+    val df = Seq((1L, null: String)).toDF("id", "text")
+      .select(graft.plans.NfcNormalizeExpr($"text").as("n"))
+    assert(df.collect().head.isNullAt(0))
+  }
 }
