@@ -1570,6 +1570,41 @@ object SparkEntry {
         md5(col("norm")).as("fp"))
       .orderBy("doc_id")
 
+  /** Stream-stream interval join — the one Structured Streaming
+    * operator class the q64/q71/q72/q87/q98 drains didn't cover: each
+    * purchase joined to the same user's clicks in the preceding hour,
+    * BOTH sides real watermarked streams (a self-join of the drained
+    * file stream, the supported stream-stream inner-join shape). The
+    * time-range predicate plus the two watermarks is exactly what lets
+    * Spark bound join state at 100 TB (each side keeps ~1 h + slack of
+    * rows per user instead of the whole stream); in the drain, batch 0
+    * carries everything so the inner join emits every pair eagerly and
+    * the DuckDB oracle is the plain interval join. µs truncation as in
+    * q49/q64.
+    */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val staged = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("event_time"))
+    graft.streaming.FileStreamDrain.drain(
+        staged,
+        ss => {
+          val p = ss.filter(col("event_type") === "purchase")
+            .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("event_time").as("p_time"))
+            .withWatermark("p_time", "1 hour")
+          val c = ss.filter(col("event_type") === "click")
+            .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+              col("event_time").as("c_time"))
+            .withWatermark("c_time", "1 hour")
+          p.join(c, col("p_user") === col("c_user") &&
+            col("c_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+            col("c_time") <= col("p_time"))
+        })
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"))
+      .orderBy("p_id", "c_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
@@ -1674,7 +1709,8 @@ object SparkEntry {
     "q101_canonical_docs"   -> (q101 _),
     "q102_repetition_profile" -> (q102 _),
     "q103_budget_select"    -> (q103 _),
-    "q104_normalize_text"   -> (q104 _)
+    "q104_normalize_text"   -> (q104 _),
+    "q105_stream_join"      -> (q105 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3044,6 +3080,16 @@ object SparkEntry {
          |  FROM r)
          |SELECT doc_id, n_raw, CAST(length(norm) AS BIGINT) AS n_norm,
          | md5(norm) AS fp
-         |FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+         |FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // the plain interval join the watermarked stream-stream join must
+    // reproduce; µs arithmetic mirrors the Spark side's div-1000
+    "q105_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY p_id, c_id""".stripMargin.replaceAll("\n", " ")
   )
 }
