@@ -47,9 +47,18 @@ object TextFunctions {
   def stopwordCount(text: Column): Column = wordHits(text, StopwordsEn)
 
   /** Quality score ∈ [0,100]: 100 − penalties for punctuation-heavy,
-    * stopword-free, or too-short text. Exact integer arithmetic.
+    * stopword-free, or too-short text. Exact integer arithmetic. One
+    * fused native pass per row ([[graft.plans.QualityScoreExpr]] — the
+    * q54/q89/q102 fusion move; the three-regex composition it
+    * replaces is kept as [[qualityScoreComposed]] and the differential
+    * spec + the q19 oracle hold the two equal).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = graft.plans.QualityScoreExpr(text)
+
+  /** The definitional three-regex formulation of [[qualityScore]] —
+    * the differential-test reference, NOT a production path.
+    */
+  def qualityScoreComposed(text: Column): Column = {
     val toks    = tokenCount(text)
     val chars   = length(text).cast("long")
     val punct   = punctCount(text)

@@ -127,6 +127,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n("\u2460 \ufb01") == "\u2460 \ufb01") // circled-1 and fi-ligature survive
   }
 
+  test("qualityScore kernel equals the composed three-regex form") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.unsafe.types.UTF8String
+    def both(s: String): (Long, Long) = (
+      one[Long](TextFunctions.qualityScore($"text"), s),
+      one[Long](TextFunctions.qualityScoreComposed($"text"), s))
+    // edge corpus: boundary shapes for every leg of the arithmetic
+    for (s <- Seq("", "   ", "\tx", "x\t", "the and of to is",
+        "a b c d", "a b c d e", "!!!", "a!!!b", "was?the,and",
+        "the_cat", "that4 the", "x " * 25, "\u00e9 the \u0301a",
+        "The THE tHe", "a\u0001b the", "\ud83d\ude00 the fox"))
+      assert(both(s)._1 == both(s)._2, s"mismatch on ${s.take(40)}")
+    // fuzz (PiiMaskSpec pattern): word/punct/ws/unicode-biased alphabet
+    val frag = Gen.frequency(
+      5 -> Gen.oneOf("the", "and", "a", "that", "theme", "rat", "x_y", "to4"),
+      3 -> Gen.oneOf(" ", "  ", "\t", "\n", "\r", "\f", ""),
+      2 -> Gen.oneOf("!", ".", ",", "?", "@", "[", "`", "~", "{"),
+      2 -> Gen.alphaNumStr.map(_.take(6)),
+      1 -> Gen.oneOf("\u00e9", "\u0130", "\u65e5\u672c", "\ud83d\ude42"))
+    val prop = Prop.forAll(Gen.listOf(frag).map(_.mkString)) { raw =>
+      val s = UTF8String.fromString(raw).toString
+      graft.plans.QualityScoreExpr.compute(UTF8String.fromString(s)) ==
+        one[Long](TextFunctions.qualityScoreComposed($"text"), s)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("NfcNormalizeExpr: null-safe and idempotent") {
     def n(s: String) = one[String](TextFunctions.normalizeText($"text"), s)
     val messy = "cafe\u0301 x \u0003 y"
