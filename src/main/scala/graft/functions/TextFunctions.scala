@@ -77,9 +77,16 @@ object TextFunctions {
 
   /** Stopword-profile language ID over {en,de,fr,es,sv}; 'und' when no
     * profile matches. Deterministic ties: earlier language in the
-    * priority order wins (en > de > fr > es > sv).
+    * priority order wins (en > de > fr > es > sv). One fused native
+    * pass ([[graft.plans.LangIdExpr]]) instead of five `\b`-regex
+    * walks; [[langIdComposed]] is the differential reference.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = graft.plans.LangIdExpr(text)
+
+  /** The definitional five-regex formulation of [[langId]] — the
+    * differential-test reference, NOT a production path.
+    */
+  def langIdComposed(text: Column): Column = {
     val en = wordHits(text, StopwordsEn)
     val de = wordHits(text, StopwordsDe)
     val fr = wordHits(text, StopwordsFr)

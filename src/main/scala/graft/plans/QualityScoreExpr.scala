@@ -71,27 +71,12 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression {
 object QualityScoreExpr {
 
   /** TextFunctions.StopwordsEn as a set; all ≤ 4 chars, ASCII lower. */
-  private val Stopwords: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]
-    graft.functions.TextFunctions.StopwordsEn.foreach(s.add)
-    s
-  }
-
-  private def isJavaRegexWs(cp: Int): Boolean =
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+  private val Stopwords: Array[java.util.HashSet[String]] =
+    Array(TextKernels.toSet(graft.functions.TextFunctions.StopwordsEn))
 
   private def isPunct(cp: Int): Boolean =
     (cp >= 0x21 && cp <= 0x2F) || (cp >= 0x3A && cp <= 0x40) ||
       (cp >= 0x5B && cp <= 0x60) || (cp >= 0x7B && cp <= 0x7E)
-
-  /** Java regex `\b`'s word class (Pattern.Bound without the Unicode
-    * flag): underscore or any Unicode letter/digit — NOT ASCII `\w`.
-    * (Pattern.Bound additionally word-counts a NON_SPACING_MARK whose
-    * nearest non-mark predecessor is a letter/digit — `hasBaseCharacter`
-    * — handled inline in the scan, which tracks that predecessor.)
-    */
-  private def isBoundWordChar(cp: Int): Boolean =
-    cp == '_' || Character.isLetterOrDigit(cp)
 
   /** The fused per-row kernel (static so generated code can call it). */
   def compute(s: UTF8String): Long = {
@@ -120,40 +105,16 @@ object QualityScoreExpr {
       var i = lo
       while (i < hi) {
         val cp = str.codePointAt(i)
-        if (isJavaRegexWs(cp)) { if (!inWs) { runs += 1; inWs = true } }
+        if (TextKernels.isJavaRegexWs(cp)) { if (!inWs) { runs += 1; inWs = true } }
         else inWs = false
         i += Character.charCount(cp)
       }
       toks = runs + 1
     }
     // pass 2 (lowered text): stopword hits as word-run identity under
-    // \b's word class; codepoint stepping so a supplementary LETTER
-    // (one codepoint, two UTF-16 units) never splits a run
-    val lowered = s.toLowerCase.toString
-    var stops = 0L
-    var runStart = -1
-    // JDK Bound.hasBaseCharacter state: is the nearest preceding
-    // NON-mark codepoint a letter/digit? (underscore deliberately NOT
-    // a base — the JDK checks isLetterOrDigit there, not isWord)
-    var baseIsLetterOrDigit = false
-    var i = 0
-    val n = lowered.length
-    while (i < n) {
-      val cp = lowered.codePointAt(i)
-      val isMark = Character.getType(cp) == Character.NON_SPACING_MARK
-      val w = isBoundWordChar(cp) || (isMark && baseIsLetterOrDigit)
-      if (w) { if (runStart < 0) runStart = i }
-      else if (runStart >= 0) {
-        if (i - runStart <= 4 && Stopwords.contains(lowered.substring(runStart, i)))
-          stops += 1
-        runStart = -1
-      }
-      if (!isMark) baseIsLetterOrDigit = Character.isLetterOrDigit(cp)
-      i += Character.charCount(cp)
-    }
-    if (runStart >= 0 && n - runStart <= 4 &&
-        Stopwords.contains(lowered.substring(runStart, n)))
-      stops += 1
+    // Java \b's model (see TextKernels.wordRunHits for the boundary
+    // rules, incl. the NON_SPACING_MARK base-character quirk)
+    val stops = TextKernels.wordRunHits(s.toLowerCase.toString, Stopwords, 4)(0)
     // identical arithmetic to the composed form (and the q19 oracle)
     val punctPct = if (chars == 0L) 100L
       else Math.floor(100.0 * punct / chars).toLong

@@ -127,6 +127,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n("\u2460 \ufb01") == "\u2460 \ufb01") // circled-1 and fi-ligature survive
   }
 
+  test("langId kernel equals the composed five-regex form") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.unsafe.types.UTF8String
+    def both(s: String): (String, String) = (
+      one[String](TextFunctions.langId($"text"), s),
+      one[String](TextFunctions.langIdComposed($"text"), s))
+    for (s <- Seq("", "the cat and the dog", "der hund ist nicht",
+        "le chat est une b\u00eate", "el perro es una cosa",
+        "och att det som \u00e4r f\u00f6r", "xyzzy", "en en en the the the",
+        "f\u00f6r the", "pa\u030a och att det"))  // decomposed å ≠ composed å
+      assert(both(s)._1 == both(s)._2, s"mismatch on $s")
+    // fuzz across all five profiles + decoys + unicode edges
+    val words = TextFunctions.StopwordsEn ++ TextFunctions.StopwordsDe ++
+      TextFunctions.StopwordsFr ++ TextFunctions.StopwordsEs ++
+      TextFunctions.StopwordsSv
+    val frag = Gen.frequency(
+      6 -> Gen.oneOf(words),
+      2 -> Gen.oneOf("theme", "rat", "x_y", "\u00e4r1", "f\u00f6", "\u0130s"),
+      2 -> Gen.oneOf(" ", "  ", "\t", "\n", ".", ",", "!"),
+      1 -> Gen.oneOf("\u65e5\u672c", "\ud83d\ude42", "a\u0301", ""))
+    val prop = Prop.forAll(Gen.listOf(frag).map(_.mkString(" "))) { raw =>
+      val s = UTF8String.fromString(raw).toString
+      graft.plans.LangIdExpr.compute(UTF8String.fromString(s)).toString ==
+        one[String](TextFunctions.langIdComposed($"text"), s)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("qualityScore kernel equals the composed three-regex form") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.apache.spark.unsafe.types.UTF8String
