@@ -4,7 +4,10 @@ vs sf0.1). Bounded queries (fixed doc_id subsets) are expected ~1x;
 unbounded ones ~10x data → ratio near or below 10 (fixed per-query
 overhead amortizes; super-10x flags a superlinear plan).
 
-Usage: python3 tools/scaling_report.py BENCH_sf1.json BENCH_r07.json
+Usage: python3 tools/scaling_report.py BIG.json SMALL.json [data_ratio=10]
+
+data_ratio is the big/small DATA multiple (10 for sf1.0 vs sf0.1, 30
+for sf3.0 vs sf0.1): a per-query time ratio above it is superlinear.
 """
 import json
 import sys
@@ -17,6 +20,7 @@ def load(path):
 
 def main():
     big, small = load(sys.argv[1]), load(sys.argv[2])
+    data_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     qb, qs = big["queries"], small["queries"]
     rows = []
     for name in qb:
@@ -25,7 +29,7 @@ def main():
     rows.sort(reverse=True)
     print(f"{'ratio':>7} {'small_s':>8} {'big_s':>8}  query")
     for r, s, b, n in rows:
-        flag = "  <-- super-10x" if r > 10 else ""
+        flag = f"  <-- super-{data_ratio:g}x" if r > data_ratio else ""
         print(f"{r:7.2f} {s:8.2f} {b:8.2f}  {n}{flag}")
     shared = [n for n in qb if n in qs and qb[n] and qs[n]]
     tb = sum(qb[n] for n in shared)
