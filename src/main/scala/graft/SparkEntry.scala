@@ -1160,14 +1160,15 @@ object SparkEntry {
     * per-shard audit (count, quality range, rank range).
     */
   private def q83(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint stages the (id, score) projection — 16 B/row —
+    // Checkpoints.stage stages the (id, score) projection — 16 B/row —
     // so the regex-heavy score is computed ONCE, not re-derived on both
     // sides of the rank's aggregate/join-back (measured 2x at sf1.0).
-    // Same staging a 100 TB run would do by writing the score column.
-    val scored = t(s, d, "documents")
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
-      .localCheckpoint()
+    // Same staging a 100 TB run would do by writing the score column;
+    // set spark.graft.checkpointDir to keep it on reliable storage.
+    val scored = graft.util.Checkpoints.stage(
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("quality")))
     graft.operators.Curriculum.shardByScore(scored, "quality", "doc_id", nShards = 10)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -1533,15 +1534,15 @@ object SparkEntry {
     * the budget cut reproduces the textbook SQL running-sum exactly.
     */
   private def q103(s: SparkSession, d: String): DataFrame = {
-    // q83's staging move: localCheckpoint the (id, score, weight)
+    // q83's staging move: Checkpoints.stage the (id, score, weight)
     // projection — 24 B/row — so the regex-heavy quality/token kernels
     // run ONCE, not on both sides of the prefix sum's aggregate/join
     // (the base is consumed twice in the two-level scan).
-    val scored = t(s, d, "documents")
-      .select(col("doc_id"),
-        (-TextFunctions.qualityScore(col("text"))).as("neg_q"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      .localCheckpoint()
+    val scored = graft.util.Checkpoints.stage(
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          (-TextFunctions.qualityScore(col("text"))).as("neg_q"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")))
     graft.operators.Curriculum.selectByBudget(scored,
         scoreCol = "neg_q", idCol = "doc_id", weightCol = "n_tokens",
         budget = 15000L)

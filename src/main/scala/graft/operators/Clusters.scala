@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *    set with the current labels on the neighbor id, then a map-side
   *    combinable `min` aggregation on the node id;
   *  - the edge set is persisted once and reused every round;
-  *  - lineage is truncated each round (`localCheckpoint`) so the plan
-  *    doesn't grow exponentially with iterations — on a real cluster
-  *    you'd point this at a reliable checkpoint dir instead;
+  *  - lineage is truncated each round ([[graft.util.Checkpoints.stage]])
+  *    so the plan doesn't grow exponentially with iterations; pass
+  *    `checkpointDir` (or set `spark.graft.checkpointDir`) to use a
+  *    reliable DFS checkpoint that survives executor loss — mandatory
+  *    on a real cluster, where `localCheckpoint` blocks die with the
+  *    executor and would kill a 100 TB run mid-iteration;
   *  - convergence is detected with a `count` of changed labels — one
   *    cheap action per round on data that is already cached;
   *  - the label table is O(|nodes in any edge|), not O(|corpus|):
@@ -39,18 +42,27 @@ object Clusters {
     * @param dst     name of the second endpoint column
     * @param maxIter safety bound on propagation rounds (components wider
     *                than this many hops keep a non-minimal label)
+    * @param checkpointDir reliable checkpoint root for the per-round
+    *                lineage cut; `None` (default) falls back to the
+    *                session conf `spark.graft.checkpointDir`, then to
+    *                `localCheckpoint` (local runs only — blocks are
+    *                lost on executor death)
     */
   def connectedComponents(
       edges: DataFrame,
       src: String = "a",
       dst: String = "b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ckptDir = checkpointDir.orElse(
+      graft.util.Checkpoints.configured(edges.sparkSession))
     val e = edges.select(col(src).as("a"), col(dst).as("b"))
     // symmetrize once so propagation flows both directions
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).persist()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+    var labels = graft.util.Checkpoints.stage(
+      sym.select(col("a").as("id")).distinct()
+        .withColumn("cluster", col("id")),
+      ckptDir)
     var changed = 1L
     var iter    = 0
     while (changed > 0 && iter < maxIter) {
@@ -63,10 +75,11 @@ object Clusters {
       // checkpointed blocks: cheaper than the previous
       // persist → count → checkpoint-from-cache double pass, and no
       // cache bookkeeping
-      val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+      val stepped = graft.util.Checkpoints.stage(
+        labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"), col("cluster").as("old"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")),
+        ckptDir)
       changed = stepped.filter(col("cluster") < col("old")).count()
       labels = stepped.select("id", "cluster")
       iter += 1
@@ -116,8 +129,12 @@ object Clusters {
     * one representative per duplicate cluster (plus all singletons, which
     * never enter the graph).
     */
-  def duplicatesToDrop(pairs: DataFrame, src: String = "doc_a", dst: String = "doc_b"): DataFrame =
-    connectedComponents(pairs, src, dst)
+  def duplicatesToDrop(
+      pairs: DataFrame,
+      src: String = "doc_a",
+      dst: String = "doc_b",
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(pairs, src, dst, checkpointDir = checkpointDir)
       .filter(col("cluster") < col("id"))
       .select(col("id").as("doc_id"))
 }

@@ -649,8 +649,9 @@ object Dedup {
       pairs: DataFrame,
       idCol: String = "doc_id",
       src: String = "doc_a",
-      dst: String = "doc_b"): DataFrame = {
-    val drop = Clusters.duplicatesToDrop(pairs, src, dst)
+      dst: String = "doc_b",
+      checkpointDir: Option[String] = None): DataFrame = {
+    val drop = Clusters.duplicatesToDrop(pairs, src, dst, checkpointDir)
       .withColumnRenamed("doc_id", idCol)
     corpus.join(drop, Seq(idCol), "left_anti")
   }

@@ -267,7 +267,9 @@ object Similarity {
         .select(col("cent_id"),
           coalesce(col("cvec"), col("cvec0")).as("cvec"),
           coalesce(col("cnrm"), col("cnrm0")).as("cnrm"))
-        .localCheckpoint(true) // truncate the per-round lineage (tiny table)
+      // truncate the per-round lineage (tiny table); honors
+      // spark.graft.checkpointDir for reliable storage at scale
+      c = graft.util.Checkpoints.stage(c)
     }
     c
   }

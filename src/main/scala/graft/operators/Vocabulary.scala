@@ -190,11 +190,11 @@ object Vocabulary {
     // leg re-runs the corpus scan + bigram kernel (the q83 lesson —
     // three scans showed up in the committed PLANS.md dump). The pair
     // table is token²-bounded count rows, orders of magnitude smaller
-    // than the corpus it summarizes; on a real cluster this is a
-    // persist/checkpoint to cluster storage.
-    val cbg = bigramTf(docs).groupBy("prev", "cur")
-      .agg(sum("tf_t").as("cnt_bg"))
-      .localCheckpoint(true)
+    // than the corpus it summarizes; set spark.graft.checkpointDir to
+    // keep it on reliable cluster storage.
+    val cbg = graft.util.Checkpoints.stage(
+      bigramTf(docs).groupBy("prev", "cur")
+        .agg(sum("tf_t").as("cnt_bg")))
     val cl = cbg.groupBy("prev").agg(sum("cnt_bg").as("cnt_l"))
     val cr = cbg.groupBy("cur").agg(sum("cnt_bg").as("cnt_r"))
     val tot = cbg.agg(sum("cnt_bg").as("total"))

@@ -7,9 +7,13 @@ import org.apache.spark.sql.DataFrame
   * sink FOLDS each micro-batch into an accumulated state table (e.g.
   * [[graft.operators.Incremental.maintainSumCount]]), the lakehouse
   * "streaming upsert into a serving aggregate" pattern. The state is
-  * `localCheckpoint`ed after every batch, so the plan stays O(1) deep
-  * no matter how many batches flow — the property that keeps a
-  * long-running maintenance stream from growing an unbounded lineage.
+  * checkpointed after every batch ([[graft.util.Checkpoints.stage]]),
+  * so the plan stays O(1) deep no matter how many batches flow — the
+  * property that keeps a long-running maintenance stream from growing
+  * an unbounded lineage. Pass `checkpointDir` (or set
+  * `spark.graft.checkpointDir`) to keep that state on reliable storage
+  * so it survives executor loss; the default `localCheckpoint` is for
+  * local runs only.
   *
   * Parity harness shape (the [[FileStreamDrain]] contract): the input
   * batches stage as one parquet file each and `maxFilesPerTrigger=1`
@@ -23,14 +27,16 @@ private[graft] object IncrementalSink {
 
   /** Drain `batches` (written as one file each → one micro-batch each)
     * through a foreachBatch stream, folding into `zero`. Returns the
-    * final state, localCheckpoint'ed and self-contained.
+    * final state, checkpointed and self-contained.
     */
   def drainFolded(
       batches: Seq[DataFrame],
       zero: DataFrame,
-      fold: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      fold: (DataFrame, DataFrame) => DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(batches.nonEmpty, "at least one input batch required")
     val spark = batches.head.sparkSession
+    val ckptDir = checkpointDir.orElse(graft.util.Checkpoints.configured(spark))
     val shm = java.nio.file.Paths.get("/dev/shm")
     val dir =
       if (java.nio.file.Files.isWritable(shm) &&
@@ -48,7 +54,7 @@ private[graft] object IncrementalSink {
     // progress lock inside processAllAvailable happens to order the
     // two, but the atomic makes the cross-thread handoff explicit
     val acc = new java.util.concurrent.atomic.AtomicReference(
-      zero.localCheckpoint(true))
+      graft.util.Checkpoints.stage(zero, ckptDir))
     val q = drainSession.readStream
       .schema(batches.head.schema)
       .option("maxFilesPerTrigger", "1")
@@ -56,7 +62,7 @@ private[graft] object IncrementalSink {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // eager checkpoint: materialize the fold NOW, cut the lineage
-        acc.set(fold(acc.get(), batch).localCheckpoint(true))
+        acc.set(graft.util.Checkpoints.stage(fold(acc.get(), batch), ckptDir))
         ()
       }
       .option("checkpointLocation", s"$dir/_ckpt")

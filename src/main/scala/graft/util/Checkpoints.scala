@@ -1,0 +1,67 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Lineage-truncation policy for iterative and streaming state.
+  *
+  * Iterative operators (connected components, k-means rounds) and
+  * streaming folds (incremental-MV maintenance) must cut their lineage
+  * every round or the plan grows without bound. TWO ways to cut it:
+  *
+  *  - `localCheckpoint(true)` — materializes into executor block
+  *    storage. Fast (no DFS write) but the blocks die with the
+  *    executor: on a real cluster, one lost executor mid-run kills the
+  *    whole job because the truncated lineage cannot be replayed.
+  *    Right for local/bench runs, wrong for a 1000-executor 100 TB run.
+  *  - `checkpoint(true)` against a RELIABLE directory (HDFS/S3) —
+  *    pays a DFS write per round but survives executor loss; a lost
+  *    task re-reads the checkpoint files and the stage retries
+  *    normally. Right at scale.
+  *
+  * [[stage]] picks between them from an explicit `Option[String]`;
+  * operators expose that option as a `checkpointDir` parameter and
+  * default to `None` (local). [[configured]] reads the session-wide
+  * default from `spark.graft.checkpointDir`, so a cluster deployment
+  * flips EVERY operator to reliable checkpointing with one conf line
+  * and zero code changes.
+  *
+  * Reference analog: the recovery semantics of
+  * `etl/utils/recovery.py:70-398` — checkpoint-and-resume rather than
+  * restart-from-zero on worker failure.
+  */
+object Checkpoints {
+
+  /** Session conf key: set to a DFS path to make every graft operator
+    * that truncates lineage use reliable checkpoints by default.
+    */
+  val ConfKey = "spark.graft.checkpointDir"
+
+  /** The session-wide reliable-checkpoint dir, if one is configured. */
+  def configured(spark: SparkSession): Option[String] =
+    Option(spark.conf.get(ConfKey, null)).filter(_.nonEmpty)
+
+  /** Materialize `df` and truncate its lineage: `df.checkpoint` into
+    * `dir` when set (survives executor loss), else `localCheckpoint`
+    * (executor-block storage, local-run speed). Eager either way — the
+    * caller's next action reads materialized rows.
+    */
+  def stage(df: DataFrame, dir: Option[String]): DataFrame = dir match {
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      // setCheckpointDir appends a per-context UUID subdir; re-set only
+      // when the requested root differs from the current one's parent,
+      // so repeated rounds share one subdir instead of littering.
+      val want = new Path(d).toUri.getPath
+      val isCurrent = sc.getCheckpointDir.exists { cur =>
+        Option(new Path(cur).getParent).exists(_.toUri.getPath == want)
+      }
+      if (!isCurrent) sc.setCheckpointDir(d)
+      df.checkpoint(eager = true)
+    case None => df.localCheckpoint(eager = true)
+  }
+
+  /** [[stage]] with the session-configured default dir. */
+  def stage(df: DataFrame): DataFrame =
+    stage(df, configured(df.sparkSession))
+}
