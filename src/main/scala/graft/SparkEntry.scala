@@ -609,9 +609,9 @@ object SparkEntry {
         t(s, d, "events").select(col("user_id"), col("event_id"),
           expr("ts div 1000").as("tus")),
         keys = Seq("user_id"), tsCol = "tus", tiebreak = "event_id",
-        gapNs = 1800000000L) // 30 min in µs
+        gapUs = 1800000000L) // 30 min in µs
       .select(col("user_id"), col("session_id"), col("n_events"),
-        col("session_start"), col("session_end"), col("duration_ns").as("duration_us"))
+        col("session_start"), col("session_end"), col("duration_us"))
       .orderBy("user_id", "session_id")
 
   /** q44's point-in-time semantics through the native Catalyst operator

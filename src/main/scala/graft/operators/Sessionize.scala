@@ -11,25 +11,29 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: ONE shuffle on the (high-cardinality) key set; the two
   * windows and the final aggregation all reuse that partitioning, so no
-  * further exchanges. Timestamps stay integer nanoseconds end-to-end —
-  * exact arithmetic, DuckDB-oracle checkable bit-for-bit.
+  * further exchanges. Timestamps stay integer MICROseconds end-to-end
+  * (the precision every fixture generation can represent) — exact
+  * arithmetic, DuckDB-oracle checkable bit-for-bit.
   */
 object Sessionize {
 
   /** Assign a per-key session index: a new session starts when the gap
-    * to the previous event exceeds `gapNs`. `tiebreak` makes the
+    * to the previous event exceeds `gapUs`. `tiebreak` makes the
     * within-key ordering total (equal timestamps are real in event data).
+    *
+    * @param tsCol integer epoch-MICROsecond column; `gapUs` is compared
+    *              against differences of it, so both must share the unit
     */
   def withSessionIds(
       events: DataFrame,
       keys: Seq[String],
       tsCol: String,
       tiebreak: String,
-      gapNs: Long): DataFrame = {
+      gapUs: Long): DataFrame = {
     val keyCols: Seq[Column] = keys.map(col)
     val w = Window.partitionBy(keyCols: _*).orderBy(col(tsCol), col(tiebreak))
     val prev = lag(col(tsCol), 1).over(w)
-    val isNew = when(prev.isNull || col(tsCol) - prev > gapNs, 1L).otherwise(0L)
+    val isNew = when(prev.isNull || col(tsCol) - prev > gapUs, 1L).otherwise(0L)
     events
       .withColumn("_new_session", isNew)
       .withColumn("session_id",
@@ -37,21 +41,21 @@ object Sessionize {
       .drop("_new_session")
   }
 
-  /** Per-session stats: event count, start, end, duration (all ns
-    * integers). One aggregation on (keys :+ session_id) — same
-    * partitioning as the window pass.
+  /** Per-session stats: event count, start, end, duration (all µs
+    * integers, matching the input unit). One aggregation on
+    * (keys :+ session_id) — same partitioning as the window pass.
     */
   def sessionStats(
       events: DataFrame,
       keys: Seq[String],
       tsCol: String,
       tiebreak: String,
-      gapNs: Long): DataFrame =
-    withSessionIds(events, keys, tsCol, tiebreak, gapNs)
+      gapUs: Long): DataFrame =
+    withSessionIds(events, keys, tsCol, tiebreak, gapUs)
       .groupBy((keys :+ "session_id").map(col): _*)
       .agg(
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
-      .withColumn("duration_ns", col("session_end") - col("session_start"))
+      .withColumn("duration_us", col("session_end") - col("session_start"))
 }

@@ -56,7 +56,7 @@ class SessionStreamSpec extends SparkSpec {
       val batch = Sessionize.sessionStats(
           ev.select($"user_id", $"event_id", expr("ts div 1000").as("tus")),
           keys = Seq("user_id"), tsCol = "tus", tiebreak = "event_id",
-          gapNs = 1800000000L)
+          gapUs = 1800000000L)
         .select($"user_id", $"n_events", $"session_start", $"session_end")
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(streamed == batch,
@@ -76,7 +76,7 @@ class SessionStreamSpec extends SparkSpec {
     val batch = Sessionize.sessionStats(
         ev.select($"user_id", $"event_id", expr("ts div 1000").as("tus")),
         keys = Seq("user_id"), tsCol = "tus", tiebreak = "event_id",
-        gapNs = 1800000000L)
+        gapUs = 1800000000L)
       .select($"user_id", $"n_events", $"session_start", $"session_end")
       .as[(Long, Long, Long, Long)].collect()
     assert(drained.length == batch.length) // no session emitted twice
