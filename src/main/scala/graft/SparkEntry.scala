@@ -1498,9 +1498,21 @@ object SparkEntry {
     * from. Exact integer arithmetic end to end (per-count ⌊log₂⌋,
     * never products), so the DuckDB oracle hash-matches.
     */
-  private def q100(s: SparkSession, d: String): DataFrame =
-    graft.operators.Vocabulary.collocations(t(s, d, "documents"),
-      minCount = 5L, k = 30)
+  /** q100's pay-once pair-count ingest, shared with [[prepareLayouts]]:
+    * the corpus scan + bigram kernel runs at ingest, the per-query work
+    * is marginals + PMI over the (tiny) pair table. Bucketed on `prev`
+    * so the left marginal aggregates shuffle-free.
+    */
+  private def ensureQ100Pairs(s: SparkSession, d: String): Unit =
+    graft.operators.Bucketing.ensureBucketed(
+      graft.operators.Vocabulary.bigramPairCounts(t(s, d, "documents")),
+      "graft_q100_pairs", buckets = 8, bucketCols = Seq("prev"), srcTag = d)
+
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    ensureQ100Pairs(s, d)
+    graft.operators.Vocabulary.collocationsFromPairs(
+      s.table("graft_q100_pairs"), minCount = 5L, k = 30)
+  }
 
   /** Canonical-doc selection ([[graft.operators.Clusters.canonicalize]]):
     * the dedup ACTION on the q59 cluster table — longest member wins its
@@ -1726,6 +1738,7 @@ object SparkEntry {
     ensureQ75Tables(s, d)
     ensureQ84Path(s, d)
     ensureSearchTables(s, d)
+    ensureQ100Pairs(s, d)
   }
 
   // ---------------------------------------------------------------------------

@@ -49,6 +49,16 @@ object Bucketing {
     * files. (Same-path-different-data is out of scope by the landing
     * contract: landed directories are immutable snapshots.)
     */
+  // layouts already validated THIS application (appId|table → validity
+  // key): a repeated ensure call in a hot loop must cost zero catalog
+  // roundtrips (tableExists + SHOW TBLPROPERTIES are driver-side
+  // metastore queries, ~100 ms each on a busy catalog). Safe because a
+  // table the application itself validated cannot drift mid-run — the
+  // landing contract makes source dirs immutable and graft is the only
+  // writer of its layout tables.
+  private val validated =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def ensureBucketed(
       df: DataFrame,
       table: String,
@@ -62,13 +72,19 @@ object Bucketing {
     // and the sort-free merge silently degrades to sort-merge.
     val key = s"$srcTag|b=$buckets|k=${bucketCols.mkString(",")}" +
       s"|s=${sortCols.mkString(",")}|${df.schema.catalogString}"
+    val memoKey = s"${spark.sparkContext.applicationId}|$table"
+    if (validated.get(memoKey) == key) return
     val escaped = key.replace("'", "''")
-    if (spark.catalog.tableExists(table)) {
+    val upToDate = spark.catalog.tableExists(table) && {
       val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
-      if (props.get("graft.src").contains(key)) return
+      props.get("graft.src").contains(key)
     }
-    writeBucketed(df, table, buckets, bucketCols, sortCols)
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('graft.src'='$escaped')")
+    if (!upToDate) {
+      writeBucketed(df, table, buckets, bucketCols, sortCols)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('graft.src'='$escaped')")
+    }
+    validated.put(memoKey, key)
+    ()
   }
 }

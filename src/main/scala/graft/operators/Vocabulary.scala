@@ -184,17 +184,33 @@ object Vocabulary {
     * shape); the one-row total broadcasts (q42 shape); the ranked
     * head is a TakeOrdered, k rows to the driver.
     */
-  def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+  def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame =
     // materialize the pair-count table ONCE: marginals, total and the
     // ranked head all derive from it, and without the checkpoint each
     // leg re-runs the corpus scan + bigram kernel (the q83 lesson —
     // three scans showed up in the committed PLANS.md dump). The pair
     // table is token²-bounded count rows, orders of magnitude smaller
     // than the corpus it summarizes; set spark.graft.checkpointDir to
-    // keep it on reliable cluster storage.
-    val cbg = graft.util.Checkpoints.stage(
-      bigramTf(docs).groupBy("prev", "cur")
-        .agg(sum("tf_t").as("cnt_bg")))
+    // keep it on reliable cluster storage. A repeated-mining deployment
+    // should instead write [[bigramPairCounts]] at ingest and call
+    // [[collocationsFromPairs]] per query (the q75/q84 pay-once shape).
+    collocationsFromPairs(
+      graft.util.Checkpoints.stage(bigramPairCounts(docs)), minCount, k)
+
+  /** The (prev, cur, cnt_bg) bigram pair-count table [[collocations]]
+    * mines from — factored out so ingest can materialize it once (a
+    * bucketed table keyed on `prev` keeps the left-marginal aggregation
+    * shuffle-free) and repeated mining runs read it instead of
+    * re-scanning the corpus.
+    */
+  def bigramPairCounts(docs: DataFrame): DataFrame =
+    bigramTf(docs).groupBy("prev", "cur").agg(sum("tf_t").as("cnt_bg"))
+
+  /** [[collocations]] over an already-materialized pair-count table
+    * (from [[bigramPairCounts]]): marginals + PMI + ranked head only —
+    * no corpus scan, no checkpoint.
+    */
+  def collocationsFromPairs(cbg: DataFrame, minCount: Long, k: Int): DataFrame = {
     val cl = cbg.groupBy("prev").agg(sum("cnt_bg").as("cnt_l"))
     val cr = cbg.groupBy("cur").agg(sum("cnt_bg").as("cnt_r"))
     val tot = cbg.agg(sum("cnt_bg").as("total"))
