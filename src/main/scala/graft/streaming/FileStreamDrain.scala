@@ -15,6 +15,20 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 private[graft] object FileStreamDrain {
 
+  // phase timing for harness-cost work (SPARK_GRAFT_DRAIN_TIMING=1):
+  // the drains are pure fixed cost at bench scale, so knowing WHICH
+  // phase (stage write / stream start / batch 2 / collect) pays is the
+  // difference between tuning and guessing
+  private val timing = sys.env.get("SPARK_GRAFT_DRAIN_TIMING").contains("1")
+  private[streaming] def phase[A](name: String)(body: => A): A =
+    if (!timing) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[drain-timing] $name%-14s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+
   /** Build a `secondBatch` closure for [[drain]] that closes every real
     * window/session in Append mode: read the staged frame's max event
     * time under `timeExpr` and emit ONE far-future heartbeat row built
@@ -56,14 +70,32 @@ private[graft] object FileStreamDrain {
           shm.toFile.getUsableSpace > (4L << 30))
         java.nio.file.Files.createTempDirectory(shm, "graft_stream_drain")
       else java.nio.file.Files.createTempDirectory("graft_stream_drain")
-    // one file per batch: the staged frame is a parity fixture, not a
-    // distributed write path, and per-file stream-source overhead is
-    // what these drains pay, not data volume (measured: dropping the
-    // coalesce costs +2s on the triad at BOTH sf0.1 and sf1.0)
-    staged.coalesce(1).write.parquet(s"$dir/b0.parquet")
+    // a few files per batch: the scan of batch 0 parallelizes across
+    // them (1 file left the 100k-row scan single-task — measured 10-20%
+    // on the triad), while dozens would pay per-file stream-source
+    // overhead (measured +2s at 32 files)
+    val stageFiles = sys.env.get("SPARK_GRAFT_DRAIN_STAGE_FILES").map(_.toInt).getOrElse(4)
+    phase("stage-write") { staged.coalesce(stageFiles).write.parquet(s"$dir/b0.parquet") }
     // the staged frame's own schema IS the written schema (we wrote it
     // one line up) — re-reading the footer would cost a listing + job
     val schema = staged.schema
+    // BOTH batches are staged before the stream starts (secondBatch is
+    // a function of the STATIC frame, never of stream output), so the
+    // whole drain runs as one Trigger.AvailableNow pass: no
+    // processAllAvailable round-trips, and one fewer no-data
+    // micro-batch (the watermark-advance batch between b0 and b1 —
+    // each empty batch still costs a full state-store-commit job).
+    // Batch boundaries are preserved exactly: maxFilesPerTrigger =
+    // |b0 files| and a forced mtime gap make batch 0 = b0, batch 1 =
+    // b1 (the file source admits oldest-mtime files first).
+    val b0Files = new java.io.File(s"$dir/b0.parquet").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    b0Files.foreach(f => f.setLastModified(f.lastModified() - 120000L))
+    val hasSecond = phase("batch1-write") {
+      secondBatch(staged).map { b =>
+        b.coalesce(1).write.parquet(s"$dir/b1.parquet")
+      }.isDefined
+    }
     val name = "graft_stream_drain_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     // The drain runs with few shuffle partitions: each stateful
@@ -81,22 +113,32 @@ private[graft] object FileStreamDrain {
     // batch still parallelizes, few enough that state-store commit
     // overhead stays off the floor for the common small drains
     drainSession.conf.set("spark.sql.shuffle.partitions",
-      math.max(4, spark.sparkContext.defaultParallelism / 4).toString)
-    val q =
-      pipeline(drainSession.readStream.schema(schema).parquet(s"$dir/*.parquet"))
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTS",
+        math.max(4, spark.sparkContext.defaultParallelism / 4).toString))
+    val q = phase("start") {
+      pipeline(drainSession.readStream.schema(schema)
+          .option("maxFilesPerTrigger", math.max(b0Files.length, 1).toString)
+          .parquet(s"$dir/*.parquet"))
         .writeStream.format("memory").queryName(name)
         .option("checkpointLocation", s"$dir/_ckpt")
-        .outputMode(OutputMode.Append()).start()
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     try {
-      q.processAllAvailable()
-      secondBatch(staged).foreach { b =>
-        b.write.mode("append").parquet(s"$dir/b1.parquet")
-        q.processAllAvailable()
-      }
+      // AvailableNow self-terminates after draining both staged batches
+      // plus the final watermark no-data batch (the one that emits
+      // timeout-closed sessions / watermark-closed windows)
+      phase("drain") { q.awaitTermination() }
+      require(!hasSecond || q.recentProgress.exists(_.batchId >= 1),
+        "drain ran a single micro-batch for a two-batch fixture — " +
+          "cross-batch semantics were not exercised")
       // localCheckpoint materializes the rows, so the returned frame is
       // self-contained and safe to use from the caller's session even
       // though it was planned on the drain clone
-      drainSession.table(name).localCheckpoint(true)
+      if (timing) q.recentProgress.foreach(p =>
+        System.err.println(s"[drain-timing] batch ${p.batchId} rows=${p.numInputRows} durationMs=${p.durationMs}"))
+      phase("collect") { drainSession.table(name).localCheckpoint(true) }
     } finally {
       q.stop()
       drainSession.catalog.dropTempView(name)

@@ -66,9 +66,13 @@ private[graft] object IncrementalSink {
         ()
       }
       .option("checkpointLocation", s"$dir/_ckpt")
+      // all batch files exist before start, so AvailableNow drains
+      // file-per-batch and self-terminates — no processAllAvailable
+      // round-trip (no watermark here, so no no-data batches to skip)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try {
-      q.processAllAvailable()
+      q.awaitTermination()
       acc.get()
     } finally {
       q.stop()
