@@ -26,4 +26,17 @@ class ContractSpec extends AnyFunSuite {
     val nums = names.map(_.takeWhile(_ != '_').drop(1).toInt)
     assert(nums == (1 to names.size).toSet, "query numbering has gaps or duplicates")
   }
+
+  test("COVERAGE.md's headline query count matches SparkEntry.queries") {
+    // the round-11 verdict caught this doc stale at 76 while the surface
+    // was 105 — pin the doc to the code so the number cannot drift again
+    val doc = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """\((\d+) queries,""".r.findFirstMatchIn(doc)
+    assert(m.isDefined, "COVERAGE.md lost its '(N queries,' headline")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"COVERAGE.md claims ${m.get.group(1)} queries but SparkEntry has " +
+        s"${SparkEntry.queries.size} — update the doc headline")
+  }
 }
