@@ -56,9 +56,10 @@ object Repetition {
         col("_s.n_grams").as("n_grams"),
         col("_s.top_gram").as("_top"),
         col("_s.d_grams").as("_d"))
-      // the kernel's own count is the "has n-grams" filter (NOT
-      // hasShingles, whose untrimmed token count disagrees on
-      // leading-space edge docs that tokenize below n after trim)
+      // the kernel's own count is the "has n-grams" filter: it is
+      // provably equivalent to a hasShingles pre-filter (both count
+      // post-trim tokens) but reuses the already-computed n_grams
+      // instead of tokenizing the text a second time
       .filter(col("n_grams") >= 1)
       .select(col("doc_id"), col("n_grams"),
         expr("(100 * _top) div n_grams").as("top_gram_pct"),

@@ -26,6 +26,19 @@ import org.apache.spark.sql.types._
   */
 object EventTime {
 
+  /** The NTZ→TZ cast interprets wall-clock values in the session
+    * timezone, so a non-UTC session would silently shift every epoch.
+    * All graft entry points pin UTC; fail loudly (the module's
+    * convention for unsupported inputs) rather than drift if a future
+    * caller does not.
+    */
+  private def requireUtc(df: DataFrame): Unit = {
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events.ts is TIMESTAMP_NTZ: canonicalization requires " +
+        s"spark.sql.session.timeZone=UTC (got $tz) or epochs would shift")
+  }
+
   /** `ts` rewritten (if needed) to epoch-ns BIGINT; all other columns
     * untouched. Idempotent; works on batch and streaming frames alike
     * (the dispatch is on the static schema, not per-row).
@@ -33,6 +46,7 @@ object EventTime {
   def tsNanos(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType => df
     case TimestampNTZType =>
+      requireUtc(df)
       df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
     case TimestampType =>
       df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
@@ -50,7 +64,7 @@ object EventTime {
     */
   def eventTime(df: DataFrame): Column = df.schema("ts").dataType match {
     case LongType         => timestamp_micros(expr("ts div 1000"))
-    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampNTZType => requireUtc(df); col("ts").cast(TimestampType)
     case TimestampType    => col("ts")
     case dt =>
       throw new IllegalArgumentException(

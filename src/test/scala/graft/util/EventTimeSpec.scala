@@ -63,6 +63,17 @@ class EventTimeSpec extends SparkSpec {
     }
   }
 
+  test("NTZ canonicalization refuses a non-UTC session instead of shifting") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      intercept[IllegalArgumentException](EventTime.tsNanos(ntzDf))
+      intercept[IllegalArgumentException](EventTime.eventTime(ntzDf))
+      // non-NTZ representations carry their own zone — still fine
+      assert(EventTime.tsNanos(longDf).select($"ts").as[Long].head() == ns)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("unsupported ts types fail loudly, not silently") {
     val bad = Seq((1L, "oops")).toDF("event_id", "ts")
     intercept[IllegalArgumentException](EventTime.tsNanos(bad))

@@ -14,7 +14,12 @@ format) and closely matched distributions, measured off sf0.1:
   - events: us timestamps over the same 30-day window, 10x users,
     value 2dp, props = {"k": 0..99};
   - documents: 10-100 words drawn from the observed 31-word vocabulary,
-    lang skew ~(41,15,15,15,14)%, source src0..src19 uniform;
+    lang skew ~(41,15,15,15,14)%, source src0..src19 uniform. CONTRACT:
+    document text must never contain U+000B (vertical tab) — Java's \\s
+    includes it but DuckDB/RE2's does not, so a \\x0b doc would tokenize
+    differently on the two engines and flip oracle hash parity on the
+    tokenizing queries (q102/q103 and friends). Space-joined vocabulary
+    words satisfy this by construction;
   - embeddings: row-normalized gaussian float32[64] (the observed
     fixture is isotropic unit-norm), labels 0..9.
 
@@ -46,7 +51,7 @@ N_EVT = 100000 * SCALE
 N_DOC = 5000 * SCALE
 N_EMB = 2000 * SCALE
 
-DAY_MS = 86400000
+DAY_US = 86400000000  # microseconds per day (fixtures emit timestamp[us])
 ORD_LO, ORD_HI = 9131, 11536          # days since epoch: 1995-01-01..2001-08-01
 SHIP_LO, SHIP_HI = 9132, 11631        # 1995-01-02..2001-11-04
 EVT_LO_NS = 1704067200 * 10**9        # 2024-01-01
@@ -74,9 +79,9 @@ def money(lo, hi, n):
     return np.round(rng.uniform(lo, hi, n), 2)
 
 
-def ts_ms_days(days):
+def ts_us_days(days):
     # timestamp[us] since the round-10 fixture regeneration (was [ms])
-    return pa.array((days.astype("int64") * DAY_MS * 1000),
+    return pa.array((days.astype("int64") * DAY_US),
                     type=pa.timestamp("us"))
 
 
@@ -121,7 +126,7 @@ def main():
         "o_custkey": rng.integers(0, N_CUST, N_ORD).astype("int64"),
         "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, N_ORD)]),
         "o_totalprice": money(1000, 500000, N_ORD),
-        "o_orderdate": ts_ms_days(rng.integers(ORD_LO, ORD_HI + 1, N_ORD)),
+        "o_orderdate": ts_us_days(rng.integers(ORD_LO, ORD_HI + 1, N_ORD)),
         "o_orderpriority": pa.array(PRIORITIES[rng.integers(0, 5, N_ORD)]),
     }))
 
@@ -142,7 +147,7 @@ def main():
         "l_tax": np.round(rng.integers(0, 9, nl) / 100.0, 2),
         "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, nl)]),
         "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, nl)]),
-        "l_shipdate": ts_ms_days(rng.integers(SHIP_LO, SHIP_HI + 1, nl)),
+        "l_shipdate": ts_us_days(rng.integers(SHIP_LO, SHIP_HI + 1, nl)),
     }))
     print(f"  (lineitem target {N_LINE_TARGET}, got {nl})")
 
