@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PortableHash, TextFunctions}
+import graft.util.Checkpoints
 
 /** Document deduplication operators for the LLM-data-pipeline surface.
   *
@@ -271,6 +272,17 @@ object Dedup {
 
   /** MinHash near-dup pairs: LSH candidates + estimated Jaccard from
     * signature agreement (fraction of matching minhashes).
+    *
+    * Payload diet (100 TB): the signature table feeds THREE plan
+    * subtrees — the band explode plus the two per-pair verify lookups —
+    * so it is staged ONCE ([[graft.util.Checkpoints.stage]]; pass
+    * `checkpointDir` or set `spark.graft.checkpointDir` for reliable
+    * storage at scale) and the banding exchange + candidate self-join
+    * carry only thin (doc_id, band, band_hash) rows. The 8·sigLen-byte
+    * signatures never ride the O(docs·bands) shuffle or the quadratic
+    * candidate join; they are equi-joined back only for pairs that
+    * survive banding, the bucket cap and pair-dedup — the same
+    * build-once/probe contract as [[buildJaccardPrefixIndex]].
     */
   def minhashNearDupPairs(
       docs: DataFrame,
@@ -278,14 +290,14 @@ object Dedup {
       bands: Int = 16,
       rows: Int = 4,
       minEstJaccardPct: Int = 50,
-      maxBucketSize: Int = 100): DataFrame = {
+      maxBucketSize: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
     val sigLen = bands * rows
-    val withSig = minhashSignatures(docs, shingleN, sigLen)
-    // Carry the signature through the band explode: the self-join then has
-    // two IDENTICAL child subtrees, which Spark plans as one exchange +
-    // ReusedExchange — the signature aggregation runs once, not per branch.
-    val banded0 = withSig.select(
-      col("doc_id"), col("sig"),
+    val sigs = Checkpoints.stage(
+      minhashSignatures(docs, shingleN, sigLen),
+      checkpointDir.orElse(Checkpoints.configured(docs.sparkSession)))
+    val banded0 = sigs.select(
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
@@ -300,14 +312,15 @@ object Dedup {
       .drop("_bn")
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r,
+    val pairs = l.join(r,
         col("l.band") === col("r.band") &&
           col("l.band_hash") === col("r.band_hash") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(first("sig_a").as("sig_a"), first("sig_b").as("sig_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("n_match",
         size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)).cast("long"))
       .filter(lit(100L) * col("n_match") >= lit(minEstJaccardPct.toLong * sigLen))
@@ -374,6 +387,13 @@ object Dedup {
   /** Oracle-checkable MinHash-LSH near-dup pairs. The band join key is
     * the band's signature slice rendered as a string (equality on the
     * tuple — same semantics as hashing the band, but engine-neutral).
+    *
+    * Same payload-diet shape as [[minhashNearDupPairs]]: signatures are
+    * staged once and only (doc_id, band, band_key) rides the banding
+    * shuffle and candidate join; signatures rejoin per surviving pair.
+    * Staging also means the minhash kernel runs exactly once — the
+    * three consumers read materialized rows, so no inferred filter or
+    * alias substitution can ever re-run it on the scan partition.
     */
   def minhashNearDupPairsPortable(
       docs: DataFrame,
@@ -382,22 +402,20 @@ object Dedup {
       rows: Int = 4,
       minEstJaccardPct: Int = 50,
       maxBucketSize: Int = 100,
-      seed: Long = 7L): DataFrame = {
-    val sigLen  = bands * rows
-    val withSig = minhashSignaturesPortable(docs, shingleN, sigLen, seed)
-    val banded0 = withSig.select(
-      col("doc_id"), col("sig"),
-      // outer + post-filter: posexplode would infer a size()>0 filter
-      // that sinks below the signature projection and re-runs the full
-      // minhash kernel per row on the scan partition (the band array is
-      // a constant 16 entries — the inferred filter is pure waste)
-      posexplode_outer(transform(sequence(lit(0), lit(bands - 1)), b =>
+      seed: Long = 7L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sigLen = bands * rows
+    val sigs = Checkpoints.stage(
+      minhashSignaturesPortable(docs, shingleN, sigLen, seed),
+      checkpointDir.orElse(Checkpoints.configured(docs.sparkSession)))
+    val banded0 = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         array_join(
           transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string")),
           ","))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
-      .filter(col("band_key").isNotNull)
     val wBucket = Window.partitionBy("band", "band_key")
     val banded = banded0
       .withColumn("_bn", count(lit(1)).over(wBucket))
@@ -405,14 +423,15 @@ object Dedup {
       .drop("_bn")
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r,
+    val pairs = l.join(r,
         col("l.band") === col("r.band") &&
           col("l.band_key") === col("r.band_key") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(first("sig_a").as("sig_a"), first("sig_b").as("sig_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("n_match",
         size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)).cast("long"))
       .filter(lit(100L) * col("n_match") >= lit(minEstJaccardPct.toLong * sigLen))
