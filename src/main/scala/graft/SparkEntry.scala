@@ -582,10 +582,26 @@ object SparkEntry {
   /** Embedding-cosine near-duplicate pairs via LSH buckets — fixed-point
     * quantized variant so the threshold is exact integer arithmetic and
     * the DuckDB oracle reproduces the pair set bit-for-bit.
+    *
+    * The bucket width is OCCUPANCY-ADAPTIVE: K =
+    * [[Similarity.nBitsForOccupancy]](count) rather than a constant.
+    * With K fixed, bucket occupancy grows linearly in the corpus and
+    * the candidate join quadratically — the sf10 scale point measured
+    * 196× wall at 100× data for fixed K=6; adaptive K holds occupancy
+    * at ~32 so candidates stay linear. The derivation is exact integer
+    * arithmetic (ceil-div + bit length) that the oracle SQL mirrors
+    * verbatim from COUNT(*) (`length(bin(M-1))`), and the 16 inlined
+    * oracle planes are a prefix-stable superset of the K the Spark
+    * side draws (both sides read the same seeded stream) — so the two
+    * engines agree on K, buckets and the pair set at EVERY scale
+    * factor, not just the verify one.
     */
-  private def q47(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairsPortable(t(s, d, "embeddings"), minCosineMilli = 400)
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val k   = Similarity.nBitsForOccupancy(emb.count(), targetOccupancy = 32)
+    Similarity.cosineNearDupPairsPortable(emb, minCosineMilli = 400, nBits = k)
       .orderBy("vec_a", "vec_b")
+  }
 
   /** Jaccard with document-frequency pruning on the FULL corpus: words
     * appearing in > maxDf docs are excluded from candidate generation
@@ -1807,6 +1823,18 @@ object SparkEntry {
       s"(CASE WHEN ${qdotSql(q, lit)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** [[bucketSql]] masked to the first `kCol` planes — the SQL side of
+    * q47's occupancy-adaptive bucket width. The plane list is a
+    * prefix-stable superset (16 planes from the same seeded stream the
+    * Spark side reads), so masking to K reproduces the Spark buckets
+    * exactly for any K ≤ 16.
+    */
+  private def bucketSqlAdaptive(q: String, planes: Seq[Seq[Long]], kCol: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lit = p.mkString("list_value(", ",", ")")
+      s"(CASE WHEN $i < $kCol AND ${qdotSql(q, lit)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   private val slugSqlBody = {
     val translated = "lower(translate(source, 'åäöÅÄÖ', 'aaoAAO'))"
     val repl       = s"regexp_replace($translated, '[^\\w\\-]+', '_', 'g')"
@@ -2269,11 +2297,16 @@ object SparkEntry {
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
         .stripMargin.replaceAll("\n", " "),
     "q47_cosine_neardup" -> {
-      val planes     = VectorFunctions.quantPlanes(42L, 64, 6)
+      val planes     = VectorFunctions.quantPlanes(42L, 64, 16)
       val (num, den) = Similarity.cosThresholdFraction(400)
-      s"""WITH b AS (SELECT vec_id, q, ${bucketSql("q", planes)} AS bucket,
+      // kb mirrors Similarity.nBitsForOccupancy(count, 32) in exact
+      // integer arithmetic: M = ceil(c/32); K = clamp(bitLength(M-1), 1, 16)
+      s"""WITH kb AS (SELECT CASE WHEN ((COUNT(*) + 31) // 32) <= 1 THEN 1
+         |   ELSE LEAST(16, length(bin(((COUNT(*) + 31) // 32) - 1))) END AS k
+         |   FROM embeddings),
+         | b AS (SELECT vec_id, q, ${bucketSqlAdaptive("q", planes, "k")} AS bucket,
          |   ${qdotSql("q", "q")} AS nrm
-         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings), kb),
          | pairs AS (SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
          |   ${qdotSql("l.q", "r.q")} AS dot, l.nrm AS na, r.nrm AS nb
          |   FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)

@@ -326,10 +326,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** The hyperplane count that keeps expected LSH bucket OCCUPANCY at
+    * `targetOccupancy` for an `n`-vector corpus: the smallest K with
+    * n/2^K ≤ target. THE scale knob for the bucket-collision pair
+    * generators — with K fixed, occupancy grows linearly in the corpus
+    * and the candidate join grows quadratically (measured at the sf10
+    * scale point: 100× vectors → 196× wall for fixed K=6); with K from
+    * this formula, candidates stay ≈ n·target/2 — linear.
+    *
+    * Integer arithmetic only (ceil-div + bit length), NOT
+    * `ceil(log2(…))` — a float log straddles integers differently
+    * across libm implementations, and the DuckDB oracle mirrors this
+    * exact derivation (`length(bin(M-1))`) so both engines always pick
+    * the same K. Clamped to [1, 16]: 16 bits = 65,536 buckets, enough
+    * for 2M vectors at occupancy 32; the q47 oracle inlines 16 planes.
+    */
+  def nBitsForOccupancy(n: Long, targetOccupancy: Int = 32): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val m = (n + targetOccupancy - 1) / targetOccupancy // ceil(n/target)
+    val k = if (m <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    (k max 1) min 16
+  }
+
   /** Oracle-checkable cosine near-dup pairs: LSH bucket collisions over
     * quantized vectors; the threshold `cos ≥ m/1000` is decided by the
     * exact integer cross-multiplication  dot>0 ∧ den·dot² ≥ num·na·nb
     * with num/den = (m/1000)² reduced — no floating point anywhere.
+    *
+    * Scale knobs: pass `nBits = nBitsForOccupancy(count)` so bucket
+    * occupancy (and with it the quadratic-per-bucket candidate join)
+    * stays constant as the corpus grows, and `maxBucketSize` as the
+    * skew guard for CLUSTERED corpora — a bucket over the cap (a
+    * near-identical pile: boilerplate embeddings) is dropped whole,
+    * the same hot-key semantics as the MinHash/winnow caps
+    * (SkewStressSpec). Uniform corpora need the bits knob, clustered
+    * ones the cap; a 100 TB run wants both.
     */
   def cosineNearDupPairsPortable(
       embeddings: DataFrame,
@@ -337,7 +368,8 @@ object Similarity {
       nBits: Int = 6,
       seed: Long = 42L,
       dim: Int = 64,
-      maxAbsValue: Double = 1.0): DataFrame = {
+      maxAbsValue: Double = 1.0,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val (num, den) = cosThresholdFraction(minCosineMilli)
     // overflow guard for the exact integer comparison below: with
     // |v_i| ≤ maxAbsValue the quantized components are ≤ 1000·maxAbsValue,
@@ -361,11 +393,17 @@ object Similarity {
     // must not run on the scan's (possibly single) partition; the
     // explicit count is AQE-proof (see Dedup.spread). Measured 2.2 s →
     // 0.9 s at sf0.1.
-    val b = Dedup.spread(embeddings, "vec_id")
+    val b0 = Dedup.spread(embeddings, "vec_id")
       .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
       .select(col("vec_id"), col("q"),
         VectorFunctions.hyperplaneBucketQ(col("q"), planes).as("bucket"),
         VectorFunctions.qdot(col("q"), col("q")).as("nrm"))
+    val b = maxBucketSize.fold(b0) { cap =>
+      b0.withColumn("_bn",
+          count(lit(1)).over(Window.partitionBy("bucket")))
+        .filter(col("_bn") <= cap)
+        .drop("_bn")
+    }
     val l = b.as("l")
     val r = b.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
@@ -373,6 +411,80 @@ object Similarity {
       .filter(col("dot") > 0 &&
         col("dot") * col("dot") * lit(den) >= lit(num) * col("l.nrm") * col("r.nrm"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"), col("dot"))
+  }
+
+  /** Multi-table (banded) hyperplane-LSH cosine near-dup pairs — the
+    * RECALL answer at scale. A single K-bit table's collision
+    * probability for a true near-dup pair is p^K (p = 1 − θ/π per
+    * hyperplane), so the occupancy-correct K for a large corpus
+    * ([[nBitsForOccupancy]]) drives single-table recall toward zero;
+    * OR-ing L independent tables lifts it to 1 − (1 − p^K)^L — the
+    * exact analog of MinHash banding (bands = L, rows = K), with the
+    * same candidate-set economics: work scales with L·occupancy per
+    * vector, recall compounds exponentially in L.
+    *
+    * Same payload-diet shape as [[graft.operators.Dedup.minhashNearDupPairs]]:
+    * the quantized vectors are staged once
+    * ([[graft.util.Checkpoints.stage]] — three consumers, kernel runs
+    * once), only (vec_id, table, bucket) rides the banding shuffle and
+    * the candidate self-join, the per-(table,bucket) cap bounds
+    * clustered skew, and surviving distinct pairs re-join the staged
+    * vectors for the exact integer threshold verify (identical
+    * arithmetic to [[cosineNearDupPairsPortable]], so the two variants'
+    * outputs are set-comparable: banded ⊇ single-table on the same K).
+    *
+    * All L·K planes are drawn from ONE seeded stream and sliced per
+    * table — prefix-stable (table t's planes do not depend on L) and
+    * independent, with no cross-seed correlation concerns.
+    */
+  def cosineNearDupPairsBanded(
+      embeddings: DataFrame,
+      minCosineMilli: Int = 400,
+      nTables: Int = 4,
+      nBits: Int = 6,
+      maxBucketSize: Int = 1000,
+      seed: Long = 42L,
+      dim: Int = 64,
+      maxAbsValue: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val (num, den) = cosThresholdFraction(minCosineMilli)
+    val maxDot = (dim.toLong * math.pow(1000.0 * maxAbsValue, 2)).toLong max 1L
+    val headroom = Long.MaxValue / maxDot / maxDot
+    require(num <= headroom && den <= headroom,
+      s"minCosineMilli=$minCosineMilli reduces to $num/$den; products can exceed 2^63 " +
+        s"with dim=$dim and |value|<=$maxAbsValue (need num,den <= $headroom)")
+    val allPlanes = VectorFunctions.quantPlanes(seed, dim, nTables * nBits)
+    val q = graft.util.Checkpoints.stage(
+      Dedup.spread(embeddings, "vec_id")
+        .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+        .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q"))),
+      checkpointDir.orElse(graft.util.Checkpoints.configured(embeddings.sparkSession)))
+    val bucketCols = (0 until nTables).map { t =>
+      VectorFunctions.hyperplaneBucketQ(col("q"),
+        allPlanes.slice(t * nBits, (t + 1) * nBits))
+    }
+    val banded0 = q
+      .select(col("vec_id"), posexplode(array(bucketCols: _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+    val banded = banded0
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val pairs = l.join(r,
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(q.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nrm").as("na")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("dot", VectorFunctions.qdot(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(den) >= lit(num) * col("na") * col("nb"))
+      .select(col("vec_a"), col("vec_b"), col("dot"))
   }
 
   /** (m/1000)² as a reduced fraction num/den — shared with the oracle SQL

@@ -82,6 +82,66 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nBitsForOccupancy: exact integer ceil-log2 of n/target, clamped to [1,16]") {
+    assert(Similarity.nBitsForOccupancy(0L) == 1)
+    assert(Similarity.nBitsForOccupancy(1L) == 1)
+    assert(Similarity.nBitsForOccupancy(32L) == 1)      // M=1
+    assert(Similarity.nBitsForOccupancy(33L) == 1)      // M=2
+    assert(Similarity.nBitsForOccupancy(65L) == 2)      // M=3
+    assert(Similarity.nBitsForOccupancy(2000L) == 6)    // sf0.01 count → today's K
+    assert(Similarity.nBitsForOccupancy(20000L) == 10)  // sf0.1
+    assert(Similarity.nBitsForOccupancy(200000L) == 13) // sf10
+    assert(Similarity.nBitsForOccupancy(Long.MaxValue / 2) == 16) // clamp
+    // the scale invariant: expected occupancy n/2^K ≤ target when unclamped
+    for (n <- Seq(100L, 1000L, 12345L, 999999L, 2000000L)) {
+      val k = Similarity.nBitsForOccupancy(n, 32)
+      assert(k == 16 || n.toDouble / (1L << k) <= 32.0,
+        s"n=$n k=$k occupancy=${n.toDouble / (1L << k)}")
+    }
+  }
+
+  test("banded cosine pairs: superset of single-table at the same K, every pair exact") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val single = Similarity.cosineNearDupPairsPortable(emb, minCosineMilli = 400, nBits = 6)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val banded = Similarity.cosineNearDupPairsBanded(emb, minCosineMilli = 400,
+        nTables = 4, nBits = 6, maxBucketSize = 100000)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // table 0 slices the same seeded plane stream the single-table
+    // variant draws, so its candidates are a superset by construction
+    assert(single.subsetOf(banded),
+      s"missing single-table pairs: ${(single diff banded).take(5)}")
+    // L=4 tables must lift recall strictly on this corpus (the
+    // single-table collision probability at K=6 is ~6%)
+    assert(banded.size > single.size,
+      s"banded found ${banded.size} pairs, single ${single.size} — no recall lift")
+    // precision is exact by construction: re-check every emitted pair's
+    // cosine on the quantized vectors
+    val byId = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap.map { case (k, v) => k -> v.map(f => math.round(f * 1000.0).toDouble) }
+    banded.foreach { case (a, b) =>
+      val (va, vb) = (byId(a), byId(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot / math.sqrt(va.map(x => x * x).sum * vb.map(x => x * x).sum)
+      assert(cos >= 0.4 - 1e-12, s"banded pair ($a,$b) below threshold: $cos")
+    }
+  }
+
+  test("cosine bucket cap: an identical-vector clique is dropped whole, cold pairs kept") {
+    val clique = (0 until 300).map(i => (1000L + i, Array(0.5f, 0.5f, 0.1f)))
+    val emb = (vecs.as[(Long, Array[Float])].collect().toSeq ++ clique)
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupPairsPortable(emb, minCosineMilli = 400,
+        nBits = 4, dim = 3, maxBucketSize = Some(50))
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 >= 1000L && p._2 >= 1000L),
+      "bucket cap failed: clique pairs leaked")
+    val uncapped = Similarity.cosineNearDupPairsPortable(emb, minCosineMilli = 400,
+        nBits = 4, dim = 3)
+      .filter($"vec_a" >= 1000L).count()
+    assert(uncapped == 300L * 299 / 2, s"expected the full clique quadratic, got $uncapped")
+  }
+
   test("ivfTopKPortable: valid top-k, decent recall vs brute force") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val ivf = Similarity.ivfTopKPortable(emb, 0L, 10, nCentroids = 32, nProbe = 4)
