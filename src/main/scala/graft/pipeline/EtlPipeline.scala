@@ -67,6 +67,41 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
   def readSource(source: Source): DataFrame = {
     val path = source.url.stripPrefix("file://")
     source.sourceType match {
+      case "file" | "atom_feed" if path.toLowerCase.endsWith(".zip") =>
+        // S1+S2→S3: land the archive into a per-source staging subdir
+        // (idempotent cached copy, io.py:28-30), extract, then route the
+        // contained data file by extension — the reference's
+        // _download_and_stage_one path (file.py:228-371: zips default to
+        // shapefile collections :280; gpkg/geojson pass through). Re-runs
+        // skip both the copy and the extraction.
+        val stem    = Names.sanitizeForFilename(source.name)
+        val landDir = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-landing", stem)
+        val (landed, _, fromCache) = graft.util.Landing.land(
+          () => java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),
+          landDir.resolve(s"$stem.zip"))
+        val extractDir = landDir.resolve("extracted")
+        val extracted =
+          if (fromCache && java.nio.file.Files.isDirectory(extractDir)) {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(extractDir)
+            try walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toList
+            finally walk.close()
+          } else graft.util.Landing.extractZip(landed, extractDir)
+        // route preference mirrors the staged_data_type defaults
+        // (file.py:280): shapefile collection first, then gpkg, then json
+        def firstWith(exts: String*): Option[java.nio.file.Path] =
+          extracted.sortBy(_.getFileName.toString).find { p =>
+            exts.exists(p.getFileName.toString.toLowerCase.endsWith)
+          }
+        val data = firstWith(".shp").orElse(firstWith(".gpkg"))
+          .orElse(firstWith(".geojson", ".json"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"archive '$path' contains no stageable data file " +
+              s"(looked for .shp/.gpkg/.geojson/.json among ${extracted.size} entries)"))
+        // recurse with the extracted file; routing is now by actual
+        // extension, so the archive-level stagedDataType hint is cleared
+        readSource(source.copy(url = data.toString, stagedDataType = None))
       case "file" | "atom_feed"
           if source.stagedDataType.contains("gpkg") ||
             path.toLowerCase.endsWith(".gpkg") =>

@@ -19,9 +19,24 @@ object Landing {
 
   /** Stream to `dest` unless it already exists non-empty (the cache
     * check at io.py:28-30). Returns (path, bytes, fromCache).
+    *
+    * `maxAgeMillis` adds the R5 TTL semantics of the reference's
+    * response cache (performance.py:233: entries expire `ttl` after
+    * being stored): a landed file older than the TTL is re-streamed
+    * rather than served from cache, so a long-running pipeline picks up
+    * upstream changes without manual cache busting. `None` keeps the
+    * original land-once behavior. The clock is injectable for specs.
     */
-  def land(in: () => InputStream, dest: Path): (Path, Long, Boolean) = {
-    if (Files.exists(dest) && Files.size(dest) > 0)
+  def land(
+      in: () => InputStream,
+      dest: Path,
+      maxAgeMillis: Option[Long] = None,
+      clock: () => Long = () => System.currentTimeMillis()): (Path, Long, Boolean) = {
+    val fresh = Files.exists(dest) && Files.size(dest) > 0 && (maxAgeMillis match {
+      case Some(maxAge) => clock() - Files.getLastModifiedTime(dest).toMillis <= maxAge
+      case None         => true
+    })
+    if (fresh)
       return (dest, Files.size(dest), true)
     Files.createDirectories(dest.getParent)
     val tmp = dest.resolveSibling(dest.getFileName.toString + ".part")

@@ -122,6 +122,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.summary(("stage", "skip")) == 1L)
   }
 
+  test("zip source lands, extracts, routes by extension; re-read hits the landing cache") {
+    // build an archive with a geojson payload and a distractor entry —
+    // the reference's single-resource zip path (file.py:228-371)
+    val dir = Files.createTempDirectory("graft_zip_src")
+    val zip = dir.resolve("bundle.zip")
+    val zout = new java.util.zip.ZipOutputStream(Files.newOutputStream(zip))
+    zout.putNextEntry(new java.util.zip.ZipEntry("readme.txt"))
+    zout.write("not data".getBytes)
+    zout.closeEntry()
+    zout.putNextEntry(new java.util.zip.ZipEntry("payload/sample.geojson"))
+    zout.write(Files.readAllBytes(java.nio.file.Paths.get(s"$res/sample.geojson")))
+    zout.closeEntry()
+    zout.close()
+
+    val name = "Zipped Sample"
+    // clear any landing from a previous run of this suite
+    val landDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      "graft-landing", graft.functions.Naming.sanitizeForFilename(name))
+    if (Files.isDirectory(landDir)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(landDir)
+      try walk.iterator().asScala.toList.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+
+    val src  = Source(name = name, authority = "ZIP", sourceType = "file",
+      url = zip.toString, stagedDataType = Some("shapefile_collection"))
+    val pipe = new EtlPipeline(spark, stagingDb = "staging_zip")
+
+    val direct = GeoJsonSource.read(spark, s"$res/sample.geojson").count()
+    assert(pipe.readSource(src).count() == direct) // .txt skipped, geojson routed
+    val landedZip = landDir.resolve("zipped_sample.zip")
+    assert(Files.exists(landedZip))
+    val mtime = Files.getLastModifiedTime(landedZip)
+    assert(pipe.readSource(src).count() == direct) // second read: cached landing
+    assert(Files.getLastModifiedTime(landedZip) == mtime) // not re-streamed
+  }
+
   test("publish to a graft-rest applyEdits spool; overwrite truncates the session") {
     val df   = GeoJsonSource.read(spark, s"$res/sample.geojson")
     val dir  = s"${java.nio.file.Files.createTempDirectory("graft_pub_spool")}/svc"
