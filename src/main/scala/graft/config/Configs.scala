@@ -99,7 +99,8 @@ object Configs {
       aoi = aoi,
       sdeAuthorityMapping = asMap(root.getOrElse("sde_authority_mapping", null))
         .map { case (k, v) => k -> v.toString },
-      continueOnFailure = bool(root, "continue_on_failure", dflt = true))
+      continueOnFailure = bool(root, "continue_on_failure", dflt = true),
+      downloadDir = opt(asMap(root.getOrElse("paths", null)), "download"))
   }
 
   /** Env-var overrides (config.py:421-453): ETL_<UPPER_KEY>=value. */

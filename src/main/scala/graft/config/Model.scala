@@ -68,4 +68,9 @@ final case class GlobalConfig(
       * same table with different columns/types is an error, not a silent
       * rewrite (the reference's validation intent, config.py:104-116).
       */
-    pinSchemas: Boolean = true)
+    pinSchemas: Boolean = true,
+    /** landing root for downloaded/extracted archives (config.py:69
+      * PathsConfig.download); None → a per-source dir under the system
+      * temp dir.
+      */
+    downloadDir: Option[String] = None)

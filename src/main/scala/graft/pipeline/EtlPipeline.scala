@@ -74,9 +74,11 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
         // _download_and_stage_one path (file.py:228-371: zips default to
         // shapefile collections :280; gpkg/geojson pass through). Re-runs
         // skip both the copy and the extraction.
-        val stem    = Names.sanitizeForFilename(source.name)
-        val landDir = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-landing", stem)
+        val stem = Names.sanitizeForFilename(source.name)
+        val landDir = cfg.downloadDir // config.py:69 PathsConfig.download
+          .map(java.nio.file.Paths.get(_, stem))
+          .getOrElse(java.nio.file.Paths.get(
+            sys.props("java.io.tmpdir"), "graft-landing", stem))
         val (landed, _, fromCache) = graft.util.Landing.land(
           () => java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),
           landDir.resolve(s"$stem.zip"))

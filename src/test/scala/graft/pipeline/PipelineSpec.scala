@@ -136,24 +136,16 @@ class PipelineSpec extends AnyFunSuite {
     zout.closeEntry()
     zout.close()
 
-    val name = "Zipped Sample"
-    // clear any landing from a previous run of this suite
-    val landDir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      "graft-landing", graft.functions.Naming.sanitizeForFilename(name))
-    if (Files.isDirectory(landDir)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(landDir)
-      try walk.iterator().asScala.toList.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-
+    val name     = "Zipped Sample"
+    val landRoot = Files.createTempDirectory("graft_land_root")
     val src  = Source(name = name, authority = "ZIP", sourceType = "file",
       url = zip.toString, stagedDataType = Some("shapefile_collection"))
-    val pipe = new EtlPipeline(spark, stagingDb = "staging_zip")
+    val pipe = new EtlPipeline(spark,
+      GlobalConfig(downloadDir = Some(landRoot.toString)), stagingDb = "staging_zip")
 
     val direct = GeoJsonSource.read(spark, s"$res/sample.geojson").count()
     assert(pipe.readSource(src).count() == direct) // .txt skipped, geojson routed
-    val landedZip = landDir.resolve("zipped_sample.zip")
+    val landedZip = landRoot.resolve("zipped_sample").resolve("zipped_sample.zip")
     assert(Files.exists(landedZip))
     val mtime = Files.getLastModifiedTime(landedZip)
     assert(pipe.readSource(src).count() == direct) // second read: cached landing
@@ -297,9 +289,12 @@ class PipelineSpec extends AnyFunSuite {
         |  aoi_bbox: "17.9, 59.2, 18.2, 59.5"
         |sde_authority_mapping:
         |  LSTD: "GNG.Underlag_LstD"
+        |paths:
+        |  download: "/data/downloads"
         |""".stripMargin)
     assert(g.sdeLoadStrategy == "replace")
     assert(g.aoi.contains((17.9, 59.2, 18.2, 59.5)))
+    assert(g.downloadDir.contains("/data/downloads"))
     // invalid source type rejected
     intercept[IllegalArgumentException] {
       Source(name = "x", authority = "y", sourceType = "carrier_pigeon", url = "u")
