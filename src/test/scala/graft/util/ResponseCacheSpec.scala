@@ -85,6 +85,42 @@ class ResponseCacheSpec extends AnyFunSuite {
     assert(a.matches("[0-9a-f]{32}")) // md5 hex
   }
 
+  test("property: random op sequences keep size<=maxSize and hits+misses==gets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val opGen: Gen[(Int, Int, Long)] = for {
+      kind <- Gen.chooseNum(0, 2) // 0=get 1=put 2=advance clock
+      key  <- Gen.chooseNum(0, 19)
+      dt   <- Gen.chooseNum(0L, 40L)
+    } yield (kind, key, dt)
+    val prop = Prop.forAll(Gen.listOf(opGen)) { ops =>
+      val clk = new FakeClock
+      val c = new ResponseCache[Int](maxSize = 5, defaultTtlSeconds = 30, clock = clk.apply _)
+      var gets = 0L
+      ops.foreach {
+        case (0, k, _)  => c.get(s"k$k"); gets += 1
+        case (1, k, _)  => c.put(s"k$k", k)
+        case (_, _, dt) => clk.advanceSec(dt)
+      }
+      val s = c.stats
+      c.size <= 5 && s.hits + s.misses == gets && s.size == c.size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, s"property failed: $res")
+  }
+
+  test("concurrent getOrElseUpdate never corrupts state or exceeds capacity") {
+    val c = new ResponseCache[Int](maxSize = 8, defaultTtlSeconds = 3600)
+    val threads = (1 to 8).map { t =>
+      new Thread(() => (0 until 500).foreach { i =>
+        c.getOrElseUpdate(s"k${(i + t) % 16}")(i)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(c.size <= 8)
+    val s = c.stats
+    assert(s.hits + s.misses == 8L * 500)
+  }
+
   test("land with maxAge re-streams a stale file, keeps a fresh one") {
     val clk  = new FakeClock(1000000L)
     val dir  = java.nio.file.Files.createTempDirectory("graft_ttl")
