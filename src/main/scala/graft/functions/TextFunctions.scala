@@ -121,9 +121,14 @@ object TextFunctions {
     "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
 
   /** BPE-ish token count — a far better proxy for LLM token cost than
-    * whitespace splitting ("don't" → 2, "x=1" → 3).
+    * whitespace splitting ("don't" → 2, "x=1" → 3). Fused native kernel
+    * ([[graft.plans.BpeCountExpr]], one branch-run scan per row);
+    * [[bpeTokenCountComposed]] is the regex form it replicates, kept as
+    * the differential-spec reference.
     */
-  def bpeTokenCount(text: Column): Column =
+  def bpeTokenCount(text: Column): Column = graft.plans.BpeCountExpr(text)
+
+  def bpeTokenCountComposed(text: Column): Column =
     regexp_count(text, lit(BpePattern)).cast("long")
 
   /** Rolling-hash base powers for [[rollingHashes]]: base^(k-1) … base^0.
