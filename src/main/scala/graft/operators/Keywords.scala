@@ -31,7 +31,11 @@ object Keywords {
     val toks = docs
       .select(col("doc_id"), explode(TextFunctions.loweredTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val tf  = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_t"))
+    // staged: the join probe and the document-frequency counts both
+    // read tf — one tokenize+aggregate pass instead of one per leg
+    // (the q89/q83 multi-scan lesson)
+    val tf  = graft.util.Checkpoints.stage(
+      toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_t")))
     val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df_t"))
     val n   = docs.agg(count(lit(1)).as("n_docs"))
     val w   = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))

@@ -87,10 +87,13 @@ object Vocabulary {
     * never shuffles.
     */
   def surprisalScore(docs: DataFrame): DataFrame = {
-    val tf = docs
+    // staged for the same reason as [[bigramSurprisalScore]]: the join
+    // probe, the corpus counts and the total all read tf — one
+    // tokenize+aggregate pass instead of one per leg
+    val tf = graft.util.Checkpoints.stage(docs
       .select(col("doc_id"), explode(TextFunctions.loweredTokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_t"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf_t")))
     val cnt = tf.groupBy("tok").agg(sum("tf_t").as("cnt"))
     val tot = cnt.agg(sum("cnt").as("total"))
     tf.join(cnt, Seq("tok"))
@@ -149,7 +152,13 @@ object Vocabulary {
   }
 
   def bigramSurprisalScore(docs: DataFrame): DataFrame = {
-    val tf = bigramTf(docs)
+    // stage the per-doc tf table ONCE: the probe leg, the bigram counts
+    // and the context counts all derive from it, and without the
+    // checkpoint each leg re-runs the corpus scan + fused kernel (the
+    // committed PLANS.md dump showed three parquet scans; the q83/
+    // collocations lesson). tf is count rows — corpus-order bytes, one
+    // kernel pass instead of three.
+    val tf = graft.util.Checkpoints.stage(bigramTf(docs))
     val cbg  = tf.groupBy("prev", "cur").agg(sum("tf_t").as("cnt_bg"))
     val cctx = cbg.groupBy("prev").agg(sum("cnt_bg").as("cnt_ctx"))
     tf.join(cbg, Seq("prev", "cur")).join(cctx, Seq("prev"))
