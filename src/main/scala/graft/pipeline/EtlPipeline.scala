@@ -83,24 +83,30 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
           () => java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),
           landDir.resolve(s"$stem.zip"))
         val extractDir = landDir.resolve("extracted")
-        val extracted =
+        val cachedListing =
           if (fromCache && java.nio.file.Files.isDirectory(extractDir)) {
             import scala.jdk.CollectionConverters._
             val walk = java.nio.file.Files.walk(extractDir)
             try walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toList
             finally walk.close()
-          } else graft.util.Landing.extractZip(landed, extractDir)
+          } else Nil
         // route preference mirrors the staged_data_type defaults
         // (file.py:280): shapefile collection first, then gpkg, then json
-        def firstWith(exts: String*): Option[java.nio.file.Path] =
-          extracted.sortBy(_.getFileName.toString).find { p =>
-            exts.exists(p.getFileName.toString.toLowerCase.endsWith)
-          }
-        val data = firstWith(".shp").orElse(firstWith(".gpkg"))
-          .orElse(firstWith(".geojson", ".json"))
+        def route(files: Seq[java.nio.file.Path]): Option[java.nio.file.Path] = {
+          def firstWith(exts: String*): Option[java.nio.file.Path] =
+            files.sortBy(_.getFileName.toString).find { p =>
+              exts.exists(p.getFileName.toString.toLowerCase.endsWith)
+            }
+          firstWith(".shp").orElse(firstWith(".gpkg"))
+            .orElse(firstWith(".geojson", ".json"))
+        }
+        // a cached extraction that routes to nothing (e.g. a crashed
+        // earlier run left a partial dir) falls back to re-extracting
+        val data = route(cachedListing)
+          .orElse(route(graft.util.Landing.extractZip(landed, extractDir)))
           .getOrElse(throw new IllegalArgumentException(
             s"archive '$path' contains no stageable data file " +
-              s"(looked for .shp/.gpkg/.geojson/.json among ${extracted.size} entries)"))
+              "(looked for .shp/.gpkg/.geojson/.json)"))
         // recurse with the extracted file; routing is now by actual
         // extension, so the archive-level stagedDataType hint is cleared
         readSource(source.copy(url = data.toString, stagedDataType = None))

@@ -150,6 +150,15 @@ class PipelineSpec extends AnyFunSuite {
     val mtime = Files.getLastModifiedTime(landedZip)
     assert(pipe.readSource(src).count() == direct) // second read: cached landing
     assert(Files.getLastModifiedTime(landedZip) == mtime) // not re-streamed
+
+    // a partial cached extraction (crashed run) falls back to re-extract
+    val extracted = landRoot.resolve("zipped_sample").resolve("extracted")
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(extracted)
+    try walk.iterator().asScala.toList.reverse
+      .filter(_ != extracted).foreach(Files.delete)
+    finally walk.close()
+    assert(pipe.readSource(src).count() == direct) // empty dir → re-extracted
   }
 
   test("publish to a graft-rest applyEdits spool; overwrite truncates the session") {
