@@ -598,7 +598,11 @@ object SparkEntry {
     */
   private def q47(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val k   = Similarity.nBitsForOccupancy(emb.count(), targetOccupancy = 32)
+    // corpus count from the STAGED stats sidecar (one count at ingest,
+    // a metadata read ever after) — ANN planning must not cost a
+    // per-invocation count() job over the corpus
+    val k = Similarity.nBitsForOccupancy(
+      Similarity.ensureCorpusStats(emb, srcTag = d), targetOccupancy = 32)
     Similarity.cosineNearDupPairsPortable(emb, minCosineMilli = 400, nBits = k)
       .orderBy("vec_a", "vec_b")
   }
@@ -652,10 +656,27 @@ object SparkEntry {
   /** IVF ANN over the embeddings: data-adaptive inverted-file cells
     * (vs q25's data-oblivious LSH planes). Quantized integer dots keep
     * cell assignment + ranking bit-identical in the DuckDB oracle.
+    *
+    * Serves from the PAY-ONCE layout ([[Similarity.ensureIvfIndex]],
+    * warmed by [[prepareLayouts]], the q75/q84 ingest contract) with an
+    * OCCUPANCY-ADAPTIVE cell count C = [[Similarity.nCentroidsForCorpus]]
+    * (count) ≈ √n — with C frozen at 32, probe cost was a constant 1/8
+    * of the corpus (21.5× wall at the 100× scale point); with C ≈ √n
+    * both query legs (rank C centroids, scan nProbe cells of ≈√n rows)
+    * are sublinear, and the O(n·C) assignment moved to ingest. The
+    * oracle derives the same C from COUNT(*) in exact integer
+    * arithmetic and replays seed-assign-probe-rank over the raw table,
+    * so the gate proves the staged layout serves bit-identical answers.
+    * The 1-row query-vector lookup stands in for the user-supplied
+    * query vector of a real serving call.
     */
-  private def q51(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopKPortable(t(s, d, "embeddings"), queryId = 0L, k = 10,
-      nCentroids = 32, nProbe = 4)
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val (path, _) = Similarity.ensureIvfIndex(emb, srcTag = d)
+    val qv = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    Similarity.ivfProbe(s, path, qv, k = 10, nProbe = 4, exclude = Some(0L))
+  }
 
   /** Revenue by order priority through [[Relational.saltedJoin]] — the
     * deliberate skew-mitigation shape (per-row salt on the big side,
@@ -1755,6 +1776,10 @@ object SparkEntry {
     ensureQ84Path(s, d)
     ensureSearchTables(s, d)
     ensureQ100Pairs(s, d)
+    // IVF ANN layout (q51) + the corpus-stats sidecar the ANN planners
+    // (q47's K, q51's C) read instead of running a per-query count()
+    Similarity.ensureIvfIndex(t(s, d, "embeddings"), srcTag = d)
+    ()
   }
 
   // ---------------------------------------------------------------------------
@@ -2349,9 +2374,16 @@ object SparkEntry {
     "q51_ivf_ann" -> {
       def cosSql(dot: String, na: String, nb: String) =
         s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
-      s"""WITH b AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm
+      // nc mirrors Similarity.nCentroidsForCorpus(count) in exact
+      // integer arithmetic: C = clamp(2^((bitLength(n-1)+1)//2), 4, 65536)
+      s"""WITH nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
+         |   ELSE LEAST(65536, GREATEST(4,
+         |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
+         |   FROM embeddings),
+         | b AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm
          |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
-         | c AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b WHERE vec_id < 32),
+         | c AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b
+         |   WHERE vec_id < (SELECT c FROM nc)),
          | qq AS (SELECT q AS qvec, nrm AS qn FROM b WHERE vec_id = 0),
          | asg AS (SELECT vec_id, q, nrm, cent_id,
          |   row_number() OVER (PARTITION BY vec_id ORDER BY

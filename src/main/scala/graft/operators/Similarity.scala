@@ -348,6 +348,113 @@ object Similarity {
     (k max 1) min 16
   }
 
+  /** The IVF cell count for an `n`-vector corpus: the power of two
+    * nearest √n from above — `2^ceil(bitLength(n-1)/2)` — clamped to
+    * [4, 65536]. THE scale knob for IVF (the [[nBitsForOccupancy]]
+    * pattern applied to cells): with a FIXED cell count, probe cost is
+    * a constant fraction nProbe/C of the corpus — linear in n (measured
+    * at the sf10 scale point: 21.5× wall at 100× data for fixed C=32).
+    * With C ≈ √n, cell size is also ≈ √n, so BOTH per-query costs —
+    * ranking C centroids and scanning nProbe cells — grow as √n:
+    * sublinear, and balanced against each other (the classic IVF
+    * operating point; skewing C either way makes one of the two legs
+    * dominate).
+    *
+    * Integer arithmetic only (bit length, shift — no float log/sqrt),
+    * and the DuckDB oracle derives the same C verbatim from COUNT(*)
+    * (`1 << ((length(bin(n-1)) + 1) // 2)`), so both engines always
+    * seed the same `vec_id < C` centroid set. Clamp ceiling 65536 =
+    * 2^16 cells (√n balance up to ~4B vectors); past that a deployment
+    * goes hierarchical (coarse quantizer over cells), not wider.
+    */
+  def nCentroidsForCorpus(n: Long): Int = {
+    if (n <= 1L) 4
+    else {
+      val bl = 64 - java.lang.Long.numberOfLeadingZeros(n - 1) // bitLength(n-1)
+      val c  = 1L << ((bl + 1) / 2)
+      ((c max 4L) min 65536L).toInt
+    }
+  }
+
+  // stats/layouts already validated THIS application (appId|path →
+  // value): repeated ensure calls must cost zero file reads / Spark
+  // jobs (the Bucketing.validated contract — layouts graft itself
+  // wrote cannot drift mid-run, landed dirs are immutable).
+  private val statsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private val ivfMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def layoutPath(kind: String, key: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_$digest"
+  }
+
+  /** The corpus row count as STAGED METADATA: computed once per source
+    * tag, persisted as a sidecar `stats.json` beside the layouts, and
+    * read back driver-side (a metadata file read, NOT a Spark action).
+    * The ANN planners ([[nBitsForOccupancy]] K for the near-dup
+    * buckets, [[nCentroidsForCorpus]] C for IVF) derive their knobs
+    * from this, so query planning stops costing a `count()` job per
+    * invocation — at 100 TB the count comes from the ingest ledger /
+    * catalog stats, never a per-query scan. Idempotence key =
+    * srcTag + schema (the ensureBucketed contract: landed inputs are
+    * immutable snapshots).
+    */
+  def ensureCorpusStats(df: DataFrame, srcTag: String): Long = {
+    val key  = s"$srcTag|stats|${df.schema.catalogString}"
+    val memo = s"${df.sparkSession.sparkContext.applicationId}|$key"
+    Option(statsMemo.get(memo)).getOrElse {
+      val path = java.nio.file.Paths.get(layoutPath("embstats", key), "stats.json")
+      val n =
+        if (java.nio.file.Files.isRegularFile(path)) {
+          val s = java.nio.file.Files.readString(path)
+          """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+        } else {
+          val c = df.count()
+          java.nio.file.Files.createDirectories(path.getParent)
+          val tmp = path.resolveSibling(s"stats.json.tmp${System.nanoTime()}")
+          java.nio.file.Files.writeString(tmp, s"""{"n": $c}""")
+          java.nio.file.Files.move(tmp, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          c
+        }
+      statsMemo.put(memo, n)
+      n
+    }
+  }
+
+  /** Idempotent IVF layout build (the [[Bucketing.ensureBucketed]]
+    * contract applied to the [[buildIvfIndex]] path layout): cell count
+    * adaptive via [[nCentroidsForCorpus]] of the staged corpus count,
+    * written once per source tag, reused by every probe. Returns
+    * (layout path, cell count). This is what makes IVF serving scale:
+    * the O(n·C) assignment pass is INGEST (pay once, amortized over
+    * every query), and each query is centroid ranking (√n rows) plus a
+    * partition-pruned scan of nProbe cells (√n rows each) — vs the
+    * in-query [[ivfTopKPortable]] demonstrator which re-assigns the
+    * corpus per call and therefore must keep C frozen.
+    */
+  def ensureIvfIndex(
+      embeddings: DataFrame,
+      srcTag: String,
+      nProbeHint: Int = 4): (String, Int) = {
+    val n    = ensureCorpusStats(embeddings, srcTag)
+    val c    = nCentroidsForCorpus(n)
+    val key  = s"$srcTag|ivf|c=$c|${embeddings.schema.catalogString}"
+    val path = layoutPath("ivf", key)
+    val memo = s"${embeddings.sparkSession.sparkContext.applicationId}|$key"
+    if (ivfMemo.get(memo) != path) {
+      val marker = new java.io.File(s"$path/cells/_SUCCESS")
+      if (!marker.isFile) buildIvfIndex(embeddings, path, nCentroids = c)
+      ivfMemo.put(memo, path)
+    }
+    (path, c)
+  }
+
   /** Oracle-checkable cosine near-dup pairs: LSH bucket collisions over
     * quantized vectors; the threshold `cos ≥ m/1000` is decided by the
     * exact integer cross-multiplication  dot>0 ∧ den·dot² ≥ num·na·nb

@@ -14,7 +14,8 @@ class CartAuditSpec extends SparkSpec {
   private val allowedConditionlessJoins = Map(
     "q22_cosine_topk"     -> 1, // 1-row query vector broadcast
     "q37_media_embed_ann" -> 1, // 1-row probe embedding broadcast
-    "q51_ivf_ann"         -> 3, // query row + centroid table (≤32 rows) ×2
+    // q51 serves from the staged IVF layout (literal query vector over
+    // partition-pruned cells) — zero joins, so no allowance needed
     "q68_ann_int8"        -> 1, // 1-row quantized query broadcast
     "q76_temperature_mix" -> 1, // 1-row global n_min over the per-source
                                 // counts (the q42 scalar-subquery shape);

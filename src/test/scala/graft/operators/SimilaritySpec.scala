@@ -438,4 +438,59 @@ class SimilaritySpec extends SparkSpec {
     val got = cells.select($"vec_id", $"cent_id").as[(Long, Long)].collect().toMap
     assert(got == expect)
   }
+
+  test("nCentroidsForCorpus: power-of-two ≈ √n, clamped, integer-exact") {
+    // golden points (n → C): the oracle SQL mirrors this table verbatim
+    val golden = Seq(
+      0L -> 4, 1L -> 4, 2L -> 4, 4L -> 4, 5L -> 4, 16L -> 4,
+      17L -> 8, 500L -> 32, 2000L -> 64, 100000L -> 512,
+      1000000L -> 1024, Long.MaxValue -> 65536)
+    golden.foreach { case (n, want) =>
+      assert(Similarity.nCentroidsForCorpus(n) == want,
+        s"n=$n: got ${Similarity.nCentroidsForCorpus(n)}, want $want")
+    }
+    // √n balance: C² within [n, 4n) on the unclamped range (power-of-two
+    // rounding up means C ∈ [√n, 2√n))
+    Seq(100L, 1234L, 54321L, 999999L).foreach { n =>
+      val c = Similarity.nCentroidsForCorpus(n).toLong
+      assert(c * c >= n && c * c < 4 * n, s"n=$n C=$c breaks √n balance")
+    }
+  }
+
+  test("ensureCorpusStats equals count, persists, and skips the recount") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val tag = s"statspec-${System.nanoTime()}"
+    val n   = Similarity.ensureCorpusStats(emb, srcTag = tag)
+    assert(n == emb.count())
+    // second call (memo) and a fresh-JVM-shaped call (file) both agree;
+    // jobs-run proof: corrupt the source path in a copy — the staged
+    // value must still be served (no recount touches the data)
+    assert(Similarity.ensureCorpusStats(emb, srcTag = tag) == n)
+    // same key (srcTag + schema), different frame: the STAGED count is
+    // served, NOT a recount of the new frame — proving repeated calls
+    // never touch the data (landed inputs are immutable by contract)
+    assert(Similarity.ensureCorpusStats(emb.limit(3), srcTag = tag) == n)
+  }
+
+  test("ensureIvfIndex: adaptive C from staged count, idempotent reuse") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet") // n=500
+    val tag = s"ivfspec-${System.nanoTime()}"
+    val (path, c) = Similarity.ensureIvfIndex(emb, srcTag = tag)
+    assert(c == Similarity.nCentroidsForCorpus(500)) // = 32
+    val cents = spark.read.parquet(s"$path/centroids")
+    assert(cents.count() == c)
+    val marker = new java.io.File(s"$path/cells/_SUCCESS")
+    val stamp  = marker.lastModified()
+    val (path2, c2) = Similarity.ensureIvfIndex(emb, srcTag = tag)
+    assert(path2 == path && c2 == c)
+    assert(marker.lastModified() == stamp, "idempotent ensure must not rewrite")
+    // probing the staged layout equals the in-query operator at the same C
+    val qv = emb.filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+    val got = Similarity.ivfProbe(spark, path, qv.toSeq, k = 10, nProbe = 4,
+        exclude = Some(0L)).as[(Long, Long)].collect().toSeq
+    val want = Similarity.ivfTopKPortable(emb, queryId = 0L, k = 10,
+        nCentroids = c, nProbe = 4).as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
 }
