@@ -26,6 +26,15 @@ object Keywords {
 
   /** Top-`k` keywords per document: (doc_id, rnk, tok, tf_t, df_t,
     * score). Empty documents produce no rows.
+    *
+    * EAGER-MATERIALIZATION contract: building this operator runs the
+    * tokenize+tf aggregation NOW ([[graft.util.Checkpoints.stage]] is
+    * eager by design — both downstream legs must read the staged table,
+    * not re-derive it), and the staged blocks live until the session's
+    * checkpoint cleanup (localCheckpoint blocks are session-scoped; a
+    * long-lived driver constructing many of these should reuse the
+    * returned frame rather than re-calling per query). The trade is
+    * deliberate: one corpus pass instead of one per leg.
     */
   def tfidfTopK(docs: DataFrame, k: Int): DataFrame = {
     val toks = docs

@@ -91,25 +91,32 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
             finally walk.close()
           } else Nil
         // route preference mirrors the staged_data_type defaults
-        // (file.py:280): shapefile collection first, then gpkg, then json
-        def route(files: Seq[java.nio.file.Path]): Option[java.nio.file.Path] = {
-          def firstWith(exts: String*): Option[java.nio.file.Path] =
-            files.sortBy(_.getFileName.toString).find { p =>
-              exts.exists(p.getFileName.toString.toLowerCase.endsWith)
-            }
-          firstWith(".shp").orElse(firstWith(".gpkg"))
-            .orElse(firstWith(".geojson", ".json"))
+        // (file.py:280): shapefile collection first, then gpkg, then
+        // json. ALL files of the winning class are kept — a shapefile
+        // COLLECTION archive holds many .shp and the reference loads
+        // every one (shapefile_loader.py:90 globs *.shp and iterates);
+        // picking only the first would silently drop data.
+        def route(files: Seq[java.nio.file.Path]): Seq[java.nio.file.Path] = {
+          def allWith(exts: String*): Seq[java.nio.file.Path] =
+            files.filter(p =>
+                exts.exists(p.getFileName.toString.toLowerCase.endsWith))
+              .sortBy(_.getFileName.toString)
+          Seq(allWith(".shp"), allWith(".gpkg"), allWith(".geojson", ".json"))
+            .find(_.nonEmpty).getOrElse(Seq.empty)
         }
         // a cached extraction that routes to nothing (e.g. a crashed
         // earlier run left a partial dir) falls back to re-extracting
-        val data = route(cachedListing)
-          .orElse(route(graft.util.Landing.extractZip(landed, extractDir)))
-          .getOrElse(throw new IllegalArgumentException(
-            s"archive '$path' contains no stageable data file " +
-              "(looked for .shp/.gpkg/.geojson/.json)"))
-        // recurse with the extracted file; routing is now by actual
-        // extension, so the archive-level stagedDataType hint is cleared
-        readSource(source.copy(url = data.toString, stagedDataType = None))
+        val data = Some(route(cachedListing)).filter(_.nonEmpty)
+          .getOrElse(route(graft.util.Landing.extractZip(landed, extractDir)))
+        if (data.isEmpty) throw new IllegalArgumentException(
+          s"archive '$path' contains no stageable data file " +
+            "(looked for .shp/.gpkg/.geojson/.json)")
+        // recurse per extracted file (routing is now by actual extension,
+        // so the archive-level stagedDataType hint is cleared) and union:
+        // every reader lands on the same normalized feature schema
+        data.map(p =>
+            readSource(source.copy(url = p.toString, stagedDataType = None)))
+          .reduce(_ unionByName _)
       case "file" | "atom_feed"
           if source.stagedDataType.contains("gpkg") ||
             path.toLowerCase.endsWith(".gpkg") =>
@@ -140,7 +147,8 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
             val Array(a, c, d, e) = b.toString.split(",").map(_.trim.toDouble)
             Geometry.BBox(a, c, d, e)
           })
-        PagedRestSource.readService(spark, path, layerIds, q)
+        PagedRestSource.readService(spark, path, layerIds, q,
+          discoveryTtlSeconds = discoveryTtl(source))
       case "ogc_api" =>
         val collections = source.raw.get("collections") match {
           case Some(l: java.util.List[_]) =>
@@ -153,11 +161,19 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
           val Array(x0, y0, x1, y1) = b.toString.split(",").map(_.trim.toDouble)
           Geometry.BBox(x0, y0, x1, y1)
         }
-        graft.sources.OgcApiSource.readService(spark, path, collections, bbox)
+        graft.sources.OgcApiSource.readService(spark, path, collections, bbox,
+          discoveryTtlSeconds = discoveryTtl(source))
       case other =>
         throw new IllegalArgumentException(s"no reader for source type '$other'")
     }
   }
+
+  /** Discovery-cache TTL for a source (R5): the `cache_ttl` raw config
+    * field when present, else the performance.py:155 default (3600 s).
+    * 0 disables caching for the source (every discovery refetches).
+    */
+  private def discoveryTtl(source: Source): Long =
+    source.raw.get("cache_ttl").map(_.toString.trim.toLong).getOrElse(3600L)
 
   /** Stage one source: include-filter (T5), fc naming (F4/F6), lineage
     * columns, write to the staging database (K1-K4).

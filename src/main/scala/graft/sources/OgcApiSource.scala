@@ -26,17 +26,31 @@ object OgcApiSource {
 
   final case class Collection(id: String, title: String, storageCrs: Option[String])
 
-  def discoverCollections(serviceDir: String): Seq[Collection] = {
-    val f = java.nio.file.Paths.get(serviceDir, "collections.json")
-    val root = mapper.readTree(java.nio.file.Files.readString(f))
-    Option(root.get("collections")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-      .map { c =>
-        Collection(
-          id = c.get("id").asText(),
-          title = Option(c.get("title")).map(_.asText()).getOrElse(""),
-          storageCrs = Option(c.get("storageCrs")).map(_.asText()))
-      }
-  }
+  // R5 wiring: the collections.json discovery document is re-fetched by
+  // EVERY readCollection (each needs its collection's storageCrs), so a
+  // k-collection readService would hit the server k+1 times without
+  // caching — with it, one fetch + k cache hits inside the TTL window
+  // (performance.py:435-466 cached_request over ogc_api.py discovery).
+  private[sources] val discoveryCache =
+    new graft.util.ResponseCache[Seq[Collection]](maxSize = 256)
+
+  /** Collection discovery (cached per service path for `ttlSeconds`,
+    * the source-config knob — performance.py:155 analog).
+    */
+  def discoverCollections(serviceDir: String, ttlSeconds: Long = 3600): Seq[Collection] =
+    discoveryCache.getOrElseUpdate(
+      graft.util.ResponseCache.requestKey(serviceDir,
+        Map("op" -> "discoverCollections")), Some(ttlSeconds)) {
+      val f = java.nio.file.Paths.get(serviceDir, "collections.json")
+      val root = mapper.readTree(java.nio.file.Files.readString(f))
+      Option(root.get("collections")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .map { c =>
+          Collection(
+            id = c.get("id").asText(),
+            title = Option(c.get("title")).map(_.asText()).getOrElse(""),
+            storageCrs = Option(c.get("storageCrs")).map(_.asText()))
+        }
+    }
 
   /** Follow `next` links from the first page, returning the page files
     * in order (terminates on missing/duplicate link — the reference's
@@ -109,9 +123,10 @@ object OgcApiSource {
       spark: SparkSession,
       serviceDir: String,
       collectionIds: Seq[String] = Seq.empty,
-      bbox: Option[Geometry.BBox] = None): DataFrame = {
+      bbox: Option[Geometry.BBox] = None,
+      discoveryTtlSeconds: Long = 3600): DataFrame = {
     val ids = if (collectionIds.nonEmpty) collectionIds
-      else discoverCollections(serviceDir).map(_.id)
+      else discoverCollections(serviceDir, discoveryTtlSeconds).map(_.id)
     ids.map(readCollection(spark, serviceDir, _, bbox)).reduce(_ unionByName _)
   }
 }

@@ -62,17 +62,30 @@ object PagedRestSource {
     query.resultRecordCount.map(afterFields.limit).getOrElse(afterFields)
   }
 
+  // R5 wiring: layer discovery is the repeated-catalog-request path —
+  // every readService over the same service re-asks the server for its
+  // layer list, so discoveries inside a TTL window are served from the
+  // driver-side ResponseCache (performance.py:435-466 cached_request
+  // applied to rest_api.py:74-187 discovery). Entries are O(#services).
+  private[sources] val discoveryCache =
+    new graft.util.ResponseCache[Seq[Int]](maxSize = 256)
+
   /** Layer discovery (S5): directory names `layer-<id>` under the service
     * dir — the catalog step before building the read plan, analogous to
-    * partition discovery (rest_api.py:74-187).
+    * partition discovery (rest_api.py:74-187). Cached per service path
+    * for `ttlSeconds` (source-config knob, performance.py:155 analog);
+    * a repeat inside the window never re-lists the service.
     */
-  def discoverLayers(serviceDir: String): Seq[Int] = {
-    val d = new java.io.File(serviceDir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("layer-"))
-      .map(_.getName.stripPrefix("layer-").toInt)
-      .sorted.toSeq
-  }
+  def discoverLayers(serviceDir: String, ttlSeconds: Long = 3600): Seq[Int] =
+    discoveryCache.getOrElseUpdate(
+      graft.util.ResponseCache.requestKey(serviceDir,
+        Map("op" -> "discoverLayers")), Some(ttlSeconds)) {
+      val d = new java.io.File(serviceDir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("layer-"))
+        .map(_.getName.stripPrefix("layer-").toInt)
+        .sorted.toSeq
+    }
 
   /** Fetch several layers (explicit ids or discover-all) and union them,
     * tagging layer lineage (rest_api.py:351-446 resolution order).
@@ -81,8 +94,10 @@ object PagedRestSource {
       spark: SparkSession,
       serviceDir: String,
       layerIds: Seq[Int] = Seq.empty,
-      query: Query = Query()): DataFrame = {
-    val ids = if (layerIds.nonEmpty) layerIds else discoverLayers(serviceDir)
+      query: Query = Query(),
+      discoveryTtlSeconds: Long = 3600): DataFrame = {
+    val ids = if (layerIds.nonEmpty) layerIds
+      else discoverLayers(serviceDir, discoveryTtlSeconds)
     ids.map { id =>
       readLayer(spark, s"$serviceDir/layer-$id", query)
         .withColumn("layer_id", lit(id))

@@ -67,16 +67,46 @@ final class ResponseCache[V](
     }
   }
 
+  // per-key computation locks: concurrent callers for the same missing
+  // key serialize here, and the losers read the winner's entry instead
+  // of recomputing (anti-stampede; the cache-wide lock is NOT held
+  // during compute, so unrelated keys proceed). Best-effort: a lock
+  // object removed while still contended can admit one extra compute —
+  // acceptable, callers' fetches are idempotent by the R5 contract.
+  private val inFlight =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Non-counting lookup (no hit/miss accounting, no expiry purge) —
+    * the double-check read inside [[getOrElseUpdate]]'s key lock must
+    * not double-count the stats of the outer [[get]].
+    */
+  private def peek(key: String): Option[V] = synchronized {
+    Option(entries.get(key)).filter(e => clock() <= e.expiresAt).map(_.value)
+  }
+
   /** Fetch-through: serve a live entry or compute, store and return —
     * the cached_request decorator shape (performance.py:435-466).
+    * Concurrent callers for the same missing key coalesce: one
+    * computes, the rest block on the key lock and read its entry.
     */
   def getOrElseUpdate(key: String, ttlSeconds: Option[Long] = None)(compute: => V): V =
-    get(key) match {
+    // explicit TTL ≤ 0 = caching disabled for this request: compute
+    // without consulting or populating the cache (the "0 disables"
+    // config contract; a 0-TTL put would still serve same-millisecond)
+    if (ttlSeconds.exists(_ <= 0)) compute
+    else get(key) match {
       case Some(v) => v
       case None =>
-        val v = compute
-        put(key, v, ttlSeconds)
-        v
+        val lock = inFlight.computeIfAbsent(key, _ => new Object)
+        try lock.synchronized {
+          peek(key) match {
+            case Some(v) => v
+            case None =>
+              val v = compute
+              put(key, v, ttlSeconds)
+              v
+          }
+        } finally inFlight.remove(key, lock)
     }
 
   def clear(): Unit = synchronized { entries.clear(); accessLog.clear() }
@@ -122,15 +152,21 @@ object ResponseCache {
 
   /** Canonical request key: md5 over url + sorted params + sorted headers
     * (performance.py:171-183 _generate_key) — parameter order must not
-    * fragment the cache.
+    * fragment the cache. Every component is LENGTH-PREFIXED before
+    * hashing (the reference gets unambiguity from json.dumps): with
+    * bare '&'/'=' delimiters, params a="1&b=2" and a="1",b="2" would
+    * canonicalize identically and serve each other's responses.
     */
   def requestKey(
       url: String,
       params: Map[String, String] = Map.empty,
       headers: Map[String, String] = Map.empty): String = {
-    val canonical = new StringBuilder(url)
-    params.toSeq.sorted.foreach { case (k, v) => canonical.append('&').append(k).append('=').append(v) }
-    headers.toSeq.sorted.foreach { case (k, v) => canonical.append('|').append(k).append(':').append(v) }
+    val canonical = new StringBuilder
+    def part(tag: Char, s: String): Unit =
+      canonical.append(tag).append(s.length).append(':').append(s)
+    part('u', url)
+    params.toSeq.sorted.foreach { case (k, v) => part('p', k); part('v', v) }
+    headers.toSeq.sorted.foreach { case (k, v) => part('h', k); part('v', v) }
     val digest = MessageDigest.getInstance("MD5")
       .digest(canonical.toString.getBytes(StandardCharsets.UTF_8))
     digest.map("%02x".format(_)).mkString

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.config._
 import graft.geo.{GeoFunctions, Geometry}
-import graft.sources.{AtomFeedSource, GeoJsonSource, PagedRestSource}
+import graft.sources.{AtomFeedSource, GeoJsonSource, PagedRestSource, ShpSource}
 
 /** End-to-end pipeline over the reference-shaped fixtures: stage →
   * geoprocess → publish, plus idempotence of truncate-and-load (K5 run
@@ -159,6 +159,32 @@ class PipelineSpec extends AnyFunSuite {
       .filter(_ != extracted).foreach(Files.delete)
     finally walk.close()
     assert(pipe.readSource(src).count() == direct) // empty dir → re-extracted
+  }
+
+  test("a multi-shapefile archive unions EVERY contained .shp (shapefile_loader.py:90)") {
+    // two complete shapefiles (.shp + sidecars) in one zip — the
+    // shapefile-collection case; dropping all but the first silently
+    // loses data
+    val dir = Files.createTempDirectory("graft_zip_multi")
+    val zip = dir.resolve("collection.zip")
+    val zout = new java.util.zip.ZipOutputStream(Files.newOutputStream(zip))
+    Seq("districts.shp", "districts.dbf", "districts.prj",
+        "sensors.shp", "sensors.dbf", "sensors.prj").foreach { f =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(f))
+      zout.write(Files.readAllBytes(java.nio.file.Paths.get(s"$res/../shapedata/$f")))
+      zout.closeEntry()
+    }
+    zout.close()
+    val landRoot = Files.createTempDirectory("graft_land_multi")
+    val pipe = new EtlPipeline(spark,
+      GlobalConfig(downloadDir = Some(landRoot.toString)), stagingDb = "staging_multi")
+    val src = Source(name = "Shp Collection", authority = "ZIP", sourceType = "file",
+      url = zip.toString, stagedDataType = Some("shapefile_collection"))
+    val want =
+      ShpSource.read(spark, "src/test/resources/shapedata/districts.shp").count() +
+        ShpSource.read(spark, "src/test/resources/shapedata/sensors.shp").count()
+    assert(pipe.readSource(src).count() == want,
+      "every .shp in the archive must be read and unioned")
   }
 
   test("publish to a graft-rest applyEdits spool; overwrite truncates the session") {

@@ -85,6 +85,40 @@ class ResponseCacheSpec extends AnyFunSuite {
     assert(a.matches("[0-9a-f]{32}")) // md5 hex
   }
 
+  test("requestKey is injection-proof: delimiter chars in values cannot collide") {
+    // with bare '&'/'=' joins these two requests canonicalize
+    // identically and would serve each other's responses
+    val k1 = ResponseCache.requestKey("http://x/q", Map("a" -> "1&b=2"))
+    val k2 = ResponseCache.requestKey("http://x/q", Map("a" -> "1", "b" -> "2"))
+    assert(k1 != k2)
+    // same for header/param boundary and url/param boundary
+    val k3 = ResponseCache.requestKey("http://x/q", Map.empty, Map("a" -> "1"))
+    val k4 = ResponseCache.requestKey("http://x/q", Map("a" -> "1"))
+    assert(k3 != k4)
+    val k5 = ResponseCache.requestKey("http://x/q&a=1")
+    assert(k5 != k4)
+  }
+
+  test("concurrent misses for one key coalesce into a single compute") {
+    val c = new ResponseCache[Int](maxSize = 8, defaultTtlSeconds = 3600)
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier  = new java.util.concurrent.CyclicBarrier(8)
+    val results  = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        barrier.await() // all 8 race the same missing key
+        results.add(c.getOrElseUpdate("hot") {
+          Thread.sleep(50) // slow fetch: the stampede window
+          computes.incrementAndGet()
+        })
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(computes.get() == 1,
+      s"stampede: ${computes.get()} computes for one key")
+    assert(results.size == 8 && results.stream().allMatch(_ == 1))
+  }
+
   test("property: random op sequences keep size<=maxSize and hits+misses==gets") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val opGen: Gen[(Int, Int, Long)] = for {
