@@ -115,6 +115,9 @@ private[graft] object FileStreamDrain {
     drainSession.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_DRAIN_PARTS",
         math.max(4, spark.sparkContext.defaultParallelism / 4).toString))
+    // state-store provider knob (RocksDB for state that outgrows heap):
+    // the clone doesn't inherit runtime conf, so propagate explicitly
+    StateStores.propagate(spark, drainSession)
     val q = phase("start") {
       pipeline(drainSession.readStream.schema(schema)
           .option("maxFilesPerTrigger", math.max(b0Files.length, 1).toString)

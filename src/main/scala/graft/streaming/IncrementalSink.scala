@@ -49,6 +49,9 @@ private[graft] object IncrementalSink {
     val drainSession = spark.newSession()
     drainSession.conf.set("spark.sql.shuffle.partitions",
       math.max(4, spark.sparkContext.defaultParallelism / 4).toString)
+    // no stateful operator here (the fold is driver-managed), but the
+    // provider knob propagates for uniformity with FileStreamDrain
+    StateStores.propagate(spark, drainSession)
     // AtomicReference, not a var: the fold runs on the stream-execution
     // thread and the result is read on the caller's thread — the
     // progress lock inside processAllAvailable happens to order the
