@@ -11,13 +11,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // keep bucketed scans ON even when no join/agg needs the
-      // partitioning: the search-index term lookup (q90-q95) relies on
-      // BUCKET PRUNING (read only the query terms' buckets), which the
-      // auto-disable heuristic throws away; the only bucketed tables
-      // here are lookup-shaped by design (q75 join keeps its bucketed
-      // scan either way).
-      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)

@@ -1655,7 +1655,38 @@ object SparkEntry {
       .orderBy("p_id", "c_id")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+  /** Queries whose plans depend on BUCKET PRUNING of the search-index
+    * tables (read only the query terms' buckets): Spark's
+    * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
+    * scan — no join/agg consuming the bucket partitioning — as
+    * "unnecessary" and discards the pruning, so these queries turn the
+    * auto-disable OFF for their own planning + execution. Every other
+    * query runs with Spark's default heuristic (the disable used to be
+    * session-global in Bench/Verify, overriding AQE's default for the
+    * relational queries too); q75/q100 need no override — their
+    * join/agg consumes the partitioning, so the heuristic keeps the
+    * bucketed scan on its own.
+    */
+  private val bucketPruningQueries: Set[String] = Set(
+    "q90_lexical_and", "q91_ranked_tfidf", "q92_phrase_query",
+    "q93_proximity", "q94_min_should_match", "q95_incr_index",
+    "q96_bm25", "q97_hybrid_rrf", "q98_stream_index")
+
+  /** [[rawQueries]] with the per-query bucketed-scan conf applied at
+    * call time. Safe because the driver contract runs queries strictly
+    * sequentially (build → execute → next), so the conf at execution
+    * always belongs to the query being executed.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, fn) =>
+      name -> { (s: SparkSession, d: String) =>
+        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+          (!bucketPruningQueries(name)).toString)
+        fn(s, d)
+      }
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_pricing_summary" -> (q01 _),
     "q02_top_orders"      -> (q02 _),
     "q03_nation_revenue"  -> (q03 _),

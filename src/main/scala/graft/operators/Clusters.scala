@@ -47,13 +47,18 @@ object Clusters {
     *                session conf `spark.graft.checkpointDir`, then to
     *                `localCheckpoint` (local runs only — blocks are
     *                lost on executor death)
+    * @param onRound called with the round number after each completed
+    *                propagation round — the failure-injection hook the
+    *                executor-loss drill uses to kill an executor
+    *                mid-run (ClusterFailureSpec); default no-op
     */
   def connectedComponents(
       edges: DataFrame,
       src: String = "a",
       dst: String = "b",
       maxIter: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      onRound: Int => Unit = _ => ()): DataFrame = {
     val ckptDir = checkpointDir.orElse(
       graft.util.Checkpoints.configured(edges.sparkSession))
     val e = edges.select(col(src).as("a"), col(dst).as("b"))
@@ -83,6 +88,7 @@ object Clusters {
       changed = stepped.filter(col("cluster") < col("old")).count()
       labels = stepped.select("id", "cluster")
       iter += 1
+      onRound(iter)
     }
     sym.unpersist()
     labels

@@ -21,9 +21,10 @@ class SearchIndexPlanSpec extends SparkSpec {
 
   private def withStablePlans[A](body: => A): A = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // production sessions (Bench/Verify/Explain) pin this OFF so the
-    // term lookup keeps its bucketed scan (and with it bucket pruning)
-    // even though no operator needs the partitioning — mirror that here
+    // the index-lookup queries pin this OFF per query (SparkEntry's
+    // bucketPruningQueries wrapper) so the term lookup keeps its
+    // bucketed scan (and with it bucket pruning) even though no
+    // operator needs the partitioning — mirror that here
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try body
     finally {
@@ -70,5 +71,32 @@ class SearchIndexPlanSpec extends SparkSpec {
     val fresh = Search.buildIndex(docs)
       .collect().map(r => (r.getString(r.fieldIndex("tok")), r.getLong(r.fieldIndex("doc_id")))).toSet
     assert(persisted == fresh)
+  }
+
+  test("the per-query conf wrapper scopes the bucketed-scan disable (no global conf)") {
+    // session starts at Spark's default (auto-disable ON)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      // an index-lookup query flips it off for itself and its plan prunes
+      val q90 = graft.SparkEntry.queries("q90_lexical_and")(spark, sf())
+      assert(spark.conf.get(confKey) == "false")
+      assert(BucketRe.findFirstMatchIn(q90.queryExecution.executedPlan.toString)
+          .exists(m => m.group(1).toInt < m.group(2).toInt),
+        "wrapper-scoped q90 must keep bucket pruning at the scan")
+      // a relational query restores the default heuristic for itself…
+      val q75 = graft.SparkEntry.queries("q75_bucketed_join")(spark, sf())
+      assert(spark.conf.get(confKey) == "true")
+      // …and its bucketed join still consumes the layout shuffle-free
+      // below the join (the heuristic KEEPS useful bucketed scans)
+      val exchanges = q75.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, // one post-join agg exchange is the designed shape
+        s"q75 under the default heuristic grew exchanges:\n${q75.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    }
   }
 }
