@@ -21,7 +21,8 @@ object Explain {
   /** The committed-plan set: scans with pushdown (q15), the broadcast
     * join chain (q03), dedup/LSH kernels (q20/q23/q63), the native
     * as-of join (q50), salted and range joins (q52/q53), sketch
-    * aggregates (q57), packing's two-level scan (q66), ANN (q68), the
+    * aggregates (q57), packing's two-level scan (q66), ANN — the IVF
+    * probe's partition-pruned cell scan (q51) and int8 (q68), the
     * bucketed join (q75), the mixing rate join (q76), the Bloom
     * runtime filter (q81 — the probe must sit below the exchange),
     * and the curriculum two-level rank (q83). The map-only repetition
@@ -35,7 +36,7 @@ object Explain {
     "q01_pricing_summary", "q03_nation_revenue", "q15_bbox_parts",
     "q20_fingerprint_dedup", "q22_cosine_topk", "q23_minhash_pairs",
     "q50_asof_native", "q52_salted_join", "q53_range_join",
-    "q57_hll_distinct", "q63_jaccard_prefix", "q66_seq_pack",
+    "q51_ivf_ann", "q57_hll_distinct", "q63_jaccard_prefix", "q66_seq_pack",
     "q68_ann_int8", "q75_bucketed_join", "q76_temperature_mix",
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
     "q90_lexical_and", "q91_ranked_tfidf", "q92_phrase_query",

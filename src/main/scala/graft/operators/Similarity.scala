@@ -440,8 +440,7 @@ object Similarity {
     */
   def ensureIvfIndex(
       embeddings: DataFrame,
-      srcTag: String,
-      nProbeHint: Int = 4): (String, Int) = {
+      srcTag: String): (String, Int) = {
     val n    = ensureCorpusStats(embeddings, srcTag)
     val c    = nCentroidsForCorpus(n)
     val key  = s"$srcTag|ivf|c=$c|${embeddings.schema.catalogString}"

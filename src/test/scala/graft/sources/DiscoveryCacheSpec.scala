@@ -55,18 +55,29 @@ class DiscoveryCacheSpec extends AnyFunSuite {
       Files.writeString(new java.io.File(svc, "collections.json").toPath,
         s"""{"collections":[$cols]}""")
     }
+    // hit check on a LONG TTL (an hour — a slow loaded box must not
+    // expire it between the two calls)
     writeDoc(Seq("a", "b"))
     val hits0 = OgcApiSource.discoveryCache.stats.hits
-    assert(OgcApiSource.discoverCollections(svc.toString, ttlSeconds = 1)
-      .map(_.id) == Seq("a", "b"))
+    assert(OgcApiSource.discoverCollections(svc.toString).map(_.id) == Seq("a", "b"))
     writeDoc(Seq("a"))
-    assert(OgcApiSource.discoverCollections(svc.toString, ttlSeconds = 1)
-      .map(_.id) == Seq("a", "b"),
+    assert(OgcApiSource.discoverCollections(svc.toString).map(_.id) == Seq("a", "b"),
       "second discovery inside TTL must serve the cached document")
     assert(OgcApiSource.discoveryCache.stats.hits > hits0)
+    // expiry check on a separate service dir with a 1 s TTL
+    val svc2 = tempService()
+    def writeDoc2(ids: Seq[String]): Unit = {
+      val cols = ids.map(i => s"""{"id":"$i","title":"$i"}""").mkString(",")
+      Files.writeString(new java.io.File(svc2, "collections.json").toPath,
+        s"""{"collections":[$cols]}""")
+    }
+    writeDoc2(Seq("x", "y"))
+    assert(OgcApiSource.discoverCollections(svc2.toString, ttlSeconds = 1)
+      .map(_.id) == Seq("x", "y"))
+    writeDoc2(Seq("x"))
     Thread.sleep(1100)
-    assert(OgcApiSource.discoverCollections(svc.toString, ttlSeconds = 1)
-      .map(_.id) == Seq("a"),
+    assert(OgcApiSource.discoverCollections(svc2.toString, ttlSeconds = 1)
+      .map(_.id) == Seq("x"),
       "expired entry must refetch the document")
   }
 }

@@ -28,7 +28,7 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "SHUFFLE_sf01.json"
 DEFAULT = [
     "q01_pricing_summary", "q03_nation_revenue", "q15_bbox_parts",
     "q20_fingerprint_dedup", "q22_cosine_topk", "q23_minhash_pairs",
-    "q50_asof_native", "q52_salted_join", "q53_range_join",
+    "q50_asof_native", "q51_ivf_ann", "q52_salted_join", "q53_range_join",
     "q57_hll_distinct", "q63_jaccard_prefix", "q66_seq_pack",
     "q68_ann_int8", "q75_bucketed_join", "q76_temperature_mix",
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
