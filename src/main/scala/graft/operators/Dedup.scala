@@ -439,6 +439,111 @@ object Dedup {
         lit(sigLen.toLong).as("sig_len"))
   }
 
+  /** The banding projection shared by the one-shot and incremental
+    * MinHash paths: one row per (doc, band) with the band rendered as a
+    * single join key `bk` = "band:min1,min2,…" — engine-neutral string
+    * equality on the signature slice, and ONE key column so the
+    * persisted index can be bucketed (and the join planned) on it.
+    */
+  private def bandKeys(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws(":", b.cast("string"),
+          array_join(
+            transform(slice(col("sig"), b * rows + lit(1), lit(rows)),
+              _.cast("string")), ",")))).as("bk"))
+
+  /** Persisted MinHash band index — the layout behind
+    * [[incrementalNearDupPairs]]: the STANDING corpus is shingled,
+    * minhashed and banded ONCE, landing as two bucketed tables
+    * (`<prefix>_bands` (doc_id, bk) bucketed on `bk`; `<prefix>_sigs`
+    * (doc_id, sig) bucketed on `doc_id`) via the
+    * [[Bucketing.ensureBucketed]] idempotence contract — pay at ingest,
+    * reuse every batch. Returns (bandsTable, sigsTable).
+    */
+  def ensureMinhashBandIndex(
+      docs: DataFrame,
+      tablePrefix: String,
+      srcTag: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      buckets: Int = 8,
+      seed: Long = 7L): (String, String) = {
+    val sigs = Checkpoints.stage(
+      minhashSignaturesPortable(docs, shingleN, bands * rows, seed),
+      Checkpoints.configured(docs.sparkSession))
+    Bucketing.ensureBucketed(bandKeys(sigs, bands, rows),
+      s"${tablePrefix}_bands", buckets, Seq("bk"), srcTag)
+    Bucketing.ensureBucketed(sigs,
+      s"${tablePrefix}_sigs", buckets, Seq("doc_id"), srcTag)
+    (s"${tablePrefix}_bands", s"${tablePrefix}_sigs")
+  }
+
+  /** Incremental near-dup INGESTION: dedup a NEW batch of documents
+    * against the persisted band index of the standing corpus — the
+    * production path for continuous corpus growth, where re-running the
+    * batch-global [[minhashNearDupPairsPortable]] over corpus+batch
+    * would re-shingle and re-hash 100 TB to admit a few GB.
+    *
+    * Scale shape: only the BATCH is shingled/minhashed (the expensive
+    * text kernel); the corpus contributes its compact band/sig tables,
+    * consumed in place from their bucket files — the corpus TEXT is
+    * never re-read, the corpus side never reshuffles (`bk`-bucketed
+    * scan straight into the join; the batch side, |batch|·bands rows,
+    * is the broadcast/shuffle side), and signature verification joins
+    * the surviving pairs back against the `doc_id`-bucketed sig table.
+    * The index-side skew cap mirrors the batch variant's: an over-cap
+    * bucket (a boilerplate pile) is dropped whole, counted with a
+    * shuffle-free window over the bucketed layout. Folding the admitted
+    * batch into the index afterwards is the q95 incremental-index
+    * contract (`Incremental.upsert` on both tables).
+    *
+    * Output: (new_doc, dup_of, n_match) — batch→corpus matches with
+    * ≥ `minEstJaccardPct`% of signature positions agreeing.
+    */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame,
+      bandsTable: String,
+      sigsTable: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      minEstJaccardPct: Int = 50,
+      maxBucketSize: Int = 100,
+      seed: Long = 7L): DataFrame = {
+    val spark  = newDocs.sparkSession
+    val sigLen = bands * rows
+    val newSigs = Checkpoints.stage(
+      minhashSignaturesPortable(newDocs, shingleN, sigLen, seed),
+      Checkpoints.configured(spark))
+    val newBands = bandKeys(newSigs, bands, rows)
+    // skew cap on the index side: count over the bk-bucketed table is
+    // a window the bucket partitioning already satisfies (no exchange)
+    val idx = spark.table(bandsTable)
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy("bk")))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+    val pairs = idx
+      .join(broadcast(newBands.select(col("doc_id").as("new_doc"), col("bk"))), "bk")
+      .select(col("new_doc"), col("doc_id").as("dup_of"))
+      .distinct()
+    // verification: the corpus sig table is the STREAMED side (at scale
+    // it is the big one); the pairs×batch-sig product — bounded by the
+    // batch's candidate fan-out, never the corpus — is the broadcast
+    // build side, so the verify pass is a map-only probe over the
+    // doc_id-bucketed sig files
+    val probe = pairs.join(
+      broadcast(newSigs.select(col("doc_id").as("new_doc"), col("sig").as("sig_a"))),
+      "new_doc")
+    spark.table(sigsTable).select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
+      .join(broadcast(probe), "dup_of")
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)).cast("long"))
+      .filter(lit(100L) * col("n_match") >= lit(minEstJaccardPct.toLong * sigLen))
+      .select(col("new_doc"), col("dup_of"), col("n_match"))
+  }
+
   /** 60-bit md5 SimHash signatures: explode distinct words, one md5 per
     * word, then 60 sum-aggregated bit votes per doc (map-side combine).
     * 60 bits (15 hex chars) keeps every value — including 1<<59 — positive

@@ -182,4 +182,53 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
     assert(pairs.toSet == Set((1L, 2L)))
   }
+
+  test("incremental near-dup equals the crossing pairs of the batch-global run") {
+    // ingestion semantics contract: deduping the batch against the
+    // persisted corpus index finds EXACTLY the batch↔corpus pairs a
+    // from-scratch banding over corpus+batch would (cap high enough
+    // that no bucket is dropped on either path)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch  = docs.filter($"doc_id" % 10 === 0)
+    val tag    = s"incdedup-${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(corpus, "graft_incspec", srcTag = tag)
+    val inc = Dedup.incrementalNearDupPairs(batch, bt, st, maxBucketSize = 100000)
+      .select("new_doc", "dup_of", "n_match").as[(Long, Long, Long)].collect().toSet
+    val full = Dedup.minhashNearDupPairsPortable(docs, maxBucketSize = 100000)
+      .select("doc_a", "doc_b", "n_match").as[(Long, Long, Long)].collect()
+    val crossing = full.collect {
+      case (a, b, m) if a % 10 == 0 && b % 10 != 0 => (a, b, m)
+      case (a, b, m) if a % 10 != 0 && b % 10 == 0 => (b, a, m)
+    }.toSet
+    assert(inc == crossing, s"incremental=$inc vs crossing=$crossing")
+  }
+
+  test("incremental near-dup plan: corpus tables stream, batch side broadcasts") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+        .select("doc_id", "text")
+      val tag = s"incplan-${System.nanoTime()}"
+      val (bt, st) = Dedup.ensureMinhashBandIndex(
+        docs.filter($"doc_id" % 10 =!= 0), "graft_incplan", srcTag = tag)
+      val plan = Dedup.incrementalNearDupPairs(
+          docs.filter($"doc_id" % 10 === 0), bt, st)
+        .queryExecution.executedPlan.toString
+      // the skew-cap window consumes the bk bucketing: no hash exchange
+      // may sit between the bands scan and its window
+      val bandsIdx  = plan.indexOf("graft_incplan_bands")
+      val windowIdx = plan.indexOf("Window [count(1)")
+      assert(bandsIdx >= 0 && windowIdx >= 0 && windowIdx < bandsIdx,
+        "expected the cap window directly over the bands scan")
+      assert(!plan.substring(windowIdx, bandsIdx).contains("Exchange hashpartitioning"),
+        s"cap window must consume the bucket partitioning, not reshuffle:\n$plan")
+      // both corpus-table joins build (broadcast) the batch-derived side
+      val joins = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(joins >= 3, s"expected broadcast joins on band + verify paths:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus sides must stream against broadcast batch sides:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
