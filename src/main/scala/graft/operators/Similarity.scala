@@ -326,6 +326,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched probe of a [[buildIvfIndex]] layout — the serving-
+    * throughput shape: N query vectors answered by ONE partition-pruned
+    * scan instead of N sequential probes. Per query the driver ranks
+    * the ≤C-row centroid table (the [[ivfProbe]] sanctioned collect,
+    * paid once for the whole batch) into its nProbe cells; the union of
+    * all probed cells prunes a single cells scan, a broadcast
+    * (query_id, cent_id, qvec, qn) map fans each scanned row out to
+    * only the queries probing its cell, and a query-PARTITIONED window
+    * takes each top-k (candidate volume ≈ N·nProbe·√n rows — the
+    * shuffle is bounded by the batch, never the corpus).
+    *
+    * Output: (query_id, rk, vec_id, dot), rk = 1-based rank by the
+    * portable cosine (identical integer dots + IEEE ordering on every
+    * engine — the q51 contract).
+    */
+  def ivfProbeBatch(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cent_id", "cvec", "cnrm").collect()
+      .map(r => (r.getAs[Long]("cent_id"),
+        r.getAs[collection.Seq[Long]]("cvec"), r.getAs[Long]("cnrm")))
+    val probeRows = queries.flatMap { case (qid, vec) =>
+      val qq = vec.map(f => math.round(f.toDouble * 1000))
+      val qn = qq.map(x => x * x).sum
+      cents.map { case (cid, cv, cn) =>
+          val dot = cv.iterator.zip(qq.iterator).map { case (a, b) => a * b }.sum
+          (dot.toDouble / math.sqrt(cn.toDouble * qn.toDouble), cid)
+        }
+        .sortBy { case (cos, id) => (-cos, -id) }.take(nProbe)
+        .map { case (_, cid) => (qid, cid, qq, qn) }
+    }
+    import spark.implicits._
+    val probeMap = probeRows.toDF("query_id", "cent_id", "qvec", "qn")
+    val probedCells = probeRows.map(_._2).distinct
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cent_id").isin(probedCells: _*))
+      .join(broadcast(probeMap), Seq("cent_id"))
+    (if (excludeSelf) cells.filter(col("vec_id") =!= col("query_id")) else cells)
+      .withColumn("dot", VectorFunctions.qdot(col("q"), col("qvec")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("nrm").cast("double") * col("qn").cast("double")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("dot"))
+  }
+
   /** The hyperplane count that keeps expected LSH bucket OCCUPANCY at
     * `targetOccupancy` for an `n`-vector corpus: the smallest K with
     * n/2^K ≤ target. THE scale knob for the bucket-collision pair

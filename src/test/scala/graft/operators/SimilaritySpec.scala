@@ -493,4 +493,29 @@ class SimilaritySpec extends SparkSpec {
         nCentroids = c, nProbe = 4).as[(Long, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("ivfProbeBatch equals N sequential single probes, in one pruned scan") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val tag = s"ivfbatch-${System.nanoTime()}"
+    val (path, _) = Similarity.ensureIvfIndex(emb, srcTag = tag)
+    val qs = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.toSeq) }
+    val batch = Similarity.ivfProbeBatch(spark, path, qs, k = 5, nProbe = 4)
+      .select($"query_id", $"rk", $"vec_id", $"dot")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val sequential = qs.flatMap { case (qid, vec) =>
+      Similarity.ivfProbe(spark, path, vec, k = 5, nProbe = 4,
+          exclude = Some(qid))
+        .as[(Long, Long)].collect().toSeq.zipWithIndex
+        .map { case ((vid, dot), i) => (qid, (i + 1).toLong, vid, dot) }
+    }.sorted
+    assert(batch == sequential)
+    // one scan serves the batch: the plan reads the cells layout once,
+    // pruned to the union of probed cells
+    val plan = Similarity.ivfProbeBatch(spark, path, qs, k = 5, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert("cells".r.findAllIn(plan).size >= 1 &&
+      plan.contains("PartitionFilters"), s"expected one pruned cells scan:\n$plan")
+  }
 }
