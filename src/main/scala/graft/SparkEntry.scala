@@ -1701,6 +1701,27 @@ object SparkEntry {
       .orderBy("query_id", "rk")
   }
 
+  /** q106's semantics through a REAL Structured Streaming query
+    * ([[graft.streaming.StreamingNearDup]]): the batch arrives as a
+    * file stream, candidates come from a stream-static join against
+    * the persisted band index, pair dedup is watermark-bounded state,
+    * verification a second stream-static join. Same oracle as q106 —
+    * the gate proves stream ≡ batch for ingestion dedup (the
+    * q49/q64 sessionization contract applied to near-dup ingest).
+    */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    ensureQ106Index(s, d)
+    val batch = t(s, d, "documents")
+      .filter(col("doc_id") < 10000 && col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"),
+        // +1 day: event time equal to the initial watermark (epoch 0)
+        // would be judged late and dropped (the q71 lesson)
+        timestamp_seconds(col("doc_id") + 86400L).as("event_time"))
+    graft.streaming.StreamingNearDup.drainNearDups(
+        batch, "graft_q106_bands", "graft_q106_sigs")
+      .orderBy("new_doc", "dup_of")
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -1839,7 +1860,8 @@ object SparkEntry {
     "q104_normalize_text"   -> (q104 _),
     "q105_stream_join"      -> (q105 _),
     "q106_incr_neardup"     -> (q106 _),
-    "q107_ivf_batch"        -> (q107 _)
+    "q107_ivf_batch"        -> (q107 _),
+    "q108_neardup_stream"   -> (q108 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3255,7 +3277,14 @@ object SparkEntry {
     // (mirrors Dedup.bandKeys), corpus-side bucket cap 100, verify
     // ≥ 50% of 64 signature positions — the q23 machinery split into
     // an ingestion direction
-    "q106_incr_neardup" -> {
+    "q106_incr_neardup" -> incrNearDupOracleSql,
+    // stream ≡ batch: the drained streaming ingestion (q108) must emit
+    // exactly the batch operator's pair set
+    "q108_neardup_stream" -> incrNearDupOracleSql,
+    "q107_ivf_batch" -> q107OracleSql
+  )
+
+  private lazy val incrNearDupOracleSql: String = {
       val ab = PortableHash.affineConstants(7L, 64)
       val minCols = ab.zipWithIndex
         .map { case (c, i) => s"MIN(${PortableHash.affineSql("h", c)}) AS m$i" }
@@ -3282,11 +3311,12 @@ object SparkEntry {
          |   FROM cand)
          |SELECT new_doc, dup_of, n_match FROM m WHERE 100*n_match >= 50*64
          |ORDER BY new_doc, dup_of""".stripMargin.replaceAll("\n", " ")
-    },
+    }
+
     // the q51 seed-assign machinery with a 5-query batch: per-query
     // probe ranking (cos DESC, cent_id DESC) and per-query top-5
     // windows; rk makes the ORDER BY total
-    "q107_ivf_batch" -> {
+    private lazy val q107OracleSql: String = {
       def cosSql(dot: String, na: String, nb: String) =
         s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
       s"""WITH nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
@@ -3320,5 +3350,4 @@ object SparkEntry {
          |SELECT query_id, rk, vec_id, dot FROM ranked WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin.replaceAll("\n", " ")
     }
-  )
 }

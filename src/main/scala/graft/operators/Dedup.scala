@@ -445,13 +445,30 @@ object Dedup {
     * equality on the signature slice, and ONE key column so the
     * persisted index can be bucketed (and the join planned) on it.
     */
+  private[graft] def bandKeyArray(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      concat_ws(":", b.cast("string"),
+        array_join(
+          transform(slice(sig, b * rows + lit(1), lit(rows)),
+            _.cast("string")), ",")))
+
   private def bandKeys(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        concat_ws(":", b.cast("string"),
-          array_join(
-            transform(slice(col("sig"), b * rows + lit(1), lit(rows)),
-              _.cast("string")), ",")))).as("bk"))
+      explode(bandKeyArray(col("sig"), bands, rows)).as("bk"))
+
+  /** The skew-capped view of a persisted band index (over-cap buckets —
+    * boilerplate piles — dropped whole; the count window consumes the
+    * table's `bk` bucketing, no exchange). Shared by the batch and
+    * streaming ingestion paths.
+    */
+  private[graft] def cappedBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      bandsTable: String,
+      maxBucketSize: Int): DataFrame =
+    spark.table(bandsTable)
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy("bk")))
+      .filter(col("_bn") <= maxBucketSize)
+      .drop("_bn")
 
   /** Persisted MinHash band index — the layout behind
     * [[incrementalNearDupPairs]]: the STANDING corpus is shingled,
@@ -518,12 +535,7 @@ object Dedup {
       minhashSignaturesPortable(newDocs, shingleN, sigLen, seed),
       Checkpoints.configured(spark))
     val newBands = bandKeys(newSigs, bands, rows)
-    // skew cap on the index side: count over the bk-bucketed table is
-    // a window the bucket partitioning already satisfies (no exchange)
-    val idx = spark.table(bandsTable)
-      .withColumn("_bn", count(lit(1)).over(Window.partitionBy("bk")))
-      .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+    val idx = cappedBandIndex(spark, bandsTable, maxBucketSize)
     val pairs = idx
       .join(broadcast(newBands.select(col("doc_id").as("new_doc"), col("bk"))), "bk")
       .select(col("new_doc"), col("doc_id").as("dup_of"))
