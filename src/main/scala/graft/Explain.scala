@@ -41,7 +41,7 @@ object Explain {
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
     "q90_lexical_and", "q91_ranked_tfidf", "q92_phrase_query",
     "q96_bm25", "q100_pmi_colloc", "q102_repetition_profile",
-    "q103_budget_select")
+    "q103_budget_select", "q106_incr_neardup")
 
   /** Strip run-dependent counters so committed dumps diff cleanly:
     * expression ids, codegen stage ids, plan ids, temp-view uuids.

@@ -32,7 +32,7 @@ DEFAULT = [
     "q57_hll_distinct", "q63_jaccard_prefix", "q66_seq_pack",
     "q68_ann_int8", "q75_bucketed_join", "q76_temperature_mix",
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
-    "q102_repetition_profile", "q103_budget_select",
+    "q102_repetition_profile", "q103_budget_select", "q106_incr_neardup",
 ]
 queries = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT
 
