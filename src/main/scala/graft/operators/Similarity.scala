@@ -172,12 +172,18 @@ object Similarity {
     * (CAST(dot)/sqrt(CAST·CAST)) so every engine orders identically.
     * Centroid choice is deterministic: the vectors with
     * `vec_id < nCentroids` (a seeded sample in production).
+    *
+    * `nCentroids` has NO default: pass [[nCentroidsForCorpus]] of the
+    * corpus count (or a caller-owned constant with its own scale
+    * argument) — a frozen built-in constant is exactly the trajectory
+    * that made fixed-C probing linear in the corpus (21.5× wall at the
+    * 100× scale point before the adaptive-C fix).
     */
   def ivfTopKPortable(
       embeddings: DataFrame,
       queryId: Long,
       k: Int,
-      nCentroids: Int = 32,
+      nCentroids: Int,
       nProbe: Int = 4): DataFrame = {
     val b = embeddings
       .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
@@ -277,7 +283,7 @@ object Similarity {
   def buildIvfIndex(
       embeddings: DataFrame,
       path: String,
-      nCentroids: Int = 32,
+      nCentroids: Int,
       refineIters: Int = 0): Unit = {
     val b = embeddings
       .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
@@ -328,14 +334,25 @@ object Similarity {
 
   /** Batched probe of a [[buildIvfIndex]] layout — the serving-
     * throughput shape: N query vectors answered by ONE partition-pruned
-    * scan instead of N sequential probes. Per query the driver ranks
-    * the ≤C-row centroid table (the [[ivfProbe]] sanctioned collect,
-    * paid once for the whole batch) into its nProbe cells; the union of
-    * all probed cells prunes a single cells scan, a broadcast
-    * (query_id, cent_id, qvec, qn) map fans each scanned row out to
-    * only the queries probing its cell, and a query-PARTITIONED window
-    * takes each top-k (candidate volume ≈ N·nProbe·√n rows — the
-    * shuffle is bounded by the batch, never the corpus).
+    * scan instead of N sequential probes.
+    *
+    * Centroid ranking is DISTRIBUTED: the query batch becomes a
+    * DataFrame, the ≤C-row centroid table is broadcast against it, and
+    * a query-partitioned window takes each query's top-nProbe cells —
+    * |batch|·C dot products as executor map work (formerly a
+    * single-threaded driver loop: ~10¹⁰ driver multiply-adds at the
+    * C=65536 clamp × a 10k batch). The probe map (query_id, cent_id,
+    * qvec, qn — |batch|·nProbe rows) is staged once and feeds both
+    * consumers; the only driver materialization left is the DISTINCT
+    * probed cell ids (≤ min(|batch|·nProbe, C) longs — metadata for
+    * static partition pruning of the cells scan, same class as
+    * [[ivfProbe]]'s sanctioned collect).
+    *
+    * The cells half is unchanged: the union of probed cells prunes ONE
+    * scan, the broadcast probe map fans each scanned row out to only
+    * the queries probing its cell, and a query-partitioned window takes
+    * each top-k (candidate volume ≈ N·nProbe·√n rows — every shuffle
+    * bounded by the batch, never the corpus).
     *
     * Output: (query_id, rk, vec_id, dot), rk = 1-based rank by the
     * portable cosine (identical integer dots + IEEE ordering on every
@@ -348,23 +365,29 @@ object Similarity {
       k: Int,
       nProbe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("cent_id", "cvec", "cnrm").collect()
-      .map(r => (r.getAs[Long]("cent_id"),
-        r.getAs[collection.Seq[Long]]("cvec"), r.getAs[Long]("cnrm")))
-    val probeRows = queries.flatMap { case (qid, vec) =>
-      val qq = vec.map(f => math.round(f.toDouble * 1000))
-      val qn = qq.map(x => x * x).sum
-      cents.map { case (cid, cv, cn) =>
-          val dot = cv.iterator.zip(qq.iterator).map { case (a, b) => a * b }.sum
-          (dot.toDouble / math.sqrt(cn.toDouble * qn.toDouble), cid)
-        }
-        .sortBy { case (cos, id) => (-cos, -id) }.take(nProbe)
-        .map { case (_, cid) => (qid, cid, qq, qn) }
-    }
     import spark.implicits._
-    val probeMap = probeRows.toDF("query_id", "cent_id", "qvec", "qn")
-    val probedCells = probeRows.map(_._2).distinct
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cent_id", "cvec", "cnrm")
+    // same quantization kernel as the corpus side ([[VectorFunctions
+    // .quantize]]), so query and centroid arithmetic stay bit-identical
+    val qdf = queries.toDF("query_id", "emb")
+      .select(col("query_id"),
+        VectorFunctions.quantize(col("emb")).as("qvec"))
+      .withColumn("qn", VectorFunctions.qdot(col("qvec"), col("qvec")))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("cent_id").desc)
+    // staged: the distinct-cells prune below and the candidate join both
+    // read the ranking — one |batch|·C pass, not two
+    val probeMap = graft.util.Checkpoints.stage(
+      qdf.crossJoin(broadcast(cents))
+        .withColumn("pcos",
+          VectorFunctions.qdot(col("cvec"), col("qvec")).cast("double") /
+            sqrt(col("cnrm").cast("double") * col("qn").cast("double")))
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= nProbe)
+        .select(col("query_id"), col("cent_id"), col("qvec"), col("qn")))
+    val probedCells: Seq[Long] =
+      probeMap.select("cent_id").distinct().as[Long].collect().toIndexedSeq
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
     val cells = spark.read.parquet(s"$path/cells")
@@ -437,12 +460,58 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private val ivfMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // per-layout build locks (the ResponseCache anti-stampede pattern):
+  // concurrent ensure calls on the same layout build it once; the
+  // winner's double-check inside the lock makes the loser a no-op
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    buildLocks.computeIfAbsent(path, _ => new Object)
 
-  private def layoutPath(kind: String, key: String): String = {
+  /** Cheap DATA fingerprint of the frame's input files — (path, length,
+    * mtime) per file, md5'd driver-side from FS metadata the scan's
+    * FileIndex already listed (no Spark job, no data read). Folded into
+    * every layout key so a dataset REGENERATED at the same path with
+    * the same schema (new lengths/mtimes — the wiped-and-rebuilt /tmp
+    * fixture case) invalidates the staged stats/IVF layout instead of
+    * silently serving a stale corpus. Frames with no file inputs
+    * (in-memory test data) fingerprint to the empty-digest constant and
+    * key on srcTag + schema alone, as before.
+    */
+  private[operators] def inputFingerprint(df: DataFrame): String = {
+    val conf   = df.sparkSession.sessionState.newHadoopConf()
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    df.inputFiles.sorted.foreach { f =>
+      val p  = new org.apache.hadoop.fs.Path(f)
+      val st =
+        try Some(p.getFileSystem(conf).getFileStatus(p))
+        catch { case _: java.io.IOException => None }
+      val line =
+        st.fold(s"$f|?|?")(s => s"$f|${s.getLen}|${s.getModificationTime}")
+      digest.update(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.update(0.toByte)
+    }
+    digest.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Layout home: co-located with the SESSION WAREHOUSE (the
+    * Bucketing/saveAsTable home), not the global java.io.tmpdir —
+    * wiping the warehouse resets these sidecars together with the
+    * bucketed tables instead of leaving immortal cross-run state.
+    * Local-FS warehouses come back as a plain path (test specs touch
+    * markers with java.io.File); remote schemes stay fully qualified.
+    */
+  private def layoutPath(
+      spark: SparkSession, kind: String, key: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(16)
-    s"${sys.props("java.io.tmpdir")}/graft_${kind}_$digest"
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"_graft_layouts/${kind}_$digest")
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") uri.getPath
+    else p.toString
   }
 
   /** The corpus row count as STAGED METADATA: computed once per source
@@ -457,24 +526,46 @@ object Similarity {
     * immutable snapshots).
     */
   def ensureCorpusStats(df: DataFrame, srcTag: String): Long = {
-    val key  = s"$srcTag|stats|${df.schema.catalogString}"
-    val memo = s"${df.sparkSession.sparkContext.applicationId}|$key"
+    val spark = df.sparkSession
+    val key   = s"$srcTag|stats|fp=${inputFingerprint(df)}|${df.schema.catalogString}"
+    val memo  = s"${spark.sparkContext.applicationId}|$key"
     Option(statsMemo.get(memo)).getOrElse {
-      val path = java.nio.file.Paths.get(layoutPath("embstats", key), "stats.json")
-      val n =
-        if (java.nio.file.Files.isRegularFile(path)) {
-          val s = java.nio.file.Files.readString(path)
-          """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
-        } else {
+      val dir  = layoutPath(spark, "embstats", key)
+      val path = new org.apache.hadoop.fs.Path(dir, "stats.json")
+      val fs   = path.getFileSystem(spark.sessionState.newHadoopConf())
+      // per-path lock: concurrent first calls count once, and the
+      // corrupt-sidecar rewrite below never races a reader
+      val n = lockFor(dir).synchronized {
+        // tolerant read — a truncated/corrupt/foreign file at the
+        // well-known path means RECOUNT AND REPAIR, never a parse crash
+        val parsed: Option[Long] =
+          try {
+            if (!fs.getFileStatus(path).isFile) None
+            else {
+              val in = fs.open(path)
+              val s =
+                try new String(in.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                finally in.close()
+              """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+                .flatMap(_.group(1).toLongOption)
+            }
+          } catch { case _: java.io.IOException => None }
+        parsed.getOrElse {
           val c = df.count()
-          java.nio.file.Files.createDirectories(path.getParent)
-          val tmp = path.resolveSibling(s"stats.json.tmp${System.nanoTime()}")
-          java.nio.file.Files.writeString(tmp, s"""{"n": $c}""")
-          java.nio.file.Files.move(tmp, path,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          fs.mkdirs(path.getParent)
+          val tmp = new org.apache.hadoop.fs.Path(
+            dir, s"stats.json.tmp${System.nanoTime()}")
+          val out = fs.create(tmp, true)
+          try out.write(s"""{"n": $c}""".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          fs.delete(path, false)
+          if (!fs.rename(tmp, path))
+            throw new java.io.IOException(s"could not promote $tmp -> $path")
           c
         }
+      }
       statsMemo.put(memo, n)
       n
     }
@@ -494,14 +585,32 @@ object Similarity {
   def ensureIvfIndex(
       embeddings: DataFrame,
       srcTag: String): (String, Int) = {
-    val n    = ensureCorpusStats(embeddings, srcTag)
-    val c    = nCentroidsForCorpus(n)
-    val key  = s"$srcTag|ivf|c=$c|${embeddings.schema.catalogString}"
-    val path = layoutPath("ivf", key)
-    val memo = s"${embeddings.sparkSession.sparkContext.applicationId}|$key"
+    val spark = embeddings.sparkSession
+    val n     = ensureCorpusStats(embeddings, srcTag)
+    val c     = nCentroidsForCorpus(n)
+    val key   = s"$srcTag|ivf|c=$c|fp=${inputFingerprint(embeddings)}" +
+      s"|${embeddings.schema.catalogString}"
+    val path = layoutPath(spark, "ivf", key)
+    val memo = s"${spark.sparkContext.applicationId}|$key"
     if (ivfMemo.get(memo) != path) {
-      val marker = new java.io.File(s"$path/cells/_SUCCESS")
-      if (!marker.isFile) buildIvfIndex(embeddings, path, nCentroids = c)
+      // per-path lock + marker double-check + atomic promote: two
+      // concurrent ensures build once, and a probe never scans a
+      // half-written layout (the build lands in a temp sibling and
+      // becomes visible with one directory rename)
+      lockFor(path).synchronized {
+        val dest   = new org.apache.hadoop.fs.Path(path)
+        val marker = new org.apache.hadoop.fs.Path(path, "cells/_SUCCESS")
+        val fs     = dest.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$path.tmp${System.nanoTime()}")
+          buildIvfIndex(embeddings, tmp.toString, nCentroids = c)
+          fs.delete(dest, true)
+          if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(
+              s"could not promote IVF layout $tmp -> $dest")
+        }
+      }
       ivfMemo.put(memo, path)
     }
     (path, c)

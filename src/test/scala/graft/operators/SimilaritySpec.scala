@@ -511,11 +511,63 @@ class SimilaritySpec extends SparkSpec {
         .map { case ((vid, dot), i) => (qid, (i + 1).toLong, vid, dot) }
     }.sorted
     assert(batch == sequential)
-    // one scan serves the batch: the plan reads the cells layout once,
-    // pruned to the union of probed cells
+    // one scan serves the batch: the plan reads the cells layout once
+    // (its only FileScan — the centroid ranking feeds in as the staged
+    // probe-map RDD), pruned to the union of probed cells
     val plan = Similarity.ivfProbeBatch(spark, path, qs, k = 5, nProbe = 4)
       .queryExecution.executedPlan.toString
-    assert("cells".r.findAllIn(plan).size >= 1 &&
+    assert("FileScan parquet".r.findAllIn(plan).size == 1 &&
       plan.contains("PartitionFilters"), s"expected one pruned cells scan:\n$plan")
+  }
+
+  test("ivfProbeBatch distributed centroid ranking ≡ driver ranking at C=4096") {
+    // a large synthetic centroid table (C=4096, the scale the former
+    // driver-side |batch|·C loop choked on) with a hand-planted cells
+    // layout: the broadcast+window ranking must pick EXACTLY the cells
+    // the driver-side loop picks — cos ordering, cent_id DESC
+    // tie-break, nProbe cut — and serve the identical top-k
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft_ivf_dist")}/ivf"
+    val rnd = new scala.util.Random(421)
+    val dim = 8
+    val cents = (0L until 4096L).map { cid =>
+      val cv = Seq.fill(dim)(rnd.nextInt(2001).toLong - 1000L)
+      (cid, cv, cv.map(x => x * x).sum)
+    }
+    cents.toDF("cent_id", "cvec", "cnrm").write.parquet(s"$dir/centroids")
+    // cells under every 64th centroid only (a sparse layout keeps the
+    // partitioned write fast; ranking correctness needs all 4096)
+    val cellRows = cents.collect { case (cid, _, _) if cid % 64 == 0 =>
+      (0 until 3).map { j =>
+        val q = Seq.fill(dim)(rnd.nextInt(2001).toLong - 1000L)
+        (100000L + cid * 10 + j, q, q.map(x => x * x).sum, cid)
+      }
+    }.flatten
+    cellRows.toDF("vec_id", "q", "nrm", "cent_id")
+      .write.partitionBy("cent_id").parquet(s"$dir/cells")
+    val queries = (0 until 8).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    val nProbe = 6
+    val got = Similarity.ivfProbeBatch(spark, dir, queries, k = 4, nProbe = nProbe)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // driver-side replay: the pre-round-14 ranking loop, verbatim
+    val expected = queries.flatMap { case (qid, vec) =>
+      val qq = vec.map(f => math.round(f.toDouble * 1000))
+      val qn = qq.map(x => x * x).sum
+      val probe = cents.map { case (cid, cv, cn) =>
+          val dot = cv.iterator.zip(qq.iterator).map { case (a, b) => a * b }.sum
+          (dot.toDouble / math.sqrt(cn.toDouble * qn.toDouble), cid)
+        }.sortBy { case (cos, id) => (-cos, -id) }.take(nProbe).map(_._2).toSet
+      cellRows.filter(r => probe.contains(r._4))
+        .map { case (vid, q, nrm, _) =>
+          val dot = q.iterator.zip(qq.iterator).map { case (a, b) => a * b }.sum
+          (vid, dot, dot.toDouble / math.sqrt(nrm.toDouble * qn.toDouble))
+        }
+        .sortBy { case (vid, _, cos) => (-cos, vid) }
+        .take(4).zipWithIndex
+        .map { case ((vid, dot, _), i) => (qid, (i + 1).toLong, vid, dot) }
+    }.sorted
+    assert(got == expected,
+      s"distributed ranking diverged from the driver loop:\n$got\nvs\n$expected")
   }
 }
