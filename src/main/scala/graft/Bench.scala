@@ -14,6 +14,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
+    // production state store for the stateful drains: RocksDB bounds
+    // streaming state by local disk, not executor heap, and measured
+    // FASTER on the streaming sextet (COVERAGE round 13: 12.1 → 10.4 s).
+    // SPARK_GRAFT_STATE_STORE still overrides (resolveProvider's env
+    // leg), so `hdfs`-default comparisons stay one env var away.
+    if (graft.streaming.StateStores.resolveProvider(spark).isEmpty)
+      spark.conf.set(graft.streaming.StateStores.ProviderKey,
+        graft.streaming.StateStores.RocksDb)
     // untimed warmup: session/codegen/scheduler spin-up should not be
     // charged to the first query (BASELINE.md: per-query fixed cost is
     // the risk, so one session is reused and primed).
@@ -46,6 +54,9 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var err: Option[String] = None
+      // iteration order preserved in the JSON (medians hide which
+      // iteration a spike hit — shared-box interference diagnosis
+      // needs the raw sequence)
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune final
@@ -58,8 +69,9 @@ object Bench {
           err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (name, times(times.size / 2), err)
+      }
+      val sorted = times.sorted
+      (name, sorted(sorted.size / 2), err, times)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -70,14 +82,19 @@ object Bench {
     // an errored query reports null, not its fast-fail time, and is
     // excluded from total — a broken build must never read as a speedup
     val qs = results.map {
-        case (k, _, Some(_)) => s"${jstr(k)}:null"
-        case (k, v, None)    => s"${jstr(k)}:$v"
+        case (k, _, Some(_), _) => s"${jstr(k)}:null"
+        case (k, v, None, _)    => s"${jstr(k)}:$v"
       }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = results.collect { case (k, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
+    // raw per-iteration wall times in run order: a 2x median swing on a
+    // shared box is adjudicated from these, not re-benched
+    val itersJson = results.map { case (k, _, _, ts) =>
+        s"${jstr(k)}:${ts.mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, None, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"iterations":$itersJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1739,17 +1739,38 @@ object SparkEntry {
     "q93_proximity", "q94_min_should_match", "q95_incr_index",
     "q96_bm25", "q97_hybrid_rrf", "q98_stream_index")
 
-  /** [[rawQueries]] with the per-query bucketed-scan conf applied at
-    * call time. Safe because the driver contract runs queries strictly
-    * sequentially (build → execute → next), so the conf at execution
-    * always belongs to the query being executed.
+  // One CHILD session per caller session for the bucket-pruning
+  // queries: same SparkContext + SharedState (catalog, tables,
+  // warehouse), own SQLConf carrying the autoBucketedScan disable
+  // PERMANENTLY. Frames built on it plan and execute under the right
+  // conf no matter when or how concurrently the caller acts on them —
+  // the former runtime mutation of the shared session's conf made
+  // correctness rest on an undocumented build-then-execute-sequentially
+  // contract. Runtime confs are not inherited by newSession(), so the
+  // two graft runtime knobs (state-store provider, checkpoint dir) are
+  // copied across at creation; builder-time options inherit normally.
+  private val pruningSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def bucketPruningSession(s: SparkSession): SparkSession =
+    pruningSessions.computeIfAbsent(s, parent => {
+      val ns = parent.newSession()
+      ns.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      Seq(graft.streaming.StateStores.ProviderKey,
+          graft.util.Checkpoints.ConfKey).foreach { key =>
+        parent.conf.getOption(key).foreach(ns.conf.set(key, _))
+      }
+      graft.plans.GraftExtensions.install(ns)
+      ns
+    })
+
+  /** [[rawQueries]] with the bucket-pruning queries routed onto the
+    * dedicated child session; every other query gets the caller's
+    * session untouched — no shared conf is ever mutated.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rawQueries.map { case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
-        s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
-          (!bucketPruningQueries(name)).toString)
-        fn(s, d)
+        fn(if (bucketPruningQueries(name)) bucketPruningSession(s) else s, d)
       }
     }
 

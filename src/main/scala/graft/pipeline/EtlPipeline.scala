@@ -171,9 +171,22 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
   /** Discovery-cache TTL for a source (R5): the `cache_ttl` raw config
     * field when present, else the performance.py:155 default (3600 s).
     * 0 disables caching for the source (every discovery refetches).
+    * Parsed tolerantly — YAML loaders hand integers back as Int, Long,
+    * Double ("3600.0") or String; an integral float is accepted, and a
+    * genuinely malformed value fails as a CONFIG error naming the
+    * source and field, not a bare NumberFormatException mid-staging.
     */
-  private def discoveryTtl(source: Source): Long =
-    source.raw.get("cache_ttl").map(_.toString.trim.toLong).getOrElse(3600L)
+  private[pipeline] def discoveryTtl(source: Source): Long =
+    source.raw.get("cache_ttl").map { v =>
+      val s = v.toString.trim
+      s.toLongOption
+        .orElse(s.toDoubleOption.collect {
+          case d if d.isWhole && math.abs(d) <= Long.MaxValue.toDouble => d.toLong
+        })
+        .getOrElse(throw new IllegalArgumentException(
+          s"source '${source.name}': cache_ttl must be an integral number " +
+            s"of seconds, got '$s'"))
+    }.getOrElse(3600L)
 
   /** Stage one source: include-filter (T5), fc naming (F4/F6), lineage
     * columns, write to the staging database (K1-K4).

@@ -64,4 +64,44 @@ object Checkpoints {
   /** [[stage]] with the session-configured default dir. */
   def stage(df: DataFrame): DataFrame =
     stage(df, configured(df.sparkSession))
+
+  /** A staged frame whose materialized storage the CALLER owns.
+    *
+    * Plain [[stage]] blocks are session-scoped: in a long-lived driver
+    * that builds many staged operators, localCheckpoint blocks (and
+    * reliable-checkpoint files) accumulate until the session dies. An
+    * owned handle closes that: consume `df`, then `release()` — the
+    * backing blocks/files are freed and executor block storage returns
+    * to its pre-stage baseline. After release the frame is UNUSABLE
+    * (its lineage was truncated; there is nothing left to recompute
+    * from) — release only when every consumer is done.
+    */
+  final class Staged private[Checkpoints] (val df: DataFrame) {
+    @volatile private var released = false
+    def release(): Unit = synchronized {
+      if (released) return
+      released = true
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+          // a reliable checkpoint additionally left files on the DFS
+          lr.rdd.getCheckpointFile.foreach { f =>
+            val p  = new Path(f)
+            val fs = p.getFileSystem(
+              df.sparkSession.sessionState.newHadoopConf())
+            fs.delete(p, true)
+            ()
+          }
+        case _ => ()
+      }
+    }
+  }
+
+  /** [[stage]] returning an owned handle (see [[Staged]]). */
+  def stageOwned(df: DataFrame, dir: Option[String]): Staged =
+    new Staged(stage(df, dir))
+
+  /** [[stageOwned]] with the session-configured default dir. */
+  def stageOwned(df: DataFrame): Staged =
+    new Staged(stage(df))
 }

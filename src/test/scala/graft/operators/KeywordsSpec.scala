@@ -52,4 +52,30 @@ class KeywordsSpec extends SparkSpec {
     val idf = got.map(t => t._3 -> t._6 / t._4).toMap // score/tf = idf
     assert(idf == Map("x" -> 1500000L, "y" -> 1000000L))
   }
+
+  test("tfidfTopKOwned: release returns staged block storage to baseline") {
+    // track the SPECIFIC persisted-RDD ids the stage adds (an absolute
+    // count is flaky: ContextCleaner GCs unreferenced persisted RDDs
+    // from earlier tests concurrently)
+    def ids(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val docs = Seq(1L -> "apple apple banana", 2L -> "banana cherry")
+      .toDF("doc_id", "text")
+    val before = ids()
+    val (out, staged) = Keywords.tfidfTopKOwned(docs, 5)
+    val added = ids() -- before
+    assert(added.nonEmpty, "the eager stage must have materialized blocks")
+    assert(out.count() == 4) // consume while the stage is alive
+    staged.release()
+    assert((ids() intersect added).isEmpty,
+      s"release must free the staged blocks: $added still persisted")
+    staged.release() // idempotent
+    // repeated build/consume/release cycles never accumulate storage —
+    // the long-lived-driver contract the plain stage() lacked
+    (1 to 3).foreach { _ =>
+      val pre = ids()
+      val (o, h) = Keywords.tfidfTopKOwned(docs, 5)
+      o.count(); h.release()
+      assert((ids() -- pre).isEmpty, "a released cycle must not accumulate")
+    }
+  }
 }

@@ -73,30 +73,30 @@ class SearchIndexPlanSpec extends SparkSpec {
     assert(persisted == fresh)
   }
 
-  test("the per-query conf wrapper scopes the bucketed-scan disable (no global conf)") {
+  test("bucket-pruning queries run on a scoped child session (no shared-conf mutation)") {
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     // session starts at Spark's default (auto-disable ON)
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      // an index-lookup query flips it off for itself and its plan prunes
-      val q90 = graft.SparkEntry.queries("q90_lexical_and")(spark, sf())
-      assert(spark.conf.get(confKey) == "false")
-      assert(BucketRe.findFirstMatchIn(q90.queryExecution.executedPlan.toString)
-          .exists(m => m.group(1).toInt < m.group(2).toInt),
-        "wrapper-scoped q90 must keep bucket pruning at the scan")
-      // a relational query restores the default heuristic for itself…
-      val q75 = graft.SparkEntry.queries("q75_bucketed_join")(spark, sf())
-      assert(spark.conf.get(confKey) == "true")
-      // …and its bucketed join still consumes the layout shuffle-free
-      // below the join (the heuristic KEEPS useful bucketed scans)
-      val exchanges = q75.queryExecution.executedPlan.toString
-        .linesIterator.count(_.contains("Exchange hashpartitioning"))
-      assert(exchanges <= 1, // one post-join agg exchange is the designed shape
-        s"q75 under the default heuristic grew exchanges:\n${q75.queryExecution.executedPlan}")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
-    }
+    spark.conf.set(confKey, "true")
+    // an index-lookup query builds on the dedicated child session whose
+    // conf carries the disable permanently — the CALLER's session is
+    // never touched, so build order and concurrency cannot flip a
+    // frame's planning conf out from under it
+    val q90 = graft.SparkEntry.queries("q90_lexical_and")(spark, sf())
+    assert(spark.conf.get(confKey) == "true",
+      "the caller's session conf must not be mutated")
+    assert(q90.sparkSession ne spark)
+    assert(q90.sparkSession.conf.get(confKey) == "false")
+    assert(BucketRe.findFirstMatchIn(q90.queryExecution.executedPlan.toString)
+        .exists(m => m.group(1).toInt < m.group(2).toInt),
+      "child-session q90 must keep bucket pruning at the scan")
+    // a relational query stays on the caller's session under the
+    // default heuristic, and its bucketed join still consumes the
+    // layout shuffle-free below the join
+    val q75 = graft.SparkEntry.queries("q75_bucketed_join")(spark, sf())
+    assert(q75.sparkSession eq spark)
+    val exchanges = q75.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, // one post-join agg exchange is the designed shape
+      s"q75 under the default heuristic grew exchanges:\n${q75.queryExecution.executedPlan}")
   }
 }

@@ -335,4 +335,22 @@ class PipelineSpec extends AnyFunSuite {
       Source(name = "x", authority = "y", sourceType = "carrier_pigeon", url = "u")
     }
   }
+
+  test("cache_ttl parses tolerantly; malformed values fail as named config errors") {
+    val pipe = new EtlPipeline(spark, GlobalConfig(), stagingDb = "staging_ttl")
+    def src(v: Option[Any]) = Source(name = "TtlSrc", authority = "TST",
+      sourceType = "file", url = "x",
+      raw = v.fold(Map.empty[String, Any])(x => Map("cache_ttl" -> x)))
+    assert(pipe.discoveryTtl(src(None)) == 3600L)          // default
+    assert(pipe.discoveryTtl(src(Some(60))) == 60L)        // YAML int
+    assert(pipe.discoveryTtl(src(Some("120"))) == 120L)    // string
+    assert(pipe.discoveryTtl(src(Some(7200.0))) == 7200L)  // YAML float
+    assert(pipe.discoveryTtl(src(Some("3600.0"))) == 3600L)
+    val e = intercept[IllegalArgumentException] {
+      pipe.discoveryTtl(src(Some("soon")))
+    }
+    assert(e.getMessage.contains("TtlSrc") && e.getMessage.contains("cache_ttl"),
+      s"config error must name the source and field: ${e.getMessage}")
+    intercept[IllegalArgumentException] { pipe.discoveryTtl(src(Some(3600.5))) }
+  }
 }
