@@ -1722,6 +1722,39 @@ object SparkEntry {
       .orderBy("new_doc", "dup_of")
   }
 
+  /** q109's base corpus band index — its OWN table prefix: q109 folds
+    * admitted batch docs into its index, and q106/q108 must keep
+    * deduping against the pristine 90% corpus.
+    */
+  private def ensureQ109Index(s: SparkSession, d: String): (String, String) =
+    graft.operators.Dedup.ensureMinhashBandIndex(
+      t(s, d, "documents")
+        .filter(col("doc_id") < 10000 && col("doc_id") % 10 =!= 0),
+      tablePrefix = "graft_q109", srcTag = d)
+
+  /** The CLOSED ingestion loop (q106 + write-back): dedup the batch
+    * against the standing band index, FOLD the admitted survivors back
+    * into it ([[graft.operators.Dedup.foldIntoMinhashBandIndex]] — the
+    * q95 incremental-index contract applied to the MinHash tables:
+    * O(batch) appended bucket files, corpus rows untouched, idempotent
+    * per batch tag), and emit the folded index content. The oracle
+    * rebuilds the index from scratch over corpus ∪ admitted — with
+    * admission itself replayed from raw text — so the gate proves
+    * fold ≡ rebuild: the "index that is never rebuilt, only
+    * maintained" serving contract for near-dup ingestion.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val (bt, st) = ensureQ109Index(s, d)
+    val batch = t(s, d, "documents")
+      .filter(col("doc_id") < 10000 && col("doc_id") % 10 === 0)
+    val dup = graft.operators.Dedup.incrementalNearDupPairs(batch, bt, st)
+      .select(col("new_doc").as("doc_id")).distinct()
+    val admitted = batch.join(dup, Seq("doc_id"), "left_anti")
+    graft.operators.Dedup.foldIntoMinhashBandIndex(
+      admitted, "graft_q109", batchTag = s"$d#batch0")
+    s.table(bt).orderBy("doc_id", "bk")
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -1882,7 +1915,8 @@ object SparkEntry {
     "q105_stream_join"      -> (q105 _),
     "q106_incr_neardup"     -> (q106 _),
     "q107_ivf_batch"        -> (q107 _),
-    "q108_neardup_stream"   -> (q108 _)
+    "q108_neardup_stream"   -> (q108 _),
+    "q109_neardup_fold"     -> (q109 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -1903,6 +1937,9 @@ object SparkEntry {
     Similarity.ensureIvfIndex(t(s, d, "embeddings"), srcTag = d)
     // q106's corpus MinHash band index (incremental dedup ingestion)
     ensureQ106Index(s, d)
+    // q109's own copy (the fold target — q106's stays pristine)
+    ensureQ109Index(s, d)
+    ()
   }
 
   // ---------------------------------------------------------------------------
@@ -3302,10 +3339,19 @@ object SparkEntry {
     // stream ≡ batch: the drained streaming ingestion (q108) must emit
     // exactly the batch operator's pair set
     "q108_neardup_stream" -> incrNearDupOracleSql,
-    "q107_ivf_batch" -> q107OracleSql
+    "q107_ivf_batch" -> q107OracleSql,
+    // fold ≡ rebuild: the maintained index content vs a from-scratch
+    // banding over corpus ∪ admitted (admission replayed from raw text)
+    "q109_neardup_fold" -> q109OracleSql
   )
 
-  private lazy val incrNearDupOracleSql: String = {
+  /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
+    * signatures, band keys, batch/index split, skew-capped index,
+    * candidate band collisions and verified match counts — all
+    * recomputed from the raw table, so any gate built on it proves the
+    * persisted index serves what a from-scratch banding would.
+    */
+  private lazy val minhashIngestCtes: String = {
       val ab = PortableHash.affineConstants(7L, 64)
       val minCols = ab.zipWithIndex
         .map { case (c, i) => s"MIN(${PortableHash.affineSql("h", c)}) AS m$i" }
@@ -3329,10 +3375,27 @@ object SparkEntry {
          |   n.sig AS sa, i.sig AS sb FROM nb n JOIN ib i ON n.bk = i.bk),
          | m AS (SELECT new_doc, dup_of,
          |   CAST(len(list_filter(list_transform(list_zip(sa, sb), x -> x[1] = x[2]), v -> v)) AS BIGINT) AS n_match
-         |   FROM cand)
-         |SELECT new_doc, dup_of, n_match FROM m WHERE 100*n_match >= 50*64
-         |ORDER BY new_doc, dup_of""".stripMargin.replaceAll("\n", " ")
+         |   FROM cand)""".stripMargin.replaceAll("\n", " ")
     }
+
+  private lazy val incrNearDupOracleSql: String =
+    s"""$minhashIngestCtes
+       |SELECT new_doc, dup_of, n_match FROM m WHERE 100*n_match >= 50*64
+       |ORDER BY new_doc, dup_of""".stripMargin.replaceAll("\n", " ")
+
+  /** q109: the folded index content ≡ a from-scratch rebuild over
+    * corpus ∪ admitted, with admission (no verified dup in the capped
+    * corpus index) replayed from raw text.
+    */
+  private lazy val q109OracleSql: String =
+    s"""$minhashIngestCtes,
+       | dups AS (SELECT DISTINCT new_doc FROM m WHERE 100*n_match >= 50*64)
+       |SELECT doc_id, bk FROM (
+       |  SELECT doc_id, bk FROM ib0
+       |  UNION ALL
+       |  SELECT doc_id, bk FROM nb
+       |  WHERE doc_id NOT IN (SELECT new_doc FROM dups))
+       |ORDER BY doc_id, bk""".stripMargin.replaceAll("\n", " ")
 
     // the q51 seed-assign machinery with a 5-query batch: per-query
     // probe ranking (cos DESC, cent_id DESC) and per-query top-5

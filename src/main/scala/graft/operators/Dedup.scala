@@ -497,6 +497,77 @@ object Dedup {
     (s"${tablePrefix}_bands", s"${tablePrefix}_sigs")
   }
 
+  // fold ledgers already validated THIS application (appId|table|tag):
+  // a repeated fold call in an ingestion loop must cost zero catalog
+  // roundtrips (the Bucketing.validated pattern)
+  private val foldMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val foldLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Fold an ADMITTED batch into a persisted MinHash band index — the
+    * q95 incremental-index contract applied to near-dup ingestion
+    * (reference analog: the append semantics of `etl/pipeline.py:717-725`).
+    * After [[incrementalNearDupPairs]] admits the batch's
+    * non-duplicates, their band/sig rows land as NEW BUCKET FILES
+    * appended to the two bucketed tables — O(|batch|) work; the corpus
+    * rows are never re-read, re-hashed or rewritten — so the next batch
+    * dedups against corpus ∪ admitted. Fold ≡ full rebuild
+    * (DedupSpec): folding batch B into index(A) yields tables row-equal
+    * to [[ensureMinhashBandIndex]](A ∪ B).
+    *
+    * Idempotent per `batchTag`: folded tags are recorded in the bands
+    * table's TBLPROPERTIES (`graft.folds`), so a replayed ingestion
+    * batch (driver retry, at-least-once upstream) is a no-op rather
+    * than a double-append. A rebuild through [[ensureMinhashBandIndex]]
+    * (new srcTag/schema) drops the table and with it the fold ledger —
+    * folds always belong to exactly one base lineage. Caller contract:
+    * `admitted` holds NEW doc_ids only (admission filtered them);
+    * re-folding an id that is already indexed is the caller's bug, same
+    * as any append sink.
+    */
+  def foldIntoMinhashBandIndex(
+      admitted: DataFrame,
+      tablePrefix: String,
+      batchTag: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rows: Int = 4,
+      buckets: Int = 8,
+      seed: Long = 7L): Unit = {
+    val spark      = admitted.sparkSession
+    val bandsTable = s"${tablePrefix}_bands"
+    val sigsTable  = s"${tablePrefix}_sigs"
+    val memoKey    = s"${spark.sparkContext.applicationId}|$bandsTable|$batchTag"
+    if (foldMemo.contains(memoKey)) return
+    foldLocks.computeIfAbsent(bandsTable, _ => new Object).synchronized {
+      if (foldMemo.contains(memoKey)) return
+      val props = spark.sql(s"SHOW TBLPROPERTIES $bandsTable").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val folded = props.get("graft.folds")
+        .map(_.split(",").toSet).getOrElse(Set.empty)
+      if (!folded.contains(batchTag)) {
+        val sigs = Checkpoints.stage(
+          minhashSignaturesPortable(admitted, shingleN, bands * rows, seed),
+          Checkpoints.configured(spark))
+        // append resolves columns BY NAME and must match the table's
+        // bucket spec exactly — same keys/counts as ensureMinhashBandIndex
+        bandKeys(sigs, bands, rows).write.mode("append").format("parquet")
+          .bucketBy(buckets, "bk").sortBy("bk")
+          .saveAsTable(bandsTable)
+        sigs.write.mode("append").format("parquet")
+          .bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(sigsTable)
+        val ledger = (folded + batchTag).toSeq.sorted.mkString(",")
+          .replace("'", "''")
+        spark.sql(
+          s"ALTER TABLE $bandsTable SET TBLPROPERTIES('graft.folds'='$ledger')")
+      }
+      foldMemo.add(memoKey)
+      ()
+    }
+  }
+
   /** Incremental near-dup INGESTION: dedup a NEW batch of documents
     * against the persisted band index of the standing corpus — the
     * production path for continuous corpus growth, where re-running the

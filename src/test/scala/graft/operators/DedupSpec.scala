@@ -205,6 +205,49 @@ class DedupSpec extends SparkSpec {
     assert(inc == crossing, s"incremental=$inc vs crossing=$crossing")
   }
 
+  test("foldIntoMinhashBandIndex: fold ≡ rebuild, append-only, idempotent per tag") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val a = docs.filter($"doc_id" % 10 =!= 0)
+    val b = docs.filter($"doc_id" % 10 === 0 && $"doc_id" % 20 === 0)
+    val c = docs.filter($"doc_id" % 10 === 0 && $"doc_id" % 20 =!= 0)
+    val tag = s"foldspec-${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(a, "graft_foldspec", srcTag = tag)
+    val baseFiles = spark.table(bt).inputFiles.toSet
+    Dedup.foldIntoMinhashBandIndex(b, "graft_foldspec", batchTag = "b1")
+    // append-only: the corpus bucket files are untouched, new ones land
+    val afterFiles = spark.table(bt).inputFiles.toSet
+    assert(baseFiles.subsetOf(afterFiles) && afterFiles.size > baseFiles.size,
+      "fold must append new bucket files, never rewrite the corpus")
+    // idempotent per batchTag (app-level memo): a replay is a no-op
+    val n1 = spark.table(bt).count()
+    Dedup.foldIntoMinhashBandIndex(b, "graft_foldspec", batchTag = "b1")
+    assert(spark.table(bt).count() == n1)
+    // a second batch folds incrementally on top
+    Dedup.foldIntoMinhashBandIndex(c, "graft_foldspec", batchTag = "b2")
+    // fresh-JVM-shaped replay (memo cold, TBLPROPERTIES ledger present):
+    // pre-record a tag in the ledger, then fold under it — still a no-op
+    val ledger = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ledger("graft.folds") == "b1,b2")
+    spark.sql(s"ALTER TABLE $bt SET TBLPROPERTIES('graft.folds'='b1,b2,preburned')")
+    val n2 = spark.table(bt).count()
+    Dedup.foldIntoMinhashBandIndex(c, "graft_foldspec", batchTag = "preburned")
+    assert(spark.table(bt).count() == n2,
+      "a tag already in the ledger must not re-append")
+    // fold ≡ full rebuild, row-for-row on BOTH tables
+    val (rbt, rst) = Dedup.ensureMinhashBandIndex(docs, "graft_foldref", srcTag = tag)
+    def bandsOf(t: String) =
+      spark.table(t).select("doc_id", "bk").as[(Long, String)].collect().toSet
+    def sigsOf(t: String) =
+      spark.table(t).select("doc_id", "sig").as[(Long, Seq[Long])]
+        .collect().map { case (d, s) => (d, s.toList) }.toSet
+    assert(bandsOf(bt) == bandsOf(rbt),
+      "folded bands table must equal a from-scratch rebuild over A∪B∪C")
+    assert(sigsOf(st) == sigsOf(rst),
+      "folded sigs table must equal a from-scratch rebuild over A∪B∪C")
+  }
+
   test("incremental near-dup plan: corpus tables stream, batch side broadcasts") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
