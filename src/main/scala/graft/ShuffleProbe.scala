@@ -39,8 +39,11 @@ object ShuffleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
     SparkEntry.prepareLayouts(spark, sfDir)
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query $name; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")}"))
+    // probeQueries: scale-demo shapes measured by tooling only (e.g.
+    // the uncapped incremental-ingestion variants), not driver-gated
+    val all = SparkEntry.queries ++ SparkEntry.probeQueries
+    val fn = all.getOrElse(name,
+      sys.error(s"unknown query $name; known: ${all.keys.toSeq.sorted.mkString(",")}"))
 
     def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     run() // untimed warm pass (layouts, codegen)

@@ -1942,6 +1942,36 @@ object SparkEntry {
     ()
   }
 
+  /** Scale-demo shapes for the probe/bench tooling ONLY (ShuffleProbe
+    * accepts these names; they are NOT part of the driver gate): the
+    * UNCAPPED incremental near-dup ingestion — the full batch (10% of
+    * all documents, no doc_id cap) deduped against the full corpus
+    * index — plus a tenth-batch variant against the SAME corpus index.
+    * Together they measure the `Dedup.incrementalNearDupPairs` scale
+    * claim: shuffle is bounded by the BATCH (shrinking the batch 10×
+    * at constant corpus shrinks shuffle ~10×), and the corpus rows
+    * never ride an exchange at all (shuffle records ≪ corpus band
+    * rows).
+    */
+  def probeQueries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "p01_incr_neardup_uncapped" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val (bt, st) = graft.operators.Dedup.ensureMinhashBandIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), tablePrefix = "graft_p01",
+        srcTag = d)
+      graft.operators.Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 10 === 0), bt, st)
+    }),
+    "p02_incr_neardup_tenthbatch" -> ((s: SparkSession, d: String) => {
+      val docs = t(s, d, "documents")
+      val (bt, st) = graft.operators.Dedup.ensureMinhashBandIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), tablePrefix = "graft_p01",
+        srcTag = d)
+      graft.operators.Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 100 === 0), bt, st)
+    })
+  )
+
   // ---------------------------------------------------------------------------
   // DuckDB oracle SQL (ANSI-ish; DuckDB dialect where they differ).
   // regexp_replace in DuckDB needs the 'g' flag (Spark's is global).
