@@ -59,6 +59,45 @@ object Bucketing {
   private val validated =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // sortCols is part of the layout contract: a caller changing the
+  // sort order MUST get a rewrite, or the table keeps its stale order
+  // and the sort-free merge silently degrades to sort-merge. The key
+  // derives from the PLAN's schema only — computing it never runs a job.
+  private def layoutKey(
+      df: DataFrame, buckets: Int, bucketCols: Seq[String],
+      srcTag: String, sortCols: Seq[String]): String =
+    s"$srcTag|b=$buckets|k=${bucketCols.mkString(",")}" +
+      s"|s=${sortCols.mkString(",")}|${df.schema.catalogString}"
+
+  private def propsCurrent(
+      spark: SparkSession, table: String, key: String): Boolean =
+    spark.catalog.tableExists(table) && {
+      val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      props.get("graft.src").contains(key)
+    }
+
+  /** The read-only half of [[ensureBucketed]]: true when `table`
+    * already carries exactly this layout (app memo, else catalog
+    * props). For callers that must decide whether to pay an expensive
+    * SHARED input materialization before building several tables at
+    * once (the [[Dedup.ensureMinhashBandIndex]] shape) — probing costs
+    * schema derivation plus at most one catalog roundtrip, never a
+    * Spark job over the data.
+    */
+  def isCurrent(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      bucketCols: Seq[String],
+      srcTag: String,
+      sortCols: Seq[String] = Seq.empty): Boolean = {
+    val spark   = df.sparkSession
+    val key     = layoutKey(df, buckets, bucketCols, srcTag, sortCols)
+    val memoKey = s"${spark.sparkContext.applicationId}|$table"
+    validated.get(memoKey) == key || propsCurrent(spark, table, key)
+  }
+
   def ensureBucketed(
       df: DataFrame,
       table: String,
@@ -67,21 +106,12 @@ object Bucketing {
       srcTag: String,
       sortCols: Seq[String] = Seq.empty): Unit = {
     val spark = df.sparkSession
-    // sortCols is part of the layout contract: a caller changing the
-    // sort order MUST get a rewrite, or the table keeps its stale order
-    // and the sort-free merge silently degrades to sort-merge.
-    val key = s"$srcTag|b=$buckets|k=${bucketCols.mkString(",")}" +
-      s"|s=${sortCols.mkString(",")}|${df.schema.catalogString}"
+    val key = layoutKey(df, buckets, bucketCols, srcTag, sortCols)
     val memoKey = s"${spark.sparkContext.applicationId}|$table"
     if (validated.get(memoKey) == key) return
-    val escaped = key.replace("'", "''")
-    val upToDate = spark.catalog.tableExists(table) && {
-      val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
-        .map(r => r.getString(0) -> r.getString(1)).toMap
-      props.get("graft.src").contains(key)
-    }
-    if (!upToDate) {
+    if (!propsCurrent(spark, table, key)) {
       writeBucketed(df, table, buckets, bucketCols, sortCols)
+      val escaped = key.replace("'", "''")
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('graft.src'='$escaped')")
     }
     validated.put(memoKey, key)

@@ -205,6 +205,31 @@ class DedupSpec extends SparkSpec {
     assert(inc == crossing, s"incremental=$inc vs crossing=$crossing")
   }
 
+  test("ensureMinhashBandIndex: a repeated call runs ZERO Spark jobs") {
+    // the round-14 p01/p02 ShuffleProbe finding: the eager signature
+    // staging used to re-spread + re-minhash the whole corpus on every
+    // ensure call — one corpus re-hash per query invocation at scale.
+    // The validity probe must cost schema/catalog work only.
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val tag = s"zerojob-${System.nanoTime()}"
+    Dedup.ensureMinhashBandIndex(docs, "graft_zerojob", srcTag = tag)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Dedup.ensureMinhashBandIndex(docs, "graft_zerojob", srcTag = tag)
+      Thread.sleep(1000) // listener bus is async
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get == 0,
+      s"repeated ensure must not touch the corpus, ran ${jobs.get} jobs")
+  }
+
   test("foldIntoMinhashBandIndex: fold ≡ rebuild, append-only, idempotent per tag") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")
