@@ -41,7 +41,11 @@ object Explain {
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
     "q90_lexical_and", "q91_ranked_tfidf", "q92_phrase_query",
     "q96_bm25", "q100_pmi_colloc", "q102_repetition_profile",
-    "q103_budget_select", "q106_incr_neardup")
+    "q103_budget_select", "q106_incr_neardup",
+    // batched IVF serving: the plan must show the broadcast probe map +
+    // query-partitioned windows over ONE partition-pruned cells scan —
+    // no driver-side ranking anywhere
+    "q107_ivf_batch")
 
   /** Strip run-dependent counters so committed dumps diff cleanly:
     * expression ids, codegen stage ids, plan ids, temp-view uuids.

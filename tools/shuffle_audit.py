@@ -33,6 +33,7 @@ DEFAULT = [
     "q68_ann_int8", "q75_bucketed_join", "q76_temperature_mix",
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
     "q102_repetition_profile", "q103_budget_select", "q106_incr_neardup",
+    "q107_ivf_batch",
 ]
 queries = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT
 
