@@ -601,8 +601,8 @@ object Dedup {
     * The index-side skew cap mirrors the batch variant's: an over-cap
     * bucket (a boilerplate pile) is dropped whole, counted with a
     * shuffle-free window over the bucketed layout. Folding the admitted
-    * batch into the index afterwards is the q95 incremental-index
-    * contract (`Incremental.upsert` on both tables).
+    * batch into the index afterwards is [[foldIntoMinhashBandIndex]]
+    * (the q95 incremental-index contract; q109 gates fold ≡ rebuild).
     *
     * Output: (new_doc, dup_of, n_match) — batch→corpus matches with
     * ≥ `minEstJaccardPct`% of signature positions agreeing.
