@@ -364,7 +364,24 @@ object Similarity {
       queries: Seq[(Long, Seq[Float])],
       k: Int,
       nProbe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true): DataFrame =
+    ivfProbeBatchOwned(spark, path, queries, k, nProbe, excludeSelf)._1
+
+  /** [[ivfProbeBatch]] with a CALLER-OWNED lifetime for the staged
+    * probe map (the `tfidfTopKOwned` contract): each batch call stages
+    * one tiny (|batch|·nProbe-row) probe-map block so the ranking runs
+    * once for its two consumers; a long-lived serving driver answering
+    * thousands of batches should consume the result, then `release()`
+    * the handle — otherwise one block per call accumulates in executor
+    * storage for the life of the session.
+    */
+  def ivfProbeBatchOwned(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true): (DataFrame, graft.util.Checkpoints.Staged) = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .select("cent_id", "cvec", "cnrm")
@@ -378,7 +395,7 @@ object Similarity {
       .orderBy(col("pcos").desc, col("cent_id").desc)
     // staged: the distinct-cells prune below and the candidate join both
     // read the ranking — one |batch|·C pass, not two
-    val probeMap = graft.util.Checkpoints.stage(
+    val staged = graft.util.Checkpoints.stageOwned(
       qdf.crossJoin(broadcast(cents))
         .withColumn("pcos",
           VectorFunctions.qdot(col("cvec"), col("qvec")).cast("double") /
@@ -386,6 +403,7 @@ object Similarity {
         .withColumn("pr", row_number().over(pw))
         .filter(col("pr") <= nProbe)
         .select(col("query_id"), col("cent_id"), col("qvec"), col("qn")))
+    val probeMap = staged.df
     val probedCells: Seq[Long] =
       probeMap.select("cent_id").distinct().as[Long].collect().toIndexedSeq
     val w = Window.partitionBy("query_id")
@@ -393,13 +411,15 @@ object Similarity {
     val cells = spark.read.parquet(s"$path/cells")
       .filter(col("cent_id").isin(probedCells: _*))
       .join(broadcast(probeMap), Seq("cent_id"))
-    (if (excludeSelf) cells.filter(col("vec_id") =!= col("query_id")) else cells)
-      .withColumn("dot", VectorFunctions.qdot(col("q"), col("qvec")))
-      .withColumn("cos", col("dot").cast("double") /
-        sqrt(col("nrm").cast("double") * col("qn").cast("double")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("vec_id"), col("dot"))
+    val out =
+      (if (excludeSelf) cells.filter(col("vec_id") =!= col("query_id")) else cells)
+        .withColumn("dot", VectorFunctions.qdot(col("q"), col("qvec")))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt(col("nrm").cast("double") * col("qn").cast("double")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("vec_id"), col("dot"))
+    (out, staged)
   }
 
   /** The hyperplane count that keeps expected LSH bucket OCCUPANCY at

@@ -520,6 +520,24 @@ class SimilaritySpec extends SparkSpec {
       plan.contains("PartitionFilters"), s"expected one pruned cells scan:\n$plan")
   }
 
+  test("ivfProbeBatchOwned: release frees the staged probe map") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val tag = s"ivfowned-${System.nanoTime()}"
+    val (path, _) = Similarity.ensureIvfIndex(emb, srcTag = tag)
+    val qs = emb.filter($"vec_id" < 3).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.toSeq) }
+    def ids(): Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = ids()
+    val (out, staged) = Similarity.ivfProbeBatchOwned(spark, path, qs, 5, 4)
+    val added = ids() -- before
+    assert(added.nonEmpty, "the probe map must be staged")
+    assert(out.count() > 0)
+    staged.release()
+    assert((ids() intersect added).isEmpty,
+      s"release must free the probe-map blocks: $added still persisted")
+  }
+
   test("ivfProbeBatch distributed centroid ranking ≡ driver ranking at C=4096") {
     // a large synthetic centroid table (C=4096, the scale the former
     // driver-side |batch|·C loop choked on) with a hand-planted cells
