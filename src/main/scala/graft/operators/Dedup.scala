@@ -552,6 +552,8 @@ object Dedup {
       rows: Int = 4,
       buckets: Int = 8,
       seed: Long = 7L): Unit = {
+    require(!batchTag.contains(","),
+      s"batchTag must not contain ',' (the fold-ledger separator): '$batchTag'")
     val spark      = admitted.sparkSession
     val bandsTable = s"${tablePrefix}_bands"
     val sigsTable  = s"${tablePrefix}_sigs"

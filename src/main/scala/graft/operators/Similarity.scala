@@ -383,11 +383,50 @@ object Similarity {
       nProbe: Int = 4,
       excludeSelf: Boolean = true): (DataFrame, graft.util.Checkpoints.Staged) = {
     import spark.implicits._
+    ivfProbeBatchDfOwned(spark, path,
+      queries.toDF("query_id", "emb"), k, nProbe, excludeSelf)
+  }
+
+  /** [[ivfProbeBatch]] over a query DATAFRAME (`query_id` LONG, `emb`
+    * ARRAY<FLOAT>) — the batch never rides through the driver at all:
+    * queries may come straight off a parquet scan, a streaming
+    * micro-batch, or an upstream join. The `Seq` overloads are
+    * convenience wrappers over this; prefer this form whenever the
+    * batch is already distributed data.
+    *
+    * Scale contract: every term is bounded by the BATCH or by C, never
+    * the corpus — the ranking is |batch|·C map work, the staged probe
+    * map is |batch|·nProbe rows, and the driver sees only the ≤C
+    * distinct probed cell ids (partition-prune literals). The probe map
+    * is BROADCAST to the cells scan, so one batch should stay within
+    * broadcast size (~10⁵ queries at typical dims); shard a larger
+    * stream of queries into such batches — each pays one pruned scan.
+    */
+  def ivfProbeBatchDf(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame =
+    ivfProbeBatchDfOwned(spark, path, queries, k, nProbe, excludeSelf)._1
+
+  /** [[ivfProbeBatchDf]] with the caller-owned staged-probe-map
+    * lifetime (see [[ivfProbeBatchOwned]]).
+    */
+  def ivfProbeBatchDfOwned(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true): (DataFrame, graft.util.Checkpoints.Staged) = {
+    import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .select("cent_id", "cvec", "cnrm")
     // same quantization kernel as the corpus side ([[VectorFunctions
     // .quantize]]), so query and centroid arithmetic stay bit-identical
-    val qdf = queries.toDF("query_id", "emb")
+    val qdf = queries
       .select(col("query_id"),
         VectorFunctions.quantize(col("emb")).as("qvec"))
       .withColumn("qn", VectorFunctions.qdot(col("qvec"), col("qvec")))

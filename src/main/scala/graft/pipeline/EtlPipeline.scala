@@ -61,12 +61,29 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
     ledger += LedgerRow(s.name, s.authority, phase, status, table, rows, error, level)
 
   /** Extract+read one source into a normalized DataFrame (dispatch on
-    * type, HANDLER_MAP semantics — S8). URLs are file:// or plain paths
-    * (zero-egress; HTTP landing is a driver concern out of engine scope).
+    * type, HANDLER_MAP semantics — S8). URLs are file://, plain paths,
+    * or http(s):// — an HTTP URL lands FIRST through the pooled
+    * per-origin session (R6) and the routing below then sees a local
+    * file, exactly the reference's download-then-stage split
+    * (file.py:228-371).
     */
   def readSource(source: Source): DataFrame = {
     val path = source.url.stripPrefix("file://")
     source.sourceType match {
+      case "file" | "atom_feed"
+          if source.url.startsWith("http://") || source.url.startsWith("https://") =>
+        // S1 over R6: stream the payload once onto local storage via the
+        // pooled HTTP session (Landing.landUrl — Content-Disposition
+        // naming, per-source cache_ttl re-land window), then recurse so
+        // the extension routing below handles the LANDED file.
+        val stem = Names.sanitizeForFilename(source.name)
+        val landDir = cfg.downloadDir
+          .map(java.nio.file.Paths.get(_, stem))
+          .getOrElse(java.nio.file.Paths.get(
+            sys.props("java.io.tmpdir"), "graft-landing", stem))
+        val ttl = source.raw.get("cache_ttl").map(_ => discoveryTtl(source) * 1000L)
+        val (landed, _, _) = graft.util.Landing.landUrl(source.url, landDir, ttl)
+        readSource(source.copy(url = landed.toString))
       case "file" | "atom_feed" if path.toLowerCase.endsWith(".zip") =>
         // S1+S2→S3: land the archive into a per-source staging subdir
         // (idempotent cached copy, io.py:28-30), extract, then route the

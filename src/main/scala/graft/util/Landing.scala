@@ -82,6 +82,63 @@ object Landing {
     out.result()
   }
 
+  /** Land a URL through the pooled per-origin HTTP session (R6 + S1 —
+    * the reference's `_download_and_stage_one` download half,
+    * file.py:228-371 riding http_session.py's pooled session): the
+    * landed filename prefers the response's Content-Disposition (F7,
+    * http.py:19-48), falling back to the URL basename; bytes stream to
+    * `destDir/<filename>` through the [[land]] cache (re-runs inside
+    * `maxAgeMillis` never re-request — the fresh-file short-circuit
+    * fires before any connection is made). Returns
+    * (path, bytes, fromCache).
+    *
+    * The filename probe only runs on a cache MISS: when every candidate
+    * name (URL basename, prior Content-Disposition names recorded as
+    * siblings) is stale or absent, one streaming GET serves both the
+    * name and the bytes.
+    */
+  def landUrl(
+      url: String,
+      destDir: Path,
+      maxAgeMillis: Option[Long] = None,
+      httpCfg: Http.SessionConfig = Http.SessionConfig(),
+      clock: () => Long = () => System.currentTimeMillis()): (Path, Long, Boolean) = {
+    val basename = {
+      val p = java.net.URI.create(url).getPath
+      val raw = Option(p).map(_.split('/').lastOption.getOrElse("")).getOrElse("")
+      if (raw.nonEmpty) java.net.URLDecoder.decode(raw, "UTF-8") else "download"
+    }
+    // fast path: a prior landing of this URL is fresh — serve it with no
+    // network touch at all. The landed name may differ from the URL
+    // basename (Content-Disposition won); a sidecar records the mapping
+    // so the cache check finds it on re-runs.
+    val sidecar = destDir.resolve(s".landed-$basename")
+    val knownName =
+      if (Files.isRegularFile(sidecar))
+        Some(new String(Files.readAllBytes(sidecar),
+          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+      else None
+    val cached = destDir.resolve(knownName.getOrElse(basename))
+    val fresh = Files.exists(cached) && Files.size(cached) > 0 &&
+      maxAgeMillis.forall(a =>
+        clock() - Files.getLastModifiedTime(cached).toMillis <= a)
+    if (fresh) return (cached, Files.size(cached), true)
+    // miss: ONE streaming GET supplies the authoritative filename
+    // (Content-Disposition beats the URL basename — guarded against
+    // path separators, the extractZip traversal rule) and the bytes
+    val (_, headers, body) = Http.fetchStream(url, httpCfg)
+    val name = headers.get("content-disposition")
+      .flatMap(filenameFromContentDisposition)
+      .filterNot(n => n.contains('/') || n.contains('\\') || n.startsWith("."))
+      .getOrElse(basename)
+    val out =
+      try land(() => body, destDir.resolve(name), maxAgeMillis, clock)
+      finally body.close()
+    if (name != basename)
+      Files.write(sidecar, name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out
+  }
+
   /** Content-Disposition filename parse (http.py:19-48):
     * `filename*=UTF-8''…` (RFC 5987) preferred over `filename=…`,
     * quotes stripped, URL-decoded.

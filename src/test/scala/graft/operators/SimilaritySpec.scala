@@ -520,6 +520,24 @@ class SimilaritySpec extends SparkSpec {
       plan.contains("PartitionFilters"), s"expected one pruned cells scan:\n$plan")
   }
 
+  test("ivfProbeBatchDf: a never-collected query frame equals the Seq batch") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val tag = s"ivfdf-${System.nanoTime()}"
+    val (path, _) = Similarity.ensureIvfIndex(emb, srcTag = tag)
+    // the DataFrame path: queries come straight off the parquet scan —
+    // at no point does the batch itself ride through the driver
+    val qdf = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("emb"))
+    val viaDf = Similarity.ivfProbeBatchDf(spark, path, qdf, k = 5, nProbe = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val qs = emb.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.toSeq) }
+    val viaSeq = Similarity.ivfProbeBatch(spark, path, qs, k = 5, nProbe = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(viaDf == viaSeq && viaDf.nonEmpty)
+  }
+
   test("ivfProbeBatchOwned: release frees the staged probe map") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val tag = s"ivfowned-${System.nanoTime()}"

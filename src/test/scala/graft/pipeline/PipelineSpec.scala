@@ -161,6 +161,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.readSource(src).count() == direct) // empty dir → re-extracted
   }
 
+  test("an http(s) source lands through the pooled session, then routes as a file (R6)") {
+    // the download-then-stage split (file.py:228-371 over
+    // http_session.py): an http URL serving a zip archive lands ONCE
+    // via Landing.landUrl + graft.util.Http, and the extension routing
+    // then reads the landed archive exactly like a local zip source
+    val dir = Files.createTempDirectory("graft_http_src")
+    val zip = dir.resolve("remote.zip")
+    val zout = new java.util.zip.ZipOutputStream(Files.newOutputStream(zip))
+    zout.putNextEntry(new java.util.zip.ZipEntry("sample.geojson"))
+    zout.write(Files.readAllBytes(java.nio.file.Paths.get(s"$res/sample.geojson")))
+    zout.closeEntry()
+    zout.close()
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/dl/remote.zip",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        val bytes = Files.readAllBytes(zip)
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val landRoot = Files.createTempDirectory("graft_http_land")
+      val src = Source(name = "Http Zip", authority = "WEB", sourceType = "file",
+        url = s"$base/dl/remote.zip")
+      val pipe = new EtlPipeline(spark,
+        GlobalConfig(downloadDir = Some(landRoot.toString)), stagingDb = "staging_http")
+      val direct = GeoJsonSource.read(spark, s"$res/sample.geojson").count()
+      assert(pipe.readSource(src).count() == direct)
+      assert(hits.get() == 1)
+      assert(Files.exists(landRoot.resolve("http_zip").resolve("remote.zip")))
+      // second read: the landed file serves; the server is never re-asked
+      assert(pipe.readSource(src).count() == direct)
+      assert(hits.get() == 1)
+    } finally server.stop(0)
+  }
+
   test("a multi-shapefile archive unions EVERY contained .shp (shapefile_loader.py:90)") {
     // two complete shapefiles (.shp + sidecars) in one zip — the
     // shapefile-collection case; dropping all but the first silently
