@@ -100,7 +100,10 @@ object Configs {
       sdeAuthorityMapping = asMap(root.getOrElse("sde_authority_mapping", null))
         .map { case (k, v) => k -> v.toString },
       continueOnFailure = bool(root, "continue_on_failure", dflt = true),
-      downloadDir = opt(asMap(root.getOrElse("paths", null)), "download"))
+      downloadDir = opt(asMap(root.getOrElse("paths", null)), "download"),
+      healthChecksEnabled = bool(
+        asMap(asMap(root.getOrElse("monitoring", null))
+          .getOrElse("health_checks", null)), "enabled", dflt = false))
   }
 
   /** Env-var overrides (config.py:421-453): ETL_<UPPER_KEY>=value. */

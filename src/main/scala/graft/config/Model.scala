@@ -73,4 +73,10 @@ final case class GlobalConfig(
       * PathsConfig.download); None → a per-source dir under the system
       * temp dir.
       */
-    downloadDir: Option[String] = None)
+    downloadDir: Option[String] = None,
+    /** A5 preflight (config.yaml:87-88 monitoring.health_checks.enabled):
+      * when on, [[graft.util.Health]]'s default checks run before
+      * staging and land in the ledger as `health` rows; an unhealthy
+      * overall status aborts the run unless `continueOnFailure`.
+      */
+    healthChecksEnabled: Boolean = false)

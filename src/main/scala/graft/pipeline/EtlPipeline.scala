@@ -314,8 +314,35 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
     }
   }
 
+  /** A5 preflight: the reference's default health checks
+    * (monitoring.py:250-438) against this driver process and the
+    * landing filestore, one ledger row per check (phase `health`,
+    * status = the check's band, message in the error column when not
+    * healthy). Overridable for custom monitors (the register_check
+    * surface).
+    */
+  protected def healthMonitor(): graft.util.Health.Monitor =
+    graft.util.Health.defaultMonitor(
+      cfg.downloadDir.map(java.nio.file.Paths.get(_))
+        .getOrElse(java.nio.file.Paths.get(".")))
+
+  private def preflight(): Unit = {
+    val st = healthMonitor().status()
+    st.checks.toSeq.sortBy(_._1).foreach { case (name, c) =>
+      ledger += LedgerRow("_preflight", "SYS", "health", c.status, name, 0,
+        if (c.status == "healthy") "" else c.message)
+    }
+    // unhealthy aborts unless the run is declared continue-on-failure —
+    // the same ladder every staging error rides (R3)
+    if (st.status == "unhealthy" && !cfg.continueOnFailure)
+      throw new IllegalStateException(
+        "preflight health checks unhealthy: " + st.checks.values
+          .filter(_.status == "unhealthy").map(_.message).mkString("; "))
+  }
+
   /** The full run (SURVEY §3.1 steps 3-8). Declared source order. */
   def run(sources: Seq[Source]): Seq[LedgerRow] = {
+    if (cfg.healthChecksEnabled) preflight()
     val staged = sources.flatMap(s => stageSource(s).map(s -> _))
     staged.foreach { case (s, fc) => geoprocess(s, fc) }
     staged.foreach { case (s, fc) => publishTable(s, fc) }

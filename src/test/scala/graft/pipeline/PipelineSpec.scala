@@ -202,6 +202,52 @@ class PipelineSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("health preflight ledgers the reference trio before staging; unhealthy gates (A5)") {
+    val cfg = GlobalConfig(healthChecksEnabled = true)
+    val pipe = new EtlPipeline(spark, cfg, stagingDb = "staging_health")
+    val ledger = pipe.run(sources.filterNot(_.enabled)) // no data work
+    val health = ledger.filter(_.phase == "health")
+    assert(health.map(_.table).sorted == Seq("disk_space", "memory_usage", "system_time"))
+    assert(ledger.takeWhile(_.phase == "health").size == 3, "preflight rows come first")
+    assert(pipe.summary.keySet.exists(_._1 == "health"))
+
+    // an unhealthy monitor + continue_on_failure=false aborts the run
+    val sick = new EtlPipeline(spark,
+      GlobalConfig(healthChecksEnabled = true, continueOnFailure = false),
+      stagingDb = "staging_health2") {
+      override protected def healthMonitor(): graft.util.Health.Monitor = {
+        val m = new graft.util.Health.Monitor()
+        m.registerCheck("disk_space")(graft.util.Health.diskCheck(
+          () => (2.0, 2000000L, 100000000L), () => System.currentTimeMillis()))
+        m
+      }
+    }
+    val e = intercept[IllegalStateException] { sick.run(Seq.empty) }
+    assert(e.getMessage.contains("Low disk space"))
+    // with continue_on_failure (the default), the same monitor only ledgers
+    val limping = new EtlPipeline(spark,
+      GlobalConfig(healthChecksEnabled = true),
+      stagingDb = "staging_health3") {
+      override protected def healthMonitor(): graft.util.Health.Monitor = {
+        val m = new graft.util.Health.Monitor()
+        m.registerCheck("disk_space")(graft.util.Health.diskCheck(
+          () => (2.0, 2000000L, 100000000L), () => System.currentTimeMillis()))
+        m
+      }
+    }
+    val rows = limping.run(Seq.empty)
+    assert(rows.exists(r => r.phase == "health" && r.status == "unhealthy"
+      && r.error.contains("Low disk space")))
+  }
+
+  test("spark executor liveness check (A5 engine extra)") {
+    val ok = graft.util.Health.sparkExecutorsCheck(spark, expected = 1)
+    assert(ok.status == "healthy" && ok.details("live").toInt >= 1)
+    val degraded = graft.util.Health.sparkExecutorsCheck(spark, expected = 1000)
+    assert(degraded.status == "unhealthy")
+    assert(graft.util.Health.sparkExecutorsCheck(spark, expected = 0).status == "healthy")
+  }
+
   test("a multi-shapefile archive unions EVERY contained .shp (shapefile_loader.py:90)") {
     // two complete shapefiles (.shp + sidecars) in one zip — the
     // shapefile-collection case; dropping all but the first silently
@@ -367,10 +413,15 @@ class PipelineSpec extends AnyFunSuite {
         |  LSTD: "GNG.Underlag_LstD"
         |paths:
         |  download: "/data/downloads"
+        |monitoring:
+        |  health_checks:
+        |    enabled: true
         |""".stripMargin)
     assert(g.sdeLoadStrategy == "replace")
     assert(g.aoi.contains((17.9, 59.2, 18.2, 59.5)))
     assert(g.downloadDir.contains("/data/downloads"))
+    assert(g.healthChecksEnabled) // config.yaml:87-88
+    assert(!Configs.parseGlobal("sde_schema: \"X\"\n").healthChecksEnabled)
     // invalid source type rejected
     intercept[IllegalArgumentException] {
       Source(name = "x", authority = "y", sourceType = "carrier_pigeon", url = "u")
