@@ -1755,6 +1755,25 @@ object SparkEntry {
     s.table(bt).orderBy("doc_id", "bk")
   }
 
+  /** STREAMING ANN serving ([[graft.streaming.AnnServeStream]]): the
+    * q107 query batch arriving as TWO micro-batches of a real
+    * foreachBatch stream, each answered by its own distributed ranking
+    * + pruned cells scan, answers accrued append-only. Queries are
+    * independent rows, so the accrued set is row-identical to the
+    * one-shot batch — the SAME oracle as q107 gates stream ≡ batch for
+    * serving (the q106/q108 ingestion symmetry, serving side).
+    */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val (path, _) = Similarity.ensureIvfIndex(emb, srcTag = d)
+    def qb(lo: Long, hi: Long) =
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("query_id"), col("embedding").as("emb"))
+    graft.streaming.AnnServeStream.drainServe(
+        Seq(qb(0, 3), qb(3, 5)), path, k = 5, nProbe = 4)
+      .orderBy("query_id", "rk")
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -1916,7 +1935,8 @@ object SparkEntry {
     "q106_incr_neardup"     -> (q106 _),
     "q107_ivf_batch"        -> (q107 _),
     "q108_neardup_stream"   -> (q108 _),
-    "q109_neardup_fold"     -> (q109 _)
+    "q109_neardup_fold"     -> (q109 _),
+    "q110_ann_stream"       -> (q110 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3370,6 +3390,10 @@ object SparkEntry {
     // exactly the batch operator's pair set
     "q108_neardup_stream" -> incrNearDupOracleSql,
     "q107_ivf_batch" -> q107OracleSql,
+    // stream ≡ batch for SERVING: micro-batched answers must equal the
+    // one-shot batch (queries are independent rows) — q107's oracle
+    // verbatim
+    "q110_ann_stream" -> q107OracleSql,
     // fold ≡ rebuild: the maintained index content vs a from-scratch
     // banding over corpus ∪ admitted (admission replayed from raw text)
     "q109_neardup_fold" -> q109OracleSql

@@ -538,6 +538,23 @@ class SimilaritySpec extends SparkSpec {
     assert(viaDf == viaSeq && viaDf.nonEmpty)
   }
 
+  test("streaming micro-batched ANN serving ≡ the one-shot batch (q110 shape)") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val tag = s"annstream-${System.nanoTime()}"
+    val (path, _) = Similarity.ensureIvfIndex(emb, srcTag = tag)
+    def qb(lo: Long, hi: Long) =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .select($"vec_id".as("query_id"), $"embedding".as("emb"))
+    // queries split across two REAL micro-batches, each paying its own
+    // ranking + pruned scan, must accrue to exactly the one-shot answer
+    val drained = graft.streaming.AnnServeStream
+      .drainServe(Seq(qb(0, 3), qb(3, 5)), path, k = 5, nProbe = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val oneShot = Similarity.ivfProbeBatchDf(spark, path, qb(0, 5), k = 5, nProbe = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(drained == oneShot && drained.nonEmpty)
+  }
+
   test("ivfProbeBatchOwned: release frees the staged probe map") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val tag = s"ivfowned-${System.nanoTime()}"
