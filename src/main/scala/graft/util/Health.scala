@@ -121,9 +121,16 @@ object Health {
         (used.toDouble * 100.0 / total, total - used, total)
     }
 
-  /** (freePercent, freeBytes, totalBytes) — shutil.disk_usage analog. */
+  /** (freePercent, freeBytes, totalBytes) — shutil.disk_usage analog.
+    * A not-yet-created path (a configured download dir before the first
+    * landing) reads its nearest EXISTING ancestor's filestore — the
+    * store the landing would actually hit — instead of reporting a
+    * spurious unhealthy.
+    */
   def diskReading(path: java.nio.file.Path = java.nio.file.Paths.get(".")): (Double, Long, Long) = {
-    val store = java.nio.file.Files.getFileStore(path.toAbsolutePath)
+    var p = path.toAbsolutePath
+    while (p.getParent != null && !java.nio.file.Files.exists(p)) p = p.getParent
+    val store = java.nio.file.Files.getFileStore(p)
     val total = store.getTotalSpace
     val free  = store.getUsableSpace
     (free.toDouble * 100.0 / total, free, total)

@@ -64,6 +64,13 @@ object Http {
   final case class RetryableStatus(url: String, status: Int)
     extends RuntimeException(s"HTTP $status from $url (retryable)")
 
+  /** Terminal non-2xx on a download path — deliberately NOT an
+    * IOException: transport IOExceptions are recoverable (retried), a
+    * definitive server answer like 404 must fail immediately.
+    */
+  final case class HttpStatusError(url: String, status: Int)
+    extends RuntimeException(s"HTTP $status from $url")
+
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[String, HttpClient]()
 
@@ -146,7 +153,7 @@ object Http {
       }
       if (status < 200 || status >= 300) {
         r.body().close()
-        throw new java.io.IOException(s"HTTP $status from $url")
+        throw HttpStatusError(url, status)
       }
       (status, headerMap(r), r.body())
     }

@@ -66,6 +66,13 @@ class HealthSpec extends AnyFunSuite {
     assert(st.checks.values.forall(_.durationMs >= 0.0))
   }
 
+  test("disk reading of a not-yet-created path walks to the existing ancestor") {
+    val ghost = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-no-such-dir", "deeper")
+    val (pct, free, total) = Health.diskReading(ghost)
+    assert(total > 0 && free >= 0 && pct >= 0.0 && pct <= 100.0)
+  }
+
   test("injected readings flow into details") {
     val c = Health.diskCheck(disk(42), clock)
     assert(c.details("free_percent") == "42.0")

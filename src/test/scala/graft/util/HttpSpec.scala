@@ -136,6 +136,22 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("fetchStream: a terminal 404 fails once, never retried as transport error") {
+    Http.closeAllSessions()
+    withServer { (server, base) =>
+      val hits = new AtomicInteger(0)
+      server.createContext("/nope", (ex: HttpExchange) => {
+        hits.incrementAndGet()
+        respond(ex, 404, Array.empty)
+      })
+      val e = intercept[Http.HttpStatusError] {
+        Http.fetchStream(s"$base/nope", fastCfg)
+      }
+      assert(e.status == 404 && hits.get() == 1,
+        "a definitive server answer must not ride the IOException retry leg")
+    }
+  }
+
   test("landUrl rejects a path-traversal Content-Disposition name") {
     Http.closeAllSessions()
     withServer { (server, base) =>
