@@ -1801,19 +1801,26 @@ object SparkEntry {
   // contract. Runtime confs are not inherited by newSession(), so the
   // two graft runtime knobs (state-store provider, checkpoint dir) are
   // copied across at creation; builder-time options inherit normally.
+  // WEAK keys: a driver cycling through many short-lived sessions must
+  // not have every stopped parent (and its child's SessionState) pinned
+  // by this static map for the JVM lifetime — entries evict with the
+  // parent session
   private val pruningSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
   private def bucketPruningSession(s: SparkSession): SparkSession =
-    pruningSessions.computeIfAbsent(s, parent => {
-      val ns = parent.newSession()
-      ns.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      Seq(graft.streaming.StateStores.ProviderKey,
-          graft.util.Checkpoints.ConfKey).foreach { key =>
-        parent.conf.getOption(key).foreach(ns.conf.set(key, _))
+    pruningSessions.synchronized {
+      Option(pruningSessions.get(s)).getOrElse {
+        val ns = s.newSession()
+        ns.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        Seq(graft.streaming.StateStores.ProviderKey,
+            graft.util.Checkpoints.ConfKey).foreach { key =>
+          s.conf.getOption(key).foreach(ns.conf.set(key, _))
+        }
+        graft.plans.GraftExtensions.install(ns)
+        pruningSessions.put(s, ns)
+        ns
       }
-      graft.plans.GraftExtensions.install(ns)
-      ns
-    })
+    }
 
   /** [[rawQueries]] with the bucket-pruning queries routed onto the
     * dedicated child session; every other query gets the caller's

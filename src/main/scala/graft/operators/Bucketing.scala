@@ -95,7 +95,14 @@ object Bucketing {
     val spark   = df.sparkSession
     val key     = layoutKey(df, buckets, bucketCols, srcTag, sortCols)
     val memoKey = s"${spark.sparkContext.applicationId}|$table"
-    validated.get(memoKey) == key || propsCurrent(spark, table, key)
+    validated.get(memoKey) == key || {
+      val ok = propsCurrent(spark, table, key)
+      // memoize the catalog-confirmed layout: a hot serving loop whose
+      // tables were built by a PRIOR app must pay the tableExists +
+      // SHOW TBLPROPERTIES roundtrips once, not per call
+      if (ok) validated.put(memoKey, key)
+      ok
+    }
   }
 
   def ensureBucketed(

@@ -566,17 +566,23 @@ object Dedup {
       val folded = props.get("graft.folds")
         .map(_.split(",").toSet).getOrElse(Set.empty)
       if (!folded.contains(batchTag)) {
-        val sigs = Checkpoints.stage(
+        // owned stage, released once both appends land: an ingestion
+        // loop folding batches for the session's lifetime must not
+        // accumulate one staged block per batch
+        val staged = Checkpoints.stageOwned(
           minhashSignaturesPortable(admitted, shingleN, bands * rows, seed),
           Checkpoints.configured(spark))
-        // append resolves columns BY NAME and must match the table's
-        // bucket spec exactly — same keys/counts as ensureMinhashBandIndex
-        bandKeys(sigs, bands, rows).write.mode("append").format("parquet")
-          .bucketBy(buckets, "bk").sortBy("bk")
-          .saveAsTable(bandsTable)
-        sigs.write.mode("append").format("parquet")
-          .bucketBy(buckets, "doc_id").sortBy("doc_id")
-          .saveAsTable(sigsTable)
+        try {
+          val sigs = staged.df
+          // append resolves columns BY NAME and must match the table's
+          // bucket spec exactly — same keys/counts as ensureMinhashBandIndex
+          bandKeys(sigs, bands, rows).write.mode("append").format("parquet")
+            .bucketBy(buckets, "bk").sortBy("bk")
+            .saveAsTable(bandsTable)
+          sigs.write.mode("append").format("parquet")
+            .bucketBy(buckets, "doc_id").sortBy("doc_id")
+            .saveAsTable(sigsTable)
+        } finally staged.release()
         val ledger = (folded + batchTag).toSeq.sorted.mkString(",")
           .replace("'", "''")
         spark.sql(

@@ -310,7 +310,15 @@ object Similarity {
       k: Int,
       nProbe: Int = 4,
       exclude: Option[Long] = None): DataFrame = {
-    val qq = queryVec.map(f => math.round(f.toDouble * 1000))
+    // HALF-AWAY-FROM-ZERO, matching VectorFunctions.quantize (Spark SQL
+    // round) and the oracle's DuckDB round: math.round is floor(x+0.5),
+    // which disagrees on negative halves (-62.5 → -62 vs -63) — a
+    // corpus with an exactly-representable negative half (e.g.
+    // -0.0625f) would silently rank differently on this path
+    val qq = queryVec.map { f =>
+      val d = f.toDouble * 1000
+      if (d >= 0) math.round(d) else -math.round(-d)
+    }
     val qn = qq.map(x => x * x).sum
     val cents = spark.read.parquet(s"$path/centroids")
       .select("cent_id", "cvec", "cnrm").collect()
@@ -664,10 +672,21 @@ object Similarity {
           val tmp = new org.apache.hadoop.fs.Path(
             s"$path.tmp${System.nanoTime()}")
           buildIvfIndex(embeddings, tmp.toString, nCentroids = c)
-          fs.delete(dest, true)
-          if (!fs.rename(tmp, dest))
-            throw new java.io.IOException(
-              s"could not promote IVF layout $tmp -> $dest")
+          // cross-PROCESS race (the JVM lock only covers this process):
+          // if another process promoted a complete layout while we
+          // built, ours is the redundant copy — discard it rather than
+          // deleting a layout a concurrent probe may be scanning. The
+          // layout key already carries a data fingerprint, so both
+          // builds are byte-equivalent; losing the race is benign.
+          if (fs.exists(marker)) fs.delete(tmp, true)
+          else {
+            fs.delete(dest, true)
+            if (!fs.rename(tmp, dest)) {
+              if (fs.exists(marker)) fs.delete(tmp, true) // lost at the wire
+              else throw new java.io.IOException(
+                s"could not promote IVF layout $tmp -> $dest")
+            }
+          }
         }
       }
       ivfMemo.put(memo, path)

@@ -44,8 +44,22 @@ object AnnServeStream {
     import spark.implicits._
     val zero = Seq.empty[(Long, Long, Long, Long)]
       .toDF("query_id", "rk", "vec_id", "dot")
-    IncrementalSink.drainFolded(queryBatches, zero,
-      (acc, batch) => acc.unionByName(
-        Similarity.ivfProbeBatchDf(batch.sparkSession, path, batch, k, nProbe)))
+    // owned probe maps, released when the drain returns: each batch's
+    // answers are folded into the (checkpointed, self-contained)
+    // accumulator, after which its probe-map block is dead weight — a
+    // thousand-batch drain must not accumulate a thousand blocks.
+    // Release happens AFTER drainFolded because the fold's stage of
+    // batch N runs after the fold callback returns.
+    val handles =
+      new java.util.concurrent.ConcurrentLinkedQueue[graft.util.Checkpoints.Staged]()
+    try
+      IncrementalSink.drainFolded(queryBatches, zero,
+        (acc, batch) => {
+          val (out, staged) = Similarity.ivfProbeBatchDfOwned(
+            batch.sparkSession, path, batch, k, nProbe)
+          handles.add(staged)
+          acc.unionByName(out)
+        })
+    finally handles.forEach(_.release())
   }
 }

@@ -88,12 +88,17 @@ object Health {
     def runAllChecks(): Map[String, HealthCheck] =
       checkNames.map(n => n -> runCheck(n)).toMap
 
-    /** Overall roll-up (monitoring.py:325-341). */
+    /** Overall roll-up (monitoring.py:325-341). Deliberate deviation
+      * from the reference: an UNRECOGNIZED status string from a custom
+      * check counts as unhealthy — the reference counts only the three
+      * known strings, so a check returning "degraded" (or "UNHEALTHY")
+      * would silently roll up green; fail-closed beats parity here.
+      */
     def status(): HealthStatus = {
       val all = runAllChecks()
       val h   = all.values.count(_.status == "healthy")
       val w   = all.values.count(_.status == "warning")
-      val u   = all.values.count(_.status == "unhealthy")
+      val u   = all.size - h - w
       val overall =
         if (u > 0) "unhealthy" else if (w > 0) "warning" else "healthy"
       HealthStatus(overall, clock(), all, h, w, u)

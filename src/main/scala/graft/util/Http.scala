@@ -81,7 +81,13 @@ object Http {
     }.getOrElse("default")
 
   /** Get-or-create the pooled client for a URL's origin
-    * (http_session.py:31-49 `get_session`).
+    * (http_session.py:31-49 `get_session`). Reference-parity caveat
+    * (same as `get_session(**config)`): the CONNECT-phase settings in
+    * `cfg` apply only when this call creates the client — an origin
+    * already pooled keeps its builder-time connect timeout (per-request
+    * settings — request timeout, headers, retries — always apply).
+    * Callers needing a different connect profile for one origin should
+    * `closeSession` it first.
     */
   def session(
       baseUrl: Option[String] = None,

@@ -103,39 +103,54 @@ object Landing {
       maxAgeMillis: Option[Long] = None,
       httpCfg: Http.SessionConfig = Http.SessionConfig(),
       clock: () => Long = () => System.currentTimeMillis()): (Path, Long, Boolean) = {
+    // the extractZip traversal rule applied to SERVER-influenced names:
+    // no separators, no dot-prefixed/relative names — a hostile value
+    // falls back to the generic stem rather than escaping destDir
+    def safeName(n: String): Option[String] =
+      Some(n).filter(v => v.nonEmpty && !v.contains('/') &&
+        !v.contains('\\') && !v.startsWith("."))
     val basename = {
-      val p = java.net.URI.create(url).getPath
-      val raw = Option(p).map(_.split('/').lastOption.getOrElse("")).getOrElse("")
-      if (raw.nonEmpty) java.net.URLDecoder.decode(raw, "UTF-8") else "download"
+      // URI.getPath percent-decodes ONCE; decoding again would turn a
+      // literal '%2F' segment into a separator (and '+' into a space)
+      val p = Option(java.net.URI.create(url).getPath).getOrElse("")
+      safeName(p.split('/').lastOption.getOrElse("")).getOrElse("download")
     }
-    // fast path: a prior landing of this URL is fresh — serve it with no
-    // network touch at all. The landed name may differ from the URL
-    // basename (Content-Disposition won); a sidecar records the mapping
-    // so the cache check finds it on re-runs.
+    // fast path: a prior landing of THIS URL is fresh — serve it with
+    // no network touch at all. The sidecar records (url, landed name):
+    // the name because Content-Disposition may beat the URL basename,
+    // the url because two URLs sharing a basename (a version-bumped
+    // path) must never serve each other's bytes.
     val sidecar = destDir.resolve(s".landed-$basename")
-    val knownName =
-      if (Files.isRegularFile(sidecar))
-        Some(new String(Files.readAllBytes(sidecar),
-          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
-      else None
-    val cached = destDir.resolve(knownName.getOrElse(basename))
-    val fresh = Files.exists(cached) && Files.size(cached) > 0 &&
-      maxAgeMillis.forall(a =>
-        clock() - Files.getLastModifiedTime(cached).toMillis <= a)
-    if (fresh) return (cached, Files.size(cached), true)
-    // miss: ONE streaming GET supplies the authoritative filename
-    // (Content-Disposition beats the URL basename — guarded against
-    // path separators, the extractZip traversal rule) and the bytes
+    val knownName: Option[String] =
+      if (Files.isRegularFile(sidecar)) {
+        val lines = Files.readAllLines(
+          sidecar, java.nio.charset.StandardCharsets.UTF_8)
+        if (lines.size >= 2 && lines.get(0) == url)
+          Some(lines.get(1).trim).filter(_.nonEmpty)
+        else None
+      } else None
+    knownName.foreach { name =>
+      val cached = destDir.resolve(name)
+      val fresh = Files.exists(cached) && Files.size(cached) > 0 &&
+        maxAgeMillis.forall(a =>
+          clock() - Files.getLastModifiedTime(cached).toMillis <= a)
+      if (fresh) return (cached, Files.size(cached), true)
+    }
+    // miss: ONE streaming GET supplies the authoritative filename and
+    // the bytes. A URL change invalidates the landed file even when the
+    // target name collides (maxAge -1 forces the re-stream); same-URL
+    // expiry re-streams through the normal TTL leg.
     val (_, headers, body) = Http.fetchStream(url, httpCfg)
     val name = headers.get("content-disposition")
       .flatMap(filenameFromContentDisposition)
-      .filterNot(n => n.contains('/') || n.contains('\\') || n.startsWith("."))
+      .flatMap(safeName)
       .getOrElse(basename)
+    val age = if (knownName.contains(name)) maxAgeMillis else Some(-1L)
     val out =
-      try land(() => body, destDir.resolve(name), maxAgeMillis, clock)
+      try land(() => body, destDir.resolve(name), age, clock)
       finally body.close()
-    if (name != basename)
-      Files.write(sidecar, name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(sidecar, s"$url\n$name".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
     out
   }
 

@@ -538,6 +538,27 @@ class SimilaritySpec extends SparkSpec {
     assert(viaDf == viaSeq && viaDf.nonEmpty)
   }
 
+  test("ivfProbe quantizes negative halves away from zero, matching batch + oracle") {
+    // components k/16 (k odd) make f*1000 an EXACT half-integer
+    // (1000/16 = 62.5): Spark/DuckDB round goes away from zero
+    // (-62.5 → -63) while math.round is floor(x+0.5) (→ -62) — the
+    // sequential probe must agree with the batch path on such corpora
+    val vecs = (0L until 8L).map { i =>
+      (i, Array.tabulate(4)(j => ((((i + j) % 7).toInt) - 3) / 16.0f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val tag = s"qround-${System.nanoTime()}"
+    val (path, _) = Similarity.ensureIvfIndex(emb, srcTag = tag)
+    val q = vecs(1)._2.toSeq
+    val sequential = Similarity.ivfProbe(spark, path, q, k = 5, nProbe = 4,
+        exclude = Some(1L))
+      .as[(Long, Long)].collect().toSeq
+    val batch = Similarity.ivfProbeBatch(spark, path, Seq((1L, q)), k = 5, nProbe = 4)
+      .select($"vec_id", $"dot").as[(Long, Long)].collect().toSeq
+    assert(sequential == batch && sequential.nonEmpty,
+      "dot values/order must be identical across serving paths on half-integer quanta")
+  }
+
   test("streaming micro-batched ANN serving ≡ the one-shot batch (q110 shape)") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val tag = s"annstream-${System.nanoTime()}"

@@ -59,6 +59,14 @@ class HealthSpec extends AnyFunSuite {
     assert(st2.status == "unhealthy" && st2.unhealthy == 1)
   }
 
+  test("an unrecognized status string fails closed (counts as unhealthy)") {
+    val m = new Health.Monitor(clock)
+    m.registerCheck("odd")(Health.HealthCheck("odd", "degraded", "custom", now))
+    val st = m.status()
+    assert(st.status == "unhealthy" && st.unhealthy == 1,
+      "a custom status the roll-up doesn't know must not read as green")
+  }
+
   test("default monitor runs the reference trio green on this box") {
     val st = Health.defaultMonitor().status()
     assert(st.checks.keySet == Set("system_time", "memory_usage", "disk_space"))

@@ -152,6 +152,27 @@ class HttpSpec extends AnyFunSuite {
     }
   }
 
+  test("landUrl: a changed URL with the same basename re-lands, never serves stale") {
+    Http.closeAllSessions()
+    withServer { (server, base) =>
+      Seq("v1" -> "payload-2025", "v2" -> "payload-2026").foreach { case (v, body) =>
+        server.createContext(s"/$v/data.bin", (ex: HttpExchange) =>
+          respond(ex, 200, body.getBytes))
+      }
+      val dir = Files.createTempDirectory("graft_landurl_ver")
+      // no TTL: a landed file is otherwise fresh FOREVER — only the
+      // URL-keyed sidecar makes the version bump re-land
+      val (p1, _, c1) = Landing.landUrl(s"$base/v1/data.bin", dir, None, fastCfg)
+      assert(!c1 && new String(Files.readAllBytes(p1)) == "payload-2025")
+      val (p2, _, c2) = Landing.landUrl(s"$base/v2/data.bin", dir, None, fastCfg)
+      assert(!c2 && new String(Files.readAllBytes(p2)) == "payload-2026",
+        "the v2 URL must not serve the v1 bytes cached under the same basename")
+      // and the new URL is now the cached one
+      val (_, _, c3) = Landing.landUrl(s"$base/v2/data.bin", dir, None, fastCfg)
+      assert(c3)
+    }
+  }
+
   test("landUrl rejects a path-traversal Content-Disposition name") {
     Http.closeAllSessions()
     withServer { (server, base) =>
