@@ -1774,6 +1774,29 @@ object SparkEntry {
       .orderBy("query_id", "rk")
   }
 
+  /** The CLOSED serving-index loop (the q109 fold contract, vector
+    * side): build the IVF layout on the standing corpus (every 10th
+    * vec_id held out), FOLD the held-out batch into it
+    * ([[graft.operators.Similarity.foldIntoIvfIndex]] — new vectors
+    * assigned to the STANDING centroids, O(batch) appended cell files,
+    * corpus cells untouched, idempotent per batch tag), then probe the
+    * folded index with a BATCH vector's embedding. The oracle rebuilds
+    * the assignment from scratch over corpus ∪ batch against the
+    * corpus-seeded centroids, so the gate proves fold ≡ rebuild AND
+    * that folded vectors are immediately servable — the "index that is
+    * never rebuilt, only maintained" contract for ANN serving.
+    */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch     = emb.filter(col("vec_id") % 10 === 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = s"$d#q111")
+    Similarity.foldIntoIvfIndex(batch, path, batchTag = s"$d#vbatch0")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    Similarity.ivfProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -1943,7 +1966,8 @@ object SparkEntry {
     "q107_ivf_batch"        -> (q107 _),
     "q108_neardup_stream"   -> (q108 _),
     "q109_neardup_fold"     -> (q109 _),
-    "q110_ann_stream"       -> (q110 _)
+    "q110_ann_stream"       -> (q110 _),
+    "q111_ivf_fold"         -> (q111 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3403,7 +3427,12 @@ object SparkEntry {
     "q110_ann_stream" -> q107OracleSql,
     // fold ≡ rebuild: the maintained index content vs a from-scratch
     // banding over corpus ∪ admitted (admission replayed from raw text)
-    "q109_neardup_fold" -> q109OracleSql
+    "q109_neardup_fold" -> q109OracleSql,
+    // fold ≡ rebuild for the SERVING index: probe of the folded IVF
+    // layout vs a from-scratch assignment of corpus ∪ batch to the
+    // corpus-seeded centroids (C and seeds from the corpus alone —
+    // folding never moves centroids)
+    "q111_ivf_fold" -> q111OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
@@ -3494,5 +3523,38 @@ object SparkEntry {
          |   FROM cand)
          |SELECT query_id, rk, vec_id, dot FROM ranked WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin.replaceAll("\n", " ")
+    }
+
+    // the q51 machinery with the INDEX LINEAGE split: C and the seed
+    // centroids derive from the CORPUS alone (vec_id % 10 <> 0 — what
+    // ensureIvfIndex saw), while the assignment covers corpus ∪ batch
+    // (what the folded layout holds). Query = vec 0, a BATCH member:
+    // green requires the folded vectors to be both indexed and
+    // servable, and the fold to equal this from-scratch rebuild.
+    private lazy val q111OracleSql: String = {
+      def cosSql(dot: String, na: String, nb: String) =
+        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+      s"""WITH nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
+         |   ELSE LEAST(65536, GREATEST(4,
+         |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
+         |   FROM embeddings WHERE vec_id % 10 <> 0),
+         | b AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm
+         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+         | c AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b
+         |   WHERE vec_id % 10 <> 0 AND vec_id < (SELECT c FROM nc)),
+         | qq AS (SELECT q AS qvec, nrm AS qn FROM b WHERE vec_id = 0),
+         | asg AS (SELECT vec_id, q, nrm, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |     ${cosSql(qdotSql("q", "cvec"), "nrm", "cnrm")} DESC, cent_id DESC) AS rn
+         |   FROM b CROSS JOIN c),
+         | probes AS (SELECT cent_id FROM c CROSS JOIN qq
+         |   ORDER BY ${cosSql(qdotSql("cvec", "qvec"), "cnrm", "qn")} DESC, cent_id DESC
+         |   LIMIT 4),
+         | cand AS (SELECT a.vec_id, ${qdotSql("a.q", "qq.qvec")} AS dot, a.nrm, qq.qn
+         |          FROM asg a JOIN probes USING (cent_id) CROSS JOIN qq
+         |          WHERE a.rn = 1 AND a.vec_id <> 0)
+         |SELECT vec_id, dot FROM cand
+         |ORDER BY ${cosSql("dot", "nrm", "qn")} DESC, vec_id
+         |LIMIT 10""".stripMargin.replaceAll("\n", " ")
     }
 }

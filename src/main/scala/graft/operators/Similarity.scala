@@ -527,6 +527,8 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
   private val ivfMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfFoldMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // per-layout build locks (the ResponseCache anti-stampede pattern):
   // concurrent ensure calls on the same layout build it once; the
   // winner's double-check inside the lock makes the loser a no-op
@@ -692,6 +694,68 @@ object Similarity {
       ivfMemo.put(memo, path)
     }
     (path, c)
+  }
+
+  /** Incremental VECTOR ingestion into a standing [[ensureIvfIndex]]
+    * layout — the [[Dedup.foldIntoMinhashBandIndex]] contract applied
+    * to the serving index: new vectors are quantized, assigned to the
+    * EXISTING centroids (one broadcast pass, O(|batch|·C) executor
+    * work), and appended as new cell files — O(|batch|) rows written,
+    * the corpus cells never re-read or rewritten, so the next probe
+    * serves corpus ∪ batch from the same partition-pruned scan. The
+    * maintained index is BY CONSTRUCTION the assignment of every
+    * vector to the standing centroids (SimilaritySpec pins fold ≡
+    * [[assignToCentroids]] over the union); centroids only move on a
+    * full [[ensureIvfIndex]] rebuild (new srcTag / fingerprint), which
+    * also serves as small-file compaction after many folds — standard
+    * IVF maintenance semantics (insert-into-cell, re-train offline).
+    *
+    * Idempotent per `batchTag`: folded tags are recorded as marker
+    * files under `path/folds/` (md5 of the tag — fs-safe), checked
+    * through the Hadoop FileSystem API under the per-layout lock, so a
+    * replayed ingestion batch (driver retry, at-least-once upstream) is
+    * a no-op in this and in any later process. Caller contract: the
+    * batch holds NEW vec_ids only — re-folding an indexed id is the
+    * caller's bug, same as any append sink.
+    */
+  def foldIntoIvfIndex(
+      newVecs: DataFrame,
+      path: String,
+      batchTag: String): Unit = {
+    val spark   = newVecs.sparkSession
+    val memoKey = s"${spark.sparkContext.applicationId}|$path|fold|$batchTag"
+    if (ivfFoldMemo.contains(memoKey)) return
+    lockFor(s"$path#fold").synchronized {
+      if (ivfFoldMemo.contains(memoKey)) return
+      val tagHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(batchTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val marker =
+        new org.apache.hadoop.fs.Path(path, s"folds/$tagHash")
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        val cents = spark.read.parquet(s"$path/centroids")
+          .select("cent_id", "cvec", "cnrm")
+        val b = newVecs
+          .select(col("vec_id"),
+            VectorFunctions.quantize(col("embedding")).as("q"))
+          .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
+        assignToCentroids(b, cents)
+          .select("vec_id", "cent_id", "q", "nrm")
+          .write.mode("append").partitionBy("cent_id")
+          .parquet(s"$path/cells")
+        // marker AFTER the append lands (same ordering as the MinHash
+        // fold ledger): a crash in between replays the batch — callers
+        // needing exactly-once must rebuild, as with any append sink
+        fs.mkdirs(marker.getParent)
+        val out = fs.create(marker, true)
+        try out.write(batchTag.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      ivfFoldMemo.add(memoKey)
+      ()
+    }
   }
 
   /** Oracle-checkable cosine near-dup pairs: LSH bucket collisions over

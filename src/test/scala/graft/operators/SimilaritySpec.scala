@@ -559,6 +559,58 @@ class SimilaritySpec extends SparkSpec {
       "dot values/order must be identical across serving paths on half-integer quanta")
   }
 
+  test("foldIntoIvfIndex: fold ≡ union assignment, append-only, idempotent, servable") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0)
+    val tag    = s"ivffold-${System.nanoTime()}"
+    val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = tag)
+    def cellFiles: Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/cells"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val before = cellFiles
+    Similarity.foldIntoIvfIndex(batch, path, batchTag = "b1")
+    val after = cellFiles
+    assert(before.subsetOf(after) && after.size > before.size,
+      "fold must append new cell files, never rewrite the corpus cells")
+    // fold ≡ from-scratch assignment of corpus ∪ batch to the STANDING
+    // centroids — the maintained-index contract
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cent_id", "cvec", "cnrm")
+    val all = emb
+      .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+      .withColumn("nrm", VectorFunctions.qdot($"q", $"q"))
+    val want = Similarity.assignToCentroids(all, cents)
+      .select($"vec_id", $"cent_id", $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    val got = spark.read.parquet(s"$path/cells")
+      .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want, "folded cells must equal the union assignment")
+    // replay via the app memo: no new files
+    Similarity.foldIntoIvfIndex(batch, path, batchTag = "b1")
+    assert(cellFiles == after)
+    // fresh-JVM-shaped replay (memo cold, marker present): preburn the
+    // marker for a NEW tag, then fold under it — still a no-op
+    val tagHash = java.security.MessageDigest.getInstance("MD5")
+      .digest("preburned".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val m = new java.io.File(s"$path/folds/$tagHash")
+    m.getParentFile.mkdirs()
+    java.nio.file.Files.write(m.toPath, "preburned".getBytes("UTF-8"))
+    Similarity.foldIntoIvfIndex(batch, path, batchTag = "preburned")
+    assert(cellFiles == after, "a tag already in the fold ledger must not re-append")
+    // a folded vector is immediately servable: its own embedding finds it
+    val qv = emb.filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+    val top = Similarity.ivfProbe(spark, path, qv.toSeq, k = 1, nProbe = 4)
+      .as[(Long, Long)].head()
+    assert(top._1 == 0L, "the folded vector must be served as its own nearest neighbor")
+  }
+
   test("streaming micro-batched ANN serving ≡ the one-shot batch (q110 shape)") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val tag = s"annstream-${System.nanoTime()}"
