@@ -1797,6 +1797,31 @@ object SparkEntry {
     Similarity.ivfProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
   }
 
+  /** q111's semantics through a REAL Structured Streaming query
+    * ([[graft.streaming.AnnIngestStream]]): the new-vector batch
+    * arrives as TWO micro-batches of a foreachBatch stream, each folded
+    * into the standing IVF layout keyed on the stream's real batchId
+    * (at-least-once delivery → exactly-once index effect via the fold
+    * ledger). Assignments are independent rows, so the folded index is
+    * identical to the one-shot fold — the SAME oracle as q111 gates
+    * stream ≡ batch for index maintenance (the q106/q108 symmetry,
+    * serving-index side).
+    */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = s"$d#q112")
+    val newVecs   = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding")
+    graft.streaming.AnnIngestStream.drainIngest(
+      Seq(newVecs.filter(col("vec_id") % 20 === 0),
+          newVecs.filter(col("vec_id") % 20 =!= 0)),
+      path, tagPrefix = s"$d#q112")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    Similarity.ivfProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -1967,7 +1992,8 @@ object SparkEntry {
     "q108_neardup_stream"   -> (q108 _),
     "q109_neardup_fold"     -> (q109 _),
     "q110_ann_stream"       -> (q110 _),
-    "q111_ivf_fold"         -> (q111 _)
+    "q111_ivf_fold"         -> (q111 _),
+    "q112_ivf_ingest_stream" -> (q112 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3432,7 +3458,11 @@ object SparkEntry {
     // layout vs a from-scratch assignment of corpus ∪ batch to the
     // corpus-seeded centroids (C and seeds from the corpus alone —
     // folding never moves centroids)
-    "q111_ivf_fold" -> q111OracleSql
+    "q111_ivf_fold" -> q111OracleSql,
+    // stream ≡ batch for index MAINTENANCE: micro-batched folds must
+    // yield the identical index (assignments are independent rows) —
+    // q111's oracle verbatim
+    "q112_ivf_ingest_stream" -> q111OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):

@@ -37,6 +37,52 @@ private[graft] object IncrementalSink {
     require(batches.nonEmpty, "at least one input batch required")
     val spark = batches.head.sparkSession
     val ckptDir = checkpointDir.orElse(graft.util.Checkpoints.configured(spark))
+    drainFoldedImpl(batches, zero, fold, ckptDir)
+  }
+
+  /** Drain `batches` through a foreachBatch stream whose sink is a
+    * SIDE EFFECT (an index fold, an external append) rather than a
+    * folded accumulator. The sink receives Structured Streaming's REAL
+    * `batchId` — the stable identity a retried micro-batch keeps — so
+    * an idempotence ledger keyed on it (the
+    * [[graft.operators.Similarity.foldIntoIvfIndex]] /
+    * [[graft.operators.Dedup.foldIntoMinhashBandIndex]] batch-tag
+    * contract) turns foreachBatch's at-least-once delivery into an
+    * exactly-once effect.
+    */
+  def drainEach(
+      batches: Seq[DataFrame],
+      sink: (DataFrame, Long) => Unit): Unit = {
+    require(batches.nonEmpty, "at least one input batch required")
+    drive(batches) { (batch, id) => sink(batch, id) }
+  }
+
+  private def drainFoldedImpl(
+      batches: Seq[DataFrame],
+      zero: DataFrame,
+      fold: (DataFrame, DataFrame) => DataFrame,
+      ckptDir: Option[String]): DataFrame = {
+    // AtomicReference, not a var: the fold runs on the stream-execution
+    // thread and the result is read on the caller's thread — the
+    // progress lock inside processAllAvailable happens to order the
+    // two, but the atomic makes the cross-thread handoff explicit
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      graft.util.Checkpoints.stage(zero, ckptDir))
+    drive(batches) { (batch, _) =>
+      // eager checkpoint: materialize the fold NOW, cut the lineage
+      acc.set(graft.util.Checkpoints.stage(fold(acc.get(), batch), ckptDir))
+    }
+    acc.get()
+  }
+
+  /** The shared harness: stage each input frame as one parquet file,
+    * run a real AvailableNow foreachBatch stream with
+    * `maxFilesPerTrigger=1` (one file → one REAL micro-batch), hand
+    * each (micro-batch, batchId) to `sink`, clean up the staging dir.
+    */
+  private def drive(
+      batches: Seq[DataFrame])(sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = batches.head.sparkSession
     val shm = java.nio.file.Paths.get("/dev/shm")
     val dir =
       if (java.nio.file.Files.isWritable(shm) &&
@@ -49,23 +95,16 @@ private[graft] object IncrementalSink {
     val drainSession = spark.newSession()
     drainSession.conf.set("spark.sql.shuffle.partitions",
       math.max(4, spark.sparkContext.defaultParallelism / 4).toString)
-    // no stateful operator here (the fold is driver-managed), but the
+    // no stateful operator here (the sink is driver-managed), but the
     // provider knob propagates for uniformity with FileStreamDrain
     StateStores.propagate(spark, drainSession)
-    // AtomicReference, not a var: the fold runs on the stream-execution
-    // thread and the result is read on the caller's thread — the
-    // progress lock inside processAllAvailable happens to order the
-    // two, but the atomic makes the cross-thread handoff explicit
-    val acc = new java.util.concurrent.atomic.AtomicReference(
-      graft.util.Checkpoints.stage(zero, ckptDir))
     val q = drainSession.readStream
       .schema(batches.head.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/*.parquet")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // eager checkpoint: materialize the fold NOW, cut the lineage
-        acc.set(graft.util.Checkpoints.stage(fold(acc.get(), batch), ckptDir))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(batch, id)
         ()
       }
       .option("checkpointLocation", s"$dir/_ckpt")
@@ -76,7 +115,6 @@ private[graft] object IncrementalSink {
       .start()
     try {
       q.awaitTermination()
-      acc.get()
     } finally {
       q.stop()
       scala.util.Try {

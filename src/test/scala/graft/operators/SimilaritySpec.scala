@@ -611,6 +611,33 @@ class SimilaritySpec extends SparkSpec {
     assert(top._1 == 0L, "the folded vector must be served as its own nearest neighbor")
   }
 
+  test("streaming vector ingestion ≡ the one-shot fold (q112 shape)") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    // one-shot fold on index A
+    val (pathA, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"ingestA-${System.nanoTime()}")
+    Similarity.foldIntoIvfIndex(batch, pathA, batchTag = "oneshot")
+    // streaming fold on index B (same corpus → identical centroids)
+    val (pathB, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"ingestB-${System.nanoTime()}")
+    graft.streaming.AnnIngestStream.drainIngest(
+      Seq(batch.filter($"vec_id" % 20 === 0), batch.filter($"vec_id" % 20 =!= 0)),
+      pathB, tagPrefix = "t")
+    def cells(p: String) = spark.read.parquet(s"$p/cells")
+      .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    assert(cells(pathA) == cells(pathB),
+      "micro-batch boundaries must be invisible in the folded index")
+    // replaying the whole stream re-issues the same batchId tags — the
+    // persisted fold ledger makes it a no-op, not a double-append
+    graft.streaming.AnnIngestStream.drainIngest(
+      Seq(batch.filter($"vec_id" % 20 === 0), batch.filter($"vec_id" % 20 =!= 0)),
+      pathB, tagPrefix = "t")
+    assert(cells(pathA) == cells(pathB), "a replayed stream must not re-append")
+  }
+
   test("streaming micro-batched ANN serving ≡ the one-shot batch (q110 shape)") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val tag = s"annstream-${System.nanoTime()}"
