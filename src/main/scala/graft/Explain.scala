@@ -45,7 +45,13 @@ object Explain {
     // batched IVF serving: the plan must show the broadcast probe map +
     // query-partitioned windows over ONE partition-pruned cells scan —
     // no driver-side ranking anywhere
-    "q107_ivf_batch")
+    "q107_ivf_batch",
+    // the IVF fold's distributed half (q111/q112 run it inside a write;
+    // this probe shape exposes the plan): ONE broadcast nested-loop
+    // assignment over the batch with a map-side-combined argmax — the
+    // batch is the only exchange payload, the corpus cells appear
+    // nowhere
+    "p03_ivf_fold_uncapped")
 
   /** Strip run-dependent counters so committed dumps diff cleanly:
     * expression ids, codegen stage ids, plan ids, temp-view uuids.
@@ -72,8 +78,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.install(spark)
+    val all = SparkEntry.queries ++ SparkEntry.probeQueries
     val plans = names.map { n =>
-      n -> normalize(SparkEntry.queries(n)(spark, sfDir)
+      n -> normalize(all(n)(spark, sfDir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))).trim
     }
     out match {

@@ -2046,6 +2046,22 @@ object SparkEntry {
         srcTag = d)
       graft.operators.Dedup.incrementalNearDupPairs(
         docs.filter(col("doc_id") % 100 === 0), bt, st)
+    }),
+    // the IVF-fold twins (q111's scale claim): the fold's distributed
+    // work for the full 10% vector batch vs a tenth of it, against the
+    // SAME standing corpus index — shuffle must track |batch| and the
+    // corpus cells must never ride an exchange
+    "p03_ivf_fold_uncapped" -> ((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val (path, _) = Similarity.ensureIvfIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), srcTag = s"$d#p03")
+      Similarity.foldAssignment(emb.filter(col("vec_id") % 10 === 0), path)
+    }),
+    "p04_ivf_fold_tenthbatch" -> ((s: SparkSession, d: String) => {
+      val emb = t(s, d, "embeddings")
+      val (path, _) = Similarity.ensureIvfIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), srcTag = s"$d#p03")
+      Similarity.foldAssignment(emb.filter(col("vec_id") % 100 === 0), path)
     })
   )
 

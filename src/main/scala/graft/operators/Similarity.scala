@@ -718,6 +718,26 @@ object Similarity {
     * batch holds NEW vec_ids only — re-folding an indexed id is the
     * caller's bug, same as any append sink.
     */
+  /** The fold's entire DISTRIBUTED half, exposed for the shuffle-probe
+    * tooling (p03/p04): quantize the batch, broadcast-assign to the
+    * layout's standing centroids, shape for the cell append. The one
+    * exchange is the assignment's argmax groupBy — |batch| rows
+    * (map-side combined from the broadcast crossJoin), each carrying
+    * the quantized vector it is about to land in the cell file; the
+    * standing corpus cells never ride any exchange, and the append
+    * itself is shuffle-free (partitionBy writes per-task files).
+    */
+  def foldAssignment(newVecs: DataFrame, path: String): DataFrame = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cent_id", "cvec", "cnrm")
+    val b = newVecs
+      .select(col("vec_id"),
+        VectorFunctions.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
+    assignToCentroids(b, cents).select("vec_id", "cent_id", "q", "nrm")
+  }
+
   def foldIntoIvfIndex(
       newVecs: DataFrame,
       path: String,
@@ -734,14 +754,7 @@ object Similarity {
         new org.apache.hadoop.fs.Path(path, s"folds/$tagHash")
       val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(marker)) {
-        val cents = spark.read.parquet(s"$path/centroids")
-          .select("cent_id", "cvec", "cnrm")
-        val b = newVecs
-          .select(col("vec_id"),
-            VectorFunctions.quantize(col("embedding")).as("q"))
-          .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
-        assignToCentroids(b, cents)
-          .select("vec_id", "cent_id", "q", "nrm")
+        foldAssignment(newVecs, path)
           .write.mode("append").partitionBy("cent_id")
           .parquet(s"$path/cells")
         // marker AFTER the append lands (same ordering as the MinHash
