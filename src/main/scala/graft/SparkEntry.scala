@@ -1797,6 +1797,23 @@ object SparkEntry {
     Similarity.ivfProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
   }
 
+  /** Cell-occupancy telemetry over the MAINTAINED q111 index (corpus
+    * built, batch folded): per-cell vector counts — the rebuild
+    * advisor a fold-only ingestion tier watches, since folds never
+    * move centroids and drift shows up as occupancy skew. The oracle
+    * re-derives the counts from a from-scratch assignment of corpus ∪
+    * batch to the corpus-seeded centroids, so green also re-proves the
+    * folded index's cell membership, not just its probe results.
+    */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = s"$d#q111")
+    Similarity.foldIntoIvfIndex(emb.filter(col("vec_id") % 10 === 0),
+      path, batchTag = s"$d#vbatch0")
+    Similarity.ivfCellStats(s, path)
+  }
+
   /** q111's semantics through a REAL Structured Streaming query
     * ([[graft.streaming.AnnIngestStream]]): the new-vector batch
     * arrives as TWO micro-batches of a foreachBatch stream, each folded
@@ -1993,7 +2010,8 @@ object SparkEntry {
     "q109_neardup_fold"     -> (q109 _),
     "q110_ann_stream"       -> (q110 _),
     "q111_ivf_fold"         -> (q111 _),
-    "q112_ivf_ingest_stream" -> (q112 _)
+    "q112_ivf_ingest_stream" -> (q112 _),
+    "q113_ivf_cell_stats"   -> (q113 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3478,7 +3496,10 @@ object SparkEntry {
     // stream ≡ batch for index MAINTENANCE: micro-batched folds must
     // yield the identical index (assignments are independent rows) —
     // q111's oracle verbatim
-    "q112_ivf_ingest_stream" -> q111OracleSql
+    "q112_ivf_ingest_stream" -> q111OracleSql,
+    // occupancy of the maintained index ≡ group-by of the from-scratch
+    // union assignment — re-proves cell MEMBERSHIP, not just probes
+    "q113_ivf_cell_stats" -> q113OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
@@ -3602,5 +3623,26 @@ object SparkEntry {
          |SELECT vec_id, dot FROM cand
          |ORDER BY ${cosSql("dot", "nrm", "qn")} DESC, vec_id
          |LIMIT 10""".stripMargin.replaceAll("\n", " ")
+    }
+
+    // q111's lineage split (corpus-derived C and seeds, union
+    // assignment), aggregated to per-cell occupancy instead of probed
+    private lazy val q113OracleSql: String = {
+      def cosSql(dot: String, na: String, nb: String) =
+        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+      s"""WITH nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
+         |   ELSE LEAST(65536, GREATEST(4,
+         |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
+         |   FROM embeddings WHERE vec_id % 10 <> 0),
+         | b AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm
+         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+         | c AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b
+         |   WHERE vec_id % 10 <> 0 AND vec_id < (SELECT c FROM nc)),
+         | asg AS (SELECT vec_id, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |     ${cosSql(qdotSql("q", "cvec"), "nrm", "cnrm")} DESC, cent_id DESC) AS rn
+         |   FROM b CROSS JOIN c)
+         |SELECT cent_id, COUNT(*) AS n_vecs FROM asg WHERE rn = 1
+         |GROUP BY cent_id ORDER BY cent_id""".stripMargin.replaceAll("\n", " ")
     }
 }

@@ -771,6 +771,58 @@ object Similarity {
     }
   }
 
+  /** Cell-occupancy telemetry for a [[buildIvfIndex]] layout — the
+    * rebuild advisor: per-cell vector counts over the partitioned
+    * cells layout. The scan projects ZERO data columns (`cent_id` is
+    * the partition column), so the vectorized reader serves batch row
+    * counts without materializing any column data. Folds
+    * ([[foldIntoIvfIndex]]) never move centroids, so occupancy skew
+    * grows monotonically with drift between the ingested corpus and
+    * the standing centroids — when max/mean crosses the caller's
+    * threshold, rebuild ([[ensureIvfIndex]] under a new srcTag), which
+    * re-seeds centroids and compacts in one pass. Shuffle: C rows of
+    * (cent_id, partial count) — index-size independent.
+    */
+  def ivfCellStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .groupBy(col("cent_id").cast("long").as("cent_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("cent_id")
+
+  /** Small-file compaction for a fold-heavy [[buildIvfIndex]] layout:
+    * every [[foldIntoIvfIndex]] appends one file set per batch, so a
+    * long-lived ingestion tier accumulates O(batches) files per cell —
+    * this rewrites the cells to ~one file per cell (ONE shuffle of the
+    * index, the inherent compaction cost; at 100 TB run it per-cell or
+    * accept the rebuild, which compacts for free) and promotes the
+    * rewrite with the same temp-dir atomic-rename used by
+    * [[ensureIvfIndex]]. Rows, centroids and the fold ledger are
+    * untouched — a replayed old batch tag still no-ops after
+    * compaction, and probes see identical data (SimilaritySpec pins
+    * row equality and probe parity).
+    */
+  def compactIvfCells(spark: SparkSession, path: String): Unit =
+    lockFor(s"$path#fold").synchronized {
+      val cellsDir = new org.apache.hadoop.fs.Path(path, "cells")
+      val fs  = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new org.apache.hadoop.fs.Path(
+        path, s"cells.compact${System.nanoTime()}")
+      val cells = spark.read.parquet(cellsDir.toString)
+      // ≤C-row metadata table — the target partition count, so each
+      // output task holds ~one whole cell and writes ~one file for it
+      val c = spark.read.parquet(s"$path/centroids").count().toInt
+      cells
+        .repartition(math.max(c, 1), col("cent_id"))
+        .write.partitionBy("cent_id").parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(
+        path, s"cells.old${System.nanoTime()}")
+      if (!fs.rename(cellsDir, old) || !fs.rename(tmp, cellsDir))
+        throw new java.io.IOException(
+          s"could not promote compacted cells $tmp -> $cellsDir")
+      fs.delete(old, true)
+      ()
+    }
+
   /** Oracle-checkable cosine near-dup pairs: LSH bucket collisions over
     * quantized vectors; the threshold `cos ≥ m/1000` is decided by the
     * exact integer cross-multiplication  dot>0 ∧ den·dot² ≥ num·na·nb

@@ -611,6 +611,47 @@ class SimilaritySpec extends SparkSpec {
     assert(top._1 == 0L, "the folded vector must be served as its own nearest neighbor")
   }
 
+  test("compactIvfCells: fewer files, identical rows and probes, ledger survives") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"compact-${System.nanoTime()}")
+    Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 20 === 0), path, "b1")
+    Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 20 =!= 0), path, "b2")
+    def cellFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/cells"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    def rows = spark.read.parquet(s"$path/cells")
+      .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    val qv = emb.filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+    def probe = Similarity.ivfProbe(spark, path, qv.toSeq, k = 10, nProbe = 4,
+      exclude = Some(0L)).as[(Long, Long)].collect().toSeq
+    val (filesBefore, rowsBefore, probeBefore) = (cellFiles, rows, probe)
+    Similarity.compactIvfCells(spark, path)
+    assert(cellFiles < filesBefore,
+      s"compaction must shrink the file count (was $filesBefore, now $cellFiles)")
+    assert(rows == rowsBefore, "compaction must not change a single row")
+    assert(probe == probeBefore, "probes must be identical after compaction")
+    // the fold ledger survives compaction (only cells/ was rewritten):
+    // a fresh JVM replaying b1/b2 would still find both markers
+    Seq("b1", "b2").foreach { tag =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(new java.io.File(s"$path/folds/$h").isFile,
+        s"fold marker for $tag must survive compaction")
+    }
+    val f = cellFiles
+    Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 20 === 0), path, "b1")
+    assert(cellFiles == f)
+  }
+
   test("streaming vector ingestion ≡ the one-shot fold (q112 shape)") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
