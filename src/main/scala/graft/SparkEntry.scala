@@ -1814,6 +1814,63 @@ object SparkEntry {
     Similarity.ivfCellStats(s, path)
   }
 
+  /** The rebuild DECISION over the maintained q111 index: q113's
+    * occupancy reduced to one row of integer drift metrics (skew =
+    * max-cell/mean occupancy, new-mass = folded fraction) plus the
+    * thresholded verdict — what an ingestion tier evaluates after each
+    * fold to choose between folding on and a [[q115]] rebuild. The
+    * oracle re-derives every metric from a from-scratch union
+    * assignment, so the decision itself is hash-gated.
+    */
+  private def q114(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = s"$d#q111")
+    Similarity.foldIntoIvfIndex(emb.filter(col("vec_id") % 10 === 0),
+      path, batchTag = s"$d#vbatch0")
+    val n = Similarity.ensureCorpusStats(corpus, s"$d#q111")
+    Similarity.ivfRebuildAdvice(s, path, corpusN = n)
+  }
+
+  /** The rebuild ACT: [[graft.operators.Similarity.rebuildIvfIndex]]
+    * regenerates the layout FROM THE MAINTAINED INDEX ITSELF (re-seeded
+    * centroids from the union, C re-derived from the union count,
+    * fold small-files compacted for free), then probes it. The oracle
+    * is q51's fresh-build probe over the raw table VERBATIM — green
+    * means rebuild-from-index ≡ build-from-source, closing the index
+    * lifecycle: build (q51) → fold (q111) → monitor (q113/q114) →
+    * rebuild (q115).
+    */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = s"$d#q111")
+    Similarity.foldIntoIvfIndex(emb.filter(col("vec_id") % 10 === 0),
+      path, batchTag = s"$d#vbatch0")
+    val rebuilt = Similarity.rebuildIvfIndex(s, path, s"$path-rebuilt")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    Similarity.ivfProbe(s, rebuilt, q, k = 10, nProbe = 4, exclude = Some(0L))
+  }
+
+  /** Product-quantization encoding ([[graft.operators.Similarity
+    * .pqEncode]]): every embedding compressed to 4 codeword ids (4
+    * subspaces × 16-entry codebooks over the fixed-point quantization,
+    * exact integer squared-L2 assignment). The oracle replays the
+    * slicing, seeding and argmin in DuckDB — codes are deterministic
+    * integers, so the whole compressed corpus is hash-gated.
+    */
+  private def q116(s: SparkSession, d: String): DataFrame =
+    Similarity.pqEncode(t(s, d, "embeddings"))
+
+  /** Asymmetric-distance top-k over the PQ codes ([[graft.operators
+    * .Similarity.pqAdcTopK]]): the query keeps exact subvectors, each
+    * corpus vector is m table lookups — the scan reads CODES, never
+    * vectors. All-BIGINT distances, ties by vec_id.
+    */
+  private def q117(s: SparkSession, d: String): DataFrame =
+    Similarity.pqAdcTopK(t(s, d, "embeddings"), queryId = 0L, k = 10)
+
   /** q111's semantics through a REAL Structured Streaming query
     * ([[graft.streaming.AnnIngestStream]]): the new-vector batch
     * arrives as TWO micro-batches of a foreachBatch stream, each folded
@@ -2011,7 +2068,11 @@ object SparkEntry {
     "q110_ann_stream"       -> (q110 _),
     "q111_ivf_fold"         -> (q111 _),
     "q112_ivf_ingest_stream" -> (q112 _),
-    "q113_ivf_cell_stats"   -> (q113 _)
+    "q113_ivf_cell_stats"   -> (q113 _),
+    "q114_ivf_advisor"      -> (q114 _),
+    "q115_ivf_rebuild"      -> (q115 _),
+    "q116_pq_codes"         -> (q116 _),
+    "q117_pq_adc"           -> (q117 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -2672,34 +2733,7 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin.replaceAll("\n", " "),
-    "q51_ivf_ann" -> {
-      def cosSql(dot: String, na: String, nb: String) =
-        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
-      // nc mirrors Similarity.nCentroidsForCorpus(count) in exact
-      // integer arithmetic: C = clamp(2^((bitLength(n-1)+1)//2), 4, 65536)
-      s"""WITH nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
-         |   ELSE LEAST(65536, GREATEST(4,
-         |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
-         |   FROM embeddings),
-         | b AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm
-         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
-         | c AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b
-         |   WHERE vec_id < (SELECT c FROM nc)),
-         | qq AS (SELECT q AS qvec, nrm AS qn FROM b WHERE vec_id = 0),
-         | asg AS (SELECT vec_id, q, nrm, cent_id,
-         |   row_number() OVER (PARTITION BY vec_id ORDER BY
-         |     ${cosSql(qdotSql("q", "cvec"), "nrm", "cnrm")} DESC, cent_id DESC) AS rn
-         |   FROM b CROSS JOIN c),
-         | probes AS (SELECT cent_id FROM c CROSS JOIN qq
-         |   ORDER BY ${cosSql(qdotSql("cvec", "qvec"), "cnrm", "qn")} DESC, cent_id DESC
-         |   LIMIT 4),
-         | cand AS (SELECT a.vec_id, ${qdotSql("a.q", "qq.qvec")} AS dot, a.nrm, qq.qn
-         |          FROM asg a JOIN probes USING (cent_id) CROSS JOIN qq
-         |          WHERE a.rn = 1 AND a.vec_id <> 0)
-         |SELECT vec_id, dot FROM cand
-         |ORDER BY ${cosSql("dot", "nrm", "qn")} DESC, vec_id
-         |LIMIT 10""".stripMargin.replaceAll("\n", " ")
-    },
+    "q51_ivf_ann" -> q51OracleSql,
     "q52_salted_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_items,
          | CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents
@@ -3499,7 +3533,15 @@ object SparkEntry {
     "q112_ivf_ingest_stream" -> q111OracleSql,
     // occupancy of the maintained index ≡ group-by of the from-scratch
     // union assignment — re-proves cell MEMBERSHIP, not just probes
-    "q113_ivf_cell_stats" -> q113OracleSql
+    "q113_ivf_cell_stats" -> q113OracleSql,
+    // drift metrics + rebuild verdict re-derived from the same union
+    // assignment — the DECISION is hash-gated, not just the telemetry
+    "q114_ivf_advisor" -> q114OracleSql,
+    // rebuild-from-index ≡ build-from-source: q51's fresh-build probe
+    // over the raw table, verbatim
+    "q115_ivf_rebuild" -> q51OracleSql,
+    "q116_pq_codes" -> q116OracleSql,
+    "q117_pq_adc"   -> q117OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
@@ -3624,6 +3666,114 @@ object SparkEntry {
          |ORDER BY ${cosSql("dot", "nrm", "qn")} DESC, vec_id
          |LIMIT 10""".stripMargin.replaceAll("\n", " ")
     }
+
+    // the fresh-build IVF probe over the full table: nc mirrors
+    // Similarity.nCentroidsForCorpus(count) in exact integer arithmetic
+    // (C = clamp(2^((bitLength(n-1)+1)//2), 4, 65536)); shared by q51
+    // (build-from-source) and q115 (rebuild-from-index ≡ it)
+    private lazy val q51OracleSql: String = {
+      def cosSql(dot: String, na: String, nb: String) =
+        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+      s"""WITH nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
+         |   ELSE LEAST(65536, GREATEST(4,
+         |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
+         |   FROM embeddings),
+         | b AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm
+         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+         | c AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b
+         |   WHERE vec_id < (SELECT c FROM nc)),
+         | qq AS (SELECT q AS qvec, nrm AS qn FROM b WHERE vec_id = 0),
+         | asg AS (SELECT vec_id, q, nrm, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |     ${cosSql(qdotSql("q", "cvec"), "nrm", "cnrm")} DESC, cent_id DESC) AS rn
+         |   FROM b CROSS JOIN c),
+         | probes AS (SELECT cent_id FROM c CROSS JOIN qq
+         |   ORDER BY ${cosSql(qdotSql("cvec", "qvec"), "cnrm", "qn")} DESC, cent_id DESC
+         |   LIMIT 4),
+         | cand AS (SELECT a.vec_id, ${qdotSql("a.q", "qq.qvec")} AS dot, a.nrm, qq.qn
+         |          FROM asg a JOIN probes USING (cent_id) CROSS JOIN qq
+         |          WHERE a.rn = 1 AND a.vec_id <> 0)
+         |SELECT vec_id, dot FROM cand
+         |ORDER BY ${cosSql("dot", "nrm", "qn")} DESC, vec_id
+         |LIMIT 10""".stripMargin.replaceAll("\n", " ")
+    }
+
+    // q113's occupancy chain reduced to the one-row advisor: skew =
+    // max_cell/(n/C) and new-mass = folded/n, both in integer permille
+    // (div truncates identically on both engines), thresholds mirrored
+    // from Similarity.ivfRebuildAdvice defaults
+    private lazy val q114OracleSql: String = {
+      def cosSql(dot: String, na: String, nb: String) =
+        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+      s"""WITH nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
+         |   ELSE LEAST(65536, GREATEST(4,
+         |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
+         |   FROM embeddings WHERE vec_id % 10 <> 0),
+         | b AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm
+         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+         | c AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b
+         |   WHERE vec_id % 10 <> 0 AND vec_id < (SELECT c FROM nc)),
+         | asg AS (SELECT vec_id, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |     ${cosSql(qdotSql("q", "cvec"), "nrm", "cnrm")} DESC, cent_id DESC) AS rn
+         |   FROM b CROSS JOIN c),
+         | occ AS (SELECT cent_id, COUNT(*) AS n FROM asg WHERE rn = 1
+         |   GROUP BY cent_id),
+         | m AS (SELECT
+         |   (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+         |   (SELECT COUNT(*) FROM occ) AS n_cells,
+         |   (SELECT COUNT(*) FROM c) AS c,
+         |   (SELECT MAX(n) FROM occ) AS max_cell,
+         |   (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 <> 0) AS n_corpus)
+         |SELECT n_vecs, n_cells, c, max_cell,
+         |  (max_cell * c * 1000) // n_vecs AS skew_permille,
+         |  ((n_vecs - n_corpus) * 1000) // n_vecs AS new_mass_permille,
+         |  CAST(CASE WHEN (max_cell * c * 1000) // n_vecs >= 2000
+         |    OR ((n_vecs - n_corpus) * 1000) // n_vecs >= 500
+         |    THEN 1 ELSE 0 END AS BIGINT) AS rebuild
+         |FROM m""".stripMargin.replaceAll("\n", " ")
+    }
+
+    // shared PQ CTE chain (q116/q117): 4×16-dim slices of the
+    // fixed-point quantization, codebooks seeded from vec_id < 16,
+    // argmin by exact integer squared L2 (na + nb - 2·dot), ties →
+    // smaller code_id — mirrors Similarity.pqAssignments
+    private lazy val pqAsgCtes: String =
+      s"""b AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
+         | sv AS (SELECT vec_id, s.sub,
+         |   list_slice(q, s.sub*16 + 1, s.sub*16 + 16) AS sq
+         |   FROM b, (SELECT unnest(generate_series(0, 3)) AS sub) s),
+         | sv2 AS (SELECT vec_id, sub, sq, ${qdotSql("sq", "sq")} AS snrm
+         |   FROM sv),
+         | cb AS (SELECT sub, vec_id AS code_id, sq AS cvec, snrm AS cnrm
+         |   FROM sv2 WHERE vec_id < 16),
+         | asg AS (SELECT v.vec_id, v.sub, cb.code_id,
+         |   row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+         |     (v.snrm + cb.cnrm - 2*${qdotSql("v.sq", "cb.cvec")}) ASC,
+         |     cb.code_id ASC) AS rn
+         |   FROM sv2 v JOIN cb USING (sub))""".stripMargin
+
+    private lazy val q116OracleSql: String =
+      s"""WITH $pqAsgCtes
+         |SELECT vec_id,
+         |  MAX(CASE WHEN sub = 0 THEN code_id END) AS c0,
+         |  MAX(CASE WHEN sub = 1 THEN code_id END) AS c1,
+         |  MAX(CASE WHEN sub = 2 THEN code_id END) AS c2,
+         |  MAX(CASE WHEN sub = 3 THEN code_id END) AS c3
+         |FROM asg WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""
+        .stripMargin.replaceAll("\n", " ")
+
+    private lazy val q117OracleSql: String =
+      s"""WITH $pqAsgCtes,
+         | qs AS (SELECT sub, sq AS qv, snrm AS qn FROM sv2 WHERE vec_id = 0),
+         | lut AS (SELECT cb.sub, cb.code_id,
+         |   (qs.qn + cb.cnrm - 2*${qdotSql("qs.qv", "cb.cvec")}) AS pd
+         |   FROM cb JOIN qs USING (sub)),
+         | ad AS (SELECT a.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adist
+         |   FROM asg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
+         |   WHERE a.rn = 1 AND a.vec_id <> 0 GROUP BY a.vec_id)
+         |SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT 10"""
+        .stripMargin.replaceAll("\n", " ")
 
     // q111's lineage split (corpus-derived C and seeds, union
     // assignment), aggregated to per-cell occupancy instead of probed

@@ -823,6 +823,191 @@ object Similarity {
       ()
     }
 
+  /** Rebuild advisor over a maintained (built + folded) IVF layout:
+    * ONE row of integer drift metrics plus the rebuild decision under
+    * the caller's thresholds. `skew_permille` = max-cell occupancy over
+    * the mean (n/C) in permille — folds never move centroids, so a
+    * drifting ingest stream piles into few cells and this ratio grows;
+    * `new_mass_permille` = folded fraction of the index — past ~half
+    * the corpus, the one-pass rebuild (re-seed, reassign, compact)
+    * costs less than the recall it recovers. `corpusN` is the build-
+    * time corpus count, INGEST-LEDGER METADATA ([[ensureCorpusStats]]
+    * — a memoized sidecar read, never a scan). Plan: the zero-column
+    * occupancy scan of [[ivfCellStats]] aggregated to one row, cross-
+    * joined with the ≤C-row centroid count — shuffle is C count rows,
+    * index-size independent, so an ingestion tier can run this after
+    * every fold.
+    */
+  def ivfRebuildAdvice(
+      spark: SparkSession,
+      path: String,
+      corpusN: Long,
+      skewPermilleMax: Long = 2000L,
+      newMassPermilleMax: Long = 500L): DataFrame =
+    ivfCellStats(spark, path)
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        count(lit(1)).as("n_cells"),
+        max(col("n_vecs")).as("max_cell"))
+      .crossJoin(
+        spark.read.parquet(s"$path/centroids").agg(count(lit(1)).as("c")))
+      .withColumn("skew_permille",
+        expr("(max_cell * c * 1000) div n_vecs"))
+      .withColumn("new_mass_permille",
+        expr(s"((n_vecs - ${corpusN}L) * 1000) div n_vecs"))
+      .withColumn("rebuild",
+        when(col("skew_permille") >= skewPermilleMax ||
+          col("new_mass_permille") >= newMassPermilleMax, 1L).otherwise(0L))
+      .select("n_vecs", "n_cells", "c", "max_cell",
+        "skew_permille", "new_mass_permille", "rebuild")
+
+  /** Full IVF rebuild FROM THE INDEX ITSELF — what [[ivfRebuildAdvice]]
+    * recommends: re-derive C from the maintained row count, re-seed
+    * centroids from the indexed quantized vectors (`vec_id < C`, the
+    * [[buildIvfIndex]] seeding rule), reassign every row, and promote
+    * the new layout at `dest` with the same temp-sibling atomic rename
+    * as [[ensureIvfIndex]]. Reading the CELLS (not the source table)
+    * matters at 100 TB: the index is self-contained, so maintenance
+    * never re-ingests or re-quantizes the source — and because folds
+    * preserve exactly (vec_id, q, nrm), rebuild-from-index ≡
+    * build-from-source over the union corpus (SimilaritySpec pins
+    * byte-equality of cells and centroids; q115's oracle re-derives
+    * the probe from the raw table). Cost: one broadcast assignment
+    * pass + the partitioned write — same as the original build, and it
+    * compacts fold small-files for free. Idempotent per `dest`
+    * (marker + lock), skipped when a promoted layout already exists.
+    */
+  def rebuildIvfIndex(
+      spark: SparkSession, path: String, dest: String): String = {
+    lockFor(dest).synchronized {
+      val destP  = new org.apache.hadoop.fs.Path(dest)
+      val marker = new org.apache.hadoop.fs.Path(dest, "cells/_SUCCESS")
+      val fs     = destP.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        val b = spark.read.parquet(s"$path/cells")
+          .select(col("vec_id"), col("q"), col("nrm"))
+        val c = nCentroidsForCorpus(b.count())
+        val seeds = b.filter(col("vec_id") < c)
+          .select(col("vec_id").as("cent_id"),
+            col("q").as("cvec"), col("nrm").as("cnrm"))
+        val tmp =
+          new org.apache.hadoop.fs.Path(s"$dest.tmp${System.nanoTime()}")
+        seeds.write.mode("overwrite").parquet(s"$tmp/centroids")
+        assignToCentroids(b, spark.read.parquet(s"$tmp/centroids"))
+          .write.mode("overwrite").partitionBy("cent_id")
+          .parquet(s"$tmp/cells")
+        // same cross-process promote rule as ensureIvfIndex: losing a
+        // race to an identical complete layout is benign
+        if (fs.exists(marker)) fs.delete(tmp, true)
+        else {
+          fs.delete(destP, true)
+          if (!fs.rename(tmp, destP)) {
+            if (fs.exists(marker)) fs.delete(tmp, true)
+            else throw new java.io.IOException(
+              s"could not promote rebuilt IVF layout $tmp -> $destP")
+          }
+        }
+      }
+    }
+    dest
+  }
+
+  // ---- product quantization (PQ): m subspaces × ks-codeword books ----
+
+  /** Quantized subvector rows (vec_id, sub, sq, snrm): each vector
+    * split into `m` contiguous `subDim`-wide slices of its fixed-point
+    * quantization — the PQ working form. Map-only (explode by a
+    * literal m-array, slice, fused integer dot); no shuffle.
+    */
+  private def pqSubvectors(
+      embeddings: DataFrame, m: Int, subDim: Int): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        VectorFunctions.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"),
+        explode(array((0 until m).map(lit(_)): _*)).as("sub"), col("q"))
+      .withColumn("sq", slice(col("q"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("snrm", VectorFunctions.qdot(col("sq"), col("sq")))
+      .select("vec_id", "sub", "sq", "snrm")
+
+  /** Per-subspace codebooks (sub, code_id, cvec, cnrm): the first `ks`
+    * corpus vectors' subvectors, the same deterministic seeding rule as
+    * [[buildIvfIndex]] centroids. m·ks rows — a codebook is FIXED-SIZE
+    * compression state (independent of corpus size, unlike IVF's
+    * adaptive C), always broadcastable.
+    */
+  def pqCodebooks(
+      embeddings: DataFrame,
+      m: Int = 4, ks: Int = 16, subDim: Int = 16): DataFrame =
+    pqSubvectors(embeddings.filter(col("vec_id") < ks), m, subDim)
+      .select(col("sub"), col("vec_id").as("code_id"),
+        col("sq").as("cvec"), col("snrm").as("cnrm"))
+
+  /** Per-(vector, subspace) nearest codeword by EXACT integer squared
+    * L2 — ‖a−b‖² = na + nb − 2·dot, all BIGINT, so code assignment is
+    * hash-stable on every engine (ties → smaller code_id via the
+    * struct-min). Plan: broadcast the m·ks codebook against the
+    * map-only subvector rows, then ONE map-side-combinable groupBy of
+    * n·m (vec_id, sub, code) triples — the corpus vectors themselves
+    * never ride a shuffle.
+    */
+  def pqAssignments(
+      embeddings: DataFrame, m: Int, ks: Int, subDim: Int): DataFrame =
+    pqSubvectors(embeddings, m, subDim)
+      .join(broadcast(pqCodebooks(embeddings, m, ks, subDim)), Seq("sub"))
+      .withColumn("l2", col("snrm") + col("cnrm") -
+        lit(2L) * VectorFunctions.qdot(col("sq"), col("cvec")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("l2"), col("code_id")))
+        .getField("code_id").as("code_id"))
+
+  /** PQ encoding: one row per vector with its m codeword ids as wide
+    * BIGINT columns (c0..c{m-1}) — at the defaults each 64-float
+    * vector compresses to 4 nibbles, the form a 100 TB corpus ships to
+    * the serving tier. Shuffles: the assignment groupBy plus the wide
+    * pivot-style agg, both over n·m three-int rows.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      m: Int = 4, ks: Int = 16, subDim: Int = 16): DataFrame = {
+    val wide = (0 until m).map { s0 =>
+      max(when(col("sub") === s0, col("code_id"))).as(s"c$s0")
+    }
+    pqAssignments(embeddings, m, ks, subDim)
+      .groupBy("vec_id").agg(wide.head, wide.tail: _*)
+      .orderBy("vec_id")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query keeps its
+    * exact subvectors; each corpus vector is its reconstruction from
+    * codewords, so the approximate distance is a SUM OF m TABLE
+    * LOOKUPS. Plan: build the m·ks-entry lookup table (query × each
+    * codeword's exact squared L2) and broadcast it — the scan then
+    * touches only the CODES (n·m int triples, never the vectors), one
+    * map-side-combinable sum per vec_id, TakeOrdered top-k. This is
+    * the PQ serving contract at 100 TB: vectors stay in cold storage,
+    * the hot path reads 2-byte codes. All-integer arithmetic → ties
+    * broken by vec_id identically on every engine.
+    */
+  def pqAdcTopK(
+      embeddings: DataFrame, queryId: Long, k: Int,
+      m: Int = 4, ks: Int = 16, subDim: Int = 16): DataFrame = {
+    val qs = pqSubvectors(
+        embeddings.filter(col("vec_id") === queryId), m, subDim)
+      .select(col("sub"), col("sq").as("qv"), col("snrm").as("qn"))
+    val lut = pqCodebooks(embeddings, m, ks, subDim)
+      .join(broadcast(qs), Seq("sub"))
+      .withColumn("pd", col("qn") + col("cnrm") -
+        lit(2L) * VectorFunctions.qdot(col("qv"), col("cvec")))
+      .select("sub", "code_id", "pd")
+    pqAssignments(embeddings, m, ks, subDim)
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub", "code_id"))
+      .groupBy("vec_id")
+      .agg(sum(col("pd")).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Oracle-checkable cosine near-dup pairs: LSH bucket collisions over
     * quantized vectors; the threshold `cos ≥ m/1000` is decided by the
     * exact integer cross-multiplication  dot>0 ∧ den·dot² ≥ num·na·nb

@@ -652,6 +652,95 @@ class SimilaritySpec extends SparkSpec {
     assert(cellFiles == f)
   }
 
+  test("rebuildIvfIndex: rebuild-from-index ≡ build-from-source over the union") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0)
+    val tag    = s"rebuild-${System.nanoTime()}"
+    // maintained: corpus built, batch folded (centroids stale)
+    val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = tag)
+    Similarity.foldIntoIvfIndex(batch, path, "b0")
+    val rebuilt = Similarity.rebuildIvfIndex(spark, path, s"$path-rebuilt")
+    // fresh: built from the source table over the same union
+    val (fresh, _) = Similarity.ensureIvfIndex(emb, srcTag = s"$tag-fresh")
+    def cents(p: String) = spark.read.parquet(s"$p/centroids")
+      .select($"cent_id", $"cvec", $"cnrm")
+      .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    def cells(p: String) = spark.read.parquet(s"$p/cells")
+      .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    assert(cents(rebuilt) == cents(fresh),
+      "re-seeded centroids must equal the fresh build's")
+    assert(cells(rebuilt) == cells(fresh),
+      "reassigned cells must equal the fresh build's")
+    // idempotent: a second rebuild call is a no-op on the promoted layout
+    assert(Similarity.rebuildIvfIndex(spark, path, s"$path-rebuilt") == rebuilt)
+    assert(cells(rebuilt) == cells(fresh))
+  }
+
+  test("ivfRebuildAdvice: metrics consistent with the occupancy scan") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"advice-${System.nanoTime()}")
+    Similarity.foldIntoIvfIndex(
+      emb.filter($"vec_id" % 10 === 0), path, "b0")
+    val occ = Similarity.ivfCellStats(spark, path)
+      .as[(Long, Long)].collect()
+    val c = spark.read.parquet(s"$path/centroids").count()
+    val corpusN = corpus.count()
+    val n = occ.map(_._2).sum
+    val row = Similarity.ivfRebuildAdvice(spark, path, corpusN)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val skew = occ.map(_._2).max * c * 1000 / n
+    val mass = (n - corpusN) * 1000 / n
+    assert(row == ((n, occ.length.toLong, c, occ.map(_._2).max,
+      skew, mass, if (skew >= 2000 || mass >= 500) 1L else 0L)))
+  }
+
+  test("pqEncode: codebook seeds are their own nearest codeword") {
+    val emb   = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val codes = Similarity.pqEncode(emb)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(codes.length == emb.count())
+    codes.foreach { case (_, c0, c1, c2, c3) =>
+      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0 && c < 16)) }
+    // a seed's subvectors have squared-L2 zero to their own codeword,
+    // the unique minimum (random floats; distinct subvectors)
+    codes.filter(_._1 < 16).foreach { case (id, c0, c1, c2, c3) =>
+      assert(Seq(c0, c1, c2, c3).forall(_ == id),
+        s"seed $id must encode to itself, got ($c0,$c1,$c2,$c3)") }
+  }
+
+  test("pqAdcTopK: adist is the exact LUT sum over the assigned codes") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val out = Similarity.pqAdcTopK(emb, queryId = 0L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.size == 10 && !out.exists(_._1 == 0L))
+    assert(out == out.sortBy(t => (t._2, t._1)), "ordered by (adist, vec_id)")
+    // recompute driver-side from codebooks + assignments
+    val cb = Similarity.pqCodebooks(emb)
+      .as[(Int, Long, Seq[Long], Long)].collect()
+      .map { case (s0, cid, cv, cn) => (s0, cid) -> ((cv, cn)) }.toMap
+    val asg = Similarity.pqAssignments(emb, 4, 16, 16)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (v, rs) => v -> rs.map(r => r._2 -> r._3).toMap }
+    val q = emb.filter($"vec_id" === 0L).select("embedding")
+      .as[Array[Float]].head()
+      .map(f => math.round(f.toDouble * 1000))
+    val qsub = (0 until 4).map(s0 => s0 -> q.slice(s0 * 16, s0 * 16 + 16)).toMap
+    out.foreach { case (vid, adist) =>
+      val manual = (0 until 4).map { s0 =>
+        val (cv, cn) = cb((s0, asg(vid)(s0)))
+        val qv = qsub(s0)
+        val qn = qv.map(x => x * x).sum
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        qn + cn - 2 * dot
+      }.sum
+      assert(adist == manual, s"vec $vid: adist $adist != manual $manual")
+    }
+  }
+
   test("streaming vector ingestion ≡ the one-shot fold (q112 shape)") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
