@@ -1871,6 +1871,22 @@ object SparkEntry {
   private def q117(s: SparkSession, d: String): DataFrame =
     Similarity.pqAdcTopK(t(s, d, "embeddings"), queryId = 0L, k = 10)
 
+  /** The COMPOSED serving layout ([[graft.operators.Similarity
+    * .ensureIvfPqIndex]]): IVF partition pruning over cells that store
+    * PQ CODES instead of vectors — a probe is the q51 centroid ranking
+    * plus a map-only ADC expression (m inlined-literal table lookups
+    * per row) over nProbe pruned partitions of ~2-byte payloads. The
+    * standard 100 TB ANN design; oracle replays cell membership, code
+    * assignment and the lookup-table sum end to end.
+    */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val (path, _) = Similarity.ensureIvfPqIndex(emb, srcTag = s"$d#q118")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    Similarity.ivfPqProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
+  }
+
   /** q111's semantics through a REAL Structured Streaming query
     * ([[graft.streaming.AnnIngestStream]]): the new-vector batch
     * arrives as TWO micro-batches of a foreachBatch stream, each folded
@@ -2072,7 +2088,8 @@ object SparkEntry {
     "q114_ivf_advisor"      -> (q114 _),
     "q115_ivf_rebuild"      -> (q115 _),
     "q116_pq_codes"         -> (q116 _),
-    "q117_pq_adc"           -> (q117 _)
+    "q117_pq_adc"           -> (q117 _),
+    "q118_ivfpq"            -> (q118 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3541,7 +3558,10 @@ object SparkEntry {
     // over the raw table, verbatim
     "q115_ivf_rebuild" -> q51OracleSql,
     "q116_pq_codes" -> q116OracleSql,
-    "q117_pq_adc"   -> q117OracleSql
+    "q117_pq_adc"   -> q117OracleSql,
+    // cell membership (q51's IVF chain) x code assignment (the PQ
+    // chain) x the ADC lookup-table sum, composed end to end
+    "q118_ivfpq"    -> q118OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
@@ -3774,6 +3794,42 @@ object SparkEntry {
          |   WHERE a.rn = 1 AND a.vec_id <> 0 GROUP BY a.vec_id)
          |SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT 10"""
         .stripMargin.replaceAll("\n", " ")
+
+    // IVF pruning (q51's chain, full-table seeds) composed with PQ
+    // codes (pqAsgCtes) and the ADC lookup-table sum: candidates =
+    // vectors whose cell is probed, ranked by Σ_sub lut[sub][code]
+    private lazy val q118OracleSql: String = {
+      def cosSql(dot: String, na: String, nb: String) =
+        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+      s"""WITH $pqAsgCtes,
+         | nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
+         |   ELSE LEAST(65536, GREATEST(4,
+         |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
+         |   FROM embeddings),
+         | b2 AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm FROM b),
+         | ic AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b2
+         |   WHERE vec_id < (SELECT c FROM nc)),
+         | qq AS (SELECT q AS qvec, nrm AS qn FROM b2 WHERE vec_id = 0),
+         | iasg AS (SELECT vec_id, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |     ${cosSql(qdotSql("q", "cvec"), "nrm", "cnrm")} DESC, cent_id DESC) AS rn
+         |   FROM b2 CROSS JOIN ic),
+         | probes AS (SELECT cent_id FROM ic CROSS JOIN qq
+         |   ORDER BY ${cosSql(qdotSql("cvec", "qvec"), "cnrm", "qn")} DESC, cent_id DESC
+         |   LIMIT 4),
+         | qs AS (SELECT sub, sq AS qv, snrm AS qn2 FROM sv2 WHERE vec_id = 0),
+         | lut AS (SELECT cb.sub, cb.code_id,
+         |   (qs.qn2 + cb.cnrm - 2*${qdotSql("qs.qv", "cb.cvec")}) AS pd
+         |   FROM cb JOIN qs USING (sub)),
+         | ad AS (SELECT a.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adist
+         |   FROM asg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
+         |   WHERE a.rn = 1 GROUP BY a.vec_id)
+         |SELECT i.vec_id, ad.adist FROM iasg i
+         |JOIN probes USING (cent_id) JOIN ad ON ad.vec_id = i.vec_id
+         |WHERE i.rn = 1 AND i.vec_id <> 0
+         |ORDER BY ad.adist, i.vec_id LIMIT 10"""
+        .stripMargin.replaceAll("\n", " ")
+    }
 
     // q111's lineage split (corpus-derived C and seeds, union
     // assignment), aggregated to per-cell occupancy instead of probed

@@ -1008,6 +1008,145 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- IVF-PQ: partition-pruned cells storing PQ codes ----
+
+  /** Build the composed IVF-PQ layout — THE standard serving design at
+    * 100 TB: IVF gives partition pruning (a probe touches nProbe/C of
+    * the corpus), PQ gives compression (a pruned cell row is vec_id +
+    * m code ids, ~2 bytes of payload at the defaults — the raw vectors
+    * never reach the serving tier). Cells hold (vec_id, codes)
+    * partitioned by cent_id; the ≤C-row centroid table and the m·ks
+    * codebooks land beside them. Build cost: the IVF assignment pass,
+    * the PQ assignment pass, and one n-row join of the two id streams
+    * — all corpus-linear, pay-once.
+    */
+  def buildIvfPqIndex(
+      embeddings: DataFrame,
+      path: String,
+      nCentroids: Int,
+      m: Int = 4, ks: Int = 16, subDim: Int = 16): Unit = {
+    val b = embeddings
+      .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
+      .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
+    val cents = b.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"),
+        col("q").as("cvec"), col("nrm").as("cnrm"))
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    pqCodebooks(embeddings, m, ks, subDim)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    val codes = pqAssignments(embeddings, m, ks, subDim)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code_id")))),
+        x => x.getField("code_id")).as("codes"))
+    assignToCentroids(b, readCentroids(embeddings, path))
+      .select("vec_id", "cent_id")
+      .join(codes, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/cells")
+  }
+
+  // read-back of the just-written centroid table so the assignment and
+  // the probe rank against the SAME bytes (not a re-planned frame)
+  private def readCentroids(embeddings: DataFrame, path: String): DataFrame =
+    embeddings.sparkSession.read.parquet(s"$path/centroids")
+
+  /** Idempotent IVF-PQ layout ([[ensureIvfIndex]]'s contract for the
+    * composed index): C adaptive from the staged corpus count, keyed by
+    * srcTag + data fingerprint + schema, atomic promote.
+    */
+  def ensureIvfPqIndex(
+      embeddings: DataFrame, srcTag: String): (String, Int) = {
+    val spark = embeddings.sparkSession
+    val n     = ensureCorpusStats(embeddings, srcTag)
+    val c     = nCentroidsForCorpus(n)
+    val key   = s"$srcTag|ivfpq|c=$c|fp=${inputFingerprint(embeddings)}" +
+      s"|${embeddings.schema.catalogString}"
+    val path = layoutPath(spark, "ivfpq", key)
+    val memo = s"${spark.sparkContext.applicationId}|$key"
+    if (ivfMemo.get(memo) != path) {
+      lockFor(path).synchronized {
+        val dest   = new org.apache.hadoop.fs.Path(path)
+        val marker = new org.apache.hadoop.fs.Path(path, "cells/_SUCCESS")
+        val fs     = dest.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$path.tmp${System.nanoTime()}")
+          buildIvfPqIndex(embeddings, tmp.toString, nCentroids = c)
+          if (fs.exists(marker)) fs.delete(tmp, true)
+          else {
+            fs.delete(dest, true)
+            if (!fs.rename(tmp, dest)) {
+              if (fs.exists(marker)) fs.delete(tmp, true)
+              else throw new java.io.IOException(
+                s"could not promote IVF-PQ layout $tmp -> $dest")
+            }
+          }
+        }
+      }
+      ivfMemo.put(memo, path)
+    }
+    (path, c)
+  }
+
+  /** Probe an IVF-PQ layout: [[ivfProbe]]'s driver-side centroid
+    * ranking prunes the cells scan to nProbe partitions, then ADC runs
+    * as a MAP-ONLY expression — the m·ks lookup table is computed
+    * driver-side from the tiny codebook file and inlined as literal
+    * arrays, so each scanned row costs m array-index adds, no join, no
+    * shuffle beyond the top-k partials. The scan reads (vec_id, codes)
+    * only: at 100 TB the serving tier holds ~2 bytes per vector and
+    * the exact vectors stay in cold storage (re-rank there if recall
+    * demands it). All-BIGINT distances; ties broken by vec_id — the
+    * q117 portability contract.
+    */
+  def ivfPqProbe(
+      spark: SparkSession,
+      path: String,
+      queryVec: Seq[Float],
+      k: Int,
+      nProbe: Int = 4,
+      exclude: Option[Long] = None,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
+    // same half-away-from-zero quantization as ivfProbe
+    val qq = queryVec.map { f =>
+      val d = f.toDouble * 1000
+      if (d >= 0) math.round(d) else -math.round(-d)
+    }
+    val qn = qq.map(x => x * x).sum
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cent_id", "cvec", "cnrm").collect()
+    val probeIds = cents.map { r =>
+      val cv  = r.getAs[collection.Seq[Long]]("cvec")
+      val dot = cv.iterator.zip(qq.iterator).map { case (a, b) => a * b }.sum
+      val cos = dot.toDouble / math.sqrt(r.getAs[Long]("cnrm").toDouble * qn.toDouble)
+      (cos, r.getAs[Long]("cent_id"))
+    }.sortBy { case (cos, id) => (-cos, -id) }.take(nProbe).map(_._2)
+    // the ADC lookup table: exact integer ‖q_sub − codeword‖² per
+    // (sub, code), from the m·ks-row codebook file — driver metadata
+    val lut = Array.fill(m)(collection.mutable.Map.empty[Long, Long])
+    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
+      val s0   = r.getAs[Number]("sub").intValue()
+      val cv   = r.getAs[collection.Seq[Long]]("cvec")
+      val cnrm = r.getAs[Long]("cnrm")
+      val qs   = qq.slice(s0 * subDim, s0 * subDim + subDim)
+      val dot  = qs.iterator.zip(cv.iterator).map { case (a, b) => a * b }.sum
+      val qsn  = qs.map(x => x * x).sum
+      lut(s0)(r.getAs[Long]("code_id")) = qsn + cnrm - 2 * dot
+    }
+    val lutCols = (0 until m).map { s0 =>
+      val arr = (0L until lut(s0).keys.max + 1)
+        .map(cid => lut(s0).getOrElse(cid, Long.MaxValue / (2 * m)))
+      element_at(typedlit(arr), col("codes").getItem(s0).cast("int") + 1)
+    }
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cent_id").isin(probeIds.toIndexedSeq: _*))
+    exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
+      .withColumn("adist", lutCols.reduce(_ + _))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .select("vec_id", "adist")
+      .limit(k)
+  }
+
   /** Oracle-checkable cosine near-dup pairs: LSH bucket collisions over
     * quantized vectors; the threshold `cos ≥ m/1000` is decided by the
     * exact integer cross-multiplication  dot>0 ∧ den·dot² ≥ num·na·nb

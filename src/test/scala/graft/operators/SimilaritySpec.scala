@@ -741,6 +741,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqProbe: pruned code-only scan, exact ADC distances") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (path, _) = Similarity.ensureIvfPqIndex(emb,
+      srcTag = s"ivfpq-${System.nanoTime()}")
+    val qv = emb.filter($"vec_id" === 0L).select("embedding")
+      .as[Array[Float]].head()
+    val probe = Similarity.ivfPqProbe(spark, path, qv.toSeq, k = 10,
+      nProbe = 4, exclude = Some(0L))
+    val plan = probe.queryExecution.executedPlan.toString
+    // the serving contract: partition-pruned scan, codes only (the
+    // vectors never reach the plan), map-only ADC (no join/aggregate
+    // between the scan and the top-k)
+    assert(plan.contains("PartitionFilters: [cent_id"),
+      s"expected a pruned cells scan:\n$plan")
+    assert(plan.contains("codes") && !plan.contains("cvec"),
+      s"the scan must read codes, not vectors:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"ADC must be a map-only expression:\n$plan")
+    val out = probe.as[(Long, Long)].collect().toSeq
+    assert(out.size == 10 && !out.exists(_._1 == 0L))
+    assert(out == out.sortBy(t => (t._2, t._1)))
+    // distances are the same exact integer LUT sums q117 computes —
+    // IVF-PQ results equal the global ADC ranking restricted to the
+    // vectors that share the probed cells
+    val adc = Similarity.pqAdcTopK(emb, queryId = 0L, k = emb.count().toInt)
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (vid, adist) =>
+      assert(adc(vid) == adist, s"vec $vid: ivfpq $adist != global ${adc(vid)}")
+    }
+  }
+
   test("streaming vector ingestion ≡ the one-shot fold (q112 shape)") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
