@@ -1887,6 +1887,22 @@ object SparkEntry {
     Similarity.ivfPqProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
   }
 
+  /** IVF-PQ with exact re-rank ([[graft.operators.Similarity
+    * .ivfPqProbeRerank]]): the compressed index nominates the ADC
+    * top-100, whose exact vectors are point-looked-up from the source
+    * (an `IN`-pushdown scan of ≤100 rows) and re-ranked by the
+    * portable cosine — the recipe that buys PQ's footprint without
+    * surrendering exactness on the final k.
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val (path, _) = Similarity.ensureIvfPqIndex(emb, srcTag = s"$d#q118")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    Similarity.ivfPqProbeRerank(s, path, emb, q, k = 10, kAdc = 100,
+      nProbe = 4, exclude = Some(0L))
+  }
+
   /** q111's semantics through a REAL Structured Streaming query
     * ([[graft.streaming.AnnIngestStream]]): the new-vector batch
     * arrives as TWO micro-batches of a foreachBatch stream, each folded
@@ -2089,7 +2105,8 @@ object SparkEntry {
     "q115_ivf_rebuild"      -> (q115 _),
     "q116_pq_codes"         -> (q116 _),
     "q117_pq_adc"           -> (q117 _),
-    "q118_ivfpq"            -> (q118 _)
+    "q118_ivfpq"            -> (q118 _),
+    "q119_ivfpq_rerank"     -> (q119 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3561,7 +3578,9 @@ object SparkEntry {
     "q117_pq_adc"   -> q117OracleSql,
     // cell membership (q51's IVF chain) x code assignment (the PQ
     // chain) x the ADC lookup-table sum, composed end to end
-    "q118_ivfpq"    -> q118OracleSql
+    "q118_ivfpq"    -> q118OracleSql,
+    // ADC top-100 candidates re-ranked by the exact portable cosine
+    "q119_ivfpq_rerank" -> q119OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
@@ -3797,11 +3816,13 @@ object SparkEntry {
 
     // IVF pruning (q51's chain, full-table seeds) composed with PQ
     // codes (pqAsgCtes) and the ADC lookup-table sum: candidates =
-    // vectors whose cell is probed, ranked by Σ_sub lut[sub][code]
-    private lazy val q118OracleSql: String = {
+    // vectors whose cell is probed, ranked by Σ_sub lut[sub][code].
+    // Shared by q118 (ADC top-10) and q119 (ADC top-100 → exact
+    // re-rank).
+    private lazy val ivfPqCtes: String = {
       def cosSql(dot: String, na: String, nb: String) =
         s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
-      s"""WITH $pqAsgCtes,
+      s"""$pqAsgCtes,
          | nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
          |   ELSE LEAST(65536, GREATEST(4,
          |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
@@ -3823,11 +3844,29 @@ object SparkEntry {
          |   FROM cb JOIN qs USING (sub)),
          | ad AS (SELECT a.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adist
          |   FROM asg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
-         |   WHERE a.rn = 1 GROUP BY a.vec_id)
+         |   WHERE a.rn = 1 GROUP BY a.vec_id)""".stripMargin
+    }
+
+    private lazy val q118OracleSql: String =
+      s"""WITH $ivfPqCtes
          |SELECT i.vec_id, ad.adist FROM iasg i
          |JOIN probes USING (cent_id) JOIN ad ON ad.vec_id = i.vec_id
          |WHERE i.rn = 1 AND i.vec_id <> 0
          |ORDER BY ad.adist, i.vec_id LIMIT 10"""
+        .stripMargin.replaceAll("\n", " ")
+
+    private lazy val q119OracleSql: String = {
+      def cosSql(dot: String, na: String, nb: String) =
+        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+      s"""WITH $ivfPqCtes,
+         | cand AS (SELECT i.vec_id FROM iasg i
+         |   JOIN probes USING (cent_id) JOIN ad ON ad.vec_id = i.vec_id
+         |   WHERE i.rn = 1 AND i.vec_id <> 0
+         |   ORDER BY ad.adist, i.vec_id LIMIT 100),
+         | rer AS (SELECT b2.vec_id, ${qdotSql("b2.q", "qq.qvec")} AS dot,
+         |   b2.nrm, qq.qn FROM b2 JOIN cand USING (vec_id) CROSS JOIN qq)
+         |SELECT vec_id, dot FROM rer
+         |ORDER BY ${cosSql("dot", "nrm", "qn")} DESC, vec_id LIMIT 10"""
         .stripMargin.replaceAll("\n", " ")
     }
 

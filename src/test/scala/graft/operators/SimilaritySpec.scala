@@ -772,6 +772,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqProbeRerank: exact cosines on the ADC candidates, IN-pushdown lookup") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (path, _) = Similarity.ensureIvfPqIndex(emb,
+      srcTag = s"ivfpqrr-${System.nanoTime()}")
+    val qv = emb.filter($"vec_id" === 0L).select("embedding")
+      .as[Array[Float]].head()
+    val rr = Similarity.ivfPqProbeRerank(spark, path, emb, qv.toSeq,
+      k = 10, kAdc = 100, nProbe = 4, exclude = Some(0L))
+    // the point lookup must push the candidate ids into the source scan
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"candidate fetch must be an IN-pushdown scan:\n$plan")
+    val out = rr.as[(Long, Long)].collect().toSeq
+    assert(out.size == 10 && !out.exists(_._1 == 0L))
+    // every re-ranked dot is the EXACT brute-force dot for that vector
+    val exact = Similarity.bruteForceTopKPortable(emb, 0L, emb.count().toInt)
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (vid, dot) =>
+      assert(exact(vid) == dot, s"vec $vid: rerank dot $dot != exact ${exact(vid)}")
+    }
+    // re-ranking a wider ADC sieve can only improve recall vs raw ADC
+    val exactTop = Similarity.bruteForceTopKPortable(emb, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val adcTop = Similarity.ivfPqProbe(spark, path, qv.toSeq, k = 10,
+      nProbe = 4, exclude = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val rrTop = out.map(_._1).toSet
+    assert(rrTop.count(exactTop.contains) >= adcTop.count(exactTop.contains),
+      "re-rank must not lose recall vs the raw ADC top-k")
+  }
+
   test("streaming vector ingestion ≡ the one-shot fold (q112 shape)") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
