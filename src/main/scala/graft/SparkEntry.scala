@@ -1903,6 +1903,27 @@ object SparkEntry {
       nProbe = 4, exclude = Some(0L))
   }
 
+  /** The MAINTAINED IVF-PQ index (q111's closed loop for the composed
+    * layout): build on the standing corpus, fold the held-out batch
+    * ([[graft.operators.Similarity.foldIntoIvfPqIndex]] — encoded
+    * against the STANDING codebooks and centroids, O(batch) appended
+    * code rows, corpus cells untouched, idempotent per batch tag),
+    * probe with a batch vector's embedding. The oracle re-derives
+    * books, centroids and every code from scratch with corpus-only
+    * seeding over the union — fold ≡ rebuild for the compressed
+    * serving tier.
+    */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfPqIndex(corpus, srcTag = s"$d#q120")
+    Similarity.foldIntoIvfPqIndex(emb.filter(col("vec_id") % 10 === 0),
+      path, batchTag = s"$d#pqb0")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    Similarity.ivfPqProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
+  }
+
   /** q111's semantics through a REAL Structured Streaming query
     * ([[graft.streaming.AnnIngestStream]]): the new-vector batch
     * arrives as TWO micro-batches of a foreachBatch stream, each folded
@@ -2106,7 +2127,8 @@ object SparkEntry {
     "q116_pq_codes"         -> (q116 _),
     "q117_pq_adc"           -> (q117 _),
     "q118_ivfpq"            -> (q118 _),
-    "q119_ivfpq_rerank"     -> (q119 _)
+    "q119_ivfpq_rerank"     -> (q119 _),
+    "q120_ivfpq_fold"       -> (q120 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3580,7 +3602,10 @@ object SparkEntry {
     // chain) x the ADC lookup-table sum, composed end to end
     "q118_ivfpq"    -> q118OracleSql,
     // ADC top-100 candidates re-ranked by the exact portable cosine
-    "q119_ivfpq_rerank" -> q119OracleSql
+    "q119_ivfpq_rerank" -> q119OracleSql,
+    // maintained composed index ≡ from-scratch corpus-seeded rebuild
+    // over the union — fold ≡ rebuild for the compressed serving tier
+    "q120_ivfpq_fold" -> q120OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
@@ -3773,11 +3798,14 @@ object SparkEntry {
          |FROM m""".stripMargin.replaceAll("\n", " ")
     }
 
-    // shared PQ CTE chain (q116/q117): 4×16-dim slices of the
-    // fixed-point quantization, codebooks seeded from vec_id < 16,
-    // argmin by exact integer squared L2 (na + nb - 2·dot), ties →
-    // smaller code_id — mirrors Similarity.pqAssignments
-    private lazy val pqAsgCtes: String =
+    // shared PQ CTE chain (q116/q117/q118/q119/q120): 4×16-dim slices
+    // of the fixed-point quantization, codebooks seeded from the first
+    // 16 vec_ids OF THE SEED POPULATION (`seedCond` — the full table
+    // for the one-shot queries, the standing corpus for the maintained
+    // q120 index), argmin by exact integer squared L2
+    // (na + nb - 2·dot), ties → smaller code_id — mirrors
+    // Similarity.pqAssignments / the fold's standing-codebook encode
+    private def pqAsgCtes(seedCond: String = ""): String =
       s"""b AS (SELECT vec_id, $qvecSql AS q FROM embeddings),
          | sv AS (SELECT vec_id, s.sub,
          |   list_slice(q, s.sub*16 + 1, s.sub*16 + 16) AS sq
@@ -3785,7 +3813,7 @@ object SparkEntry {
          | sv2 AS (SELECT vec_id, sub, sq, ${qdotSql("sq", "sq")} AS snrm
          |   FROM sv),
          | cb AS (SELECT sub, vec_id AS code_id, sq AS cvec, snrm AS cnrm
-         |   FROM sv2 WHERE vec_id < 16),
+         |   FROM sv2 WHERE ${seedCond}vec_id < 16),
          | asg AS (SELECT v.vec_id, v.sub, cb.code_id,
          |   row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
          |     (v.snrm + cb.cnrm - 2*${qdotSql("v.sq", "cb.cvec")}) ASC,
@@ -3793,7 +3821,7 @@ object SparkEntry {
          |   FROM sv2 v JOIN cb USING (sub))""".stripMargin
 
     private lazy val q116OracleSql: String =
-      s"""WITH $pqAsgCtes
+      s"""WITH ${pqAsgCtes()}
          |SELECT vec_id,
          |  MAX(CASE WHEN sub = 0 THEN code_id END) AS c0,
          |  MAX(CASE WHEN sub = 1 THEN code_id END) AS c1,
@@ -3803,7 +3831,7 @@ object SparkEntry {
         .stripMargin.replaceAll("\n", " ")
 
     private lazy val q117OracleSql: String =
-      s"""WITH $pqAsgCtes,
+      s"""WITH ${pqAsgCtes()},
          | qs AS (SELECT sub, sq AS qv, snrm AS qn FROM sv2 WHERE vec_id = 0),
          | lut AS (SELECT cb.sub, cb.code_id,
          |   (qs.qn + cb.cnrm - 2*${qdotSql("qs.qv", "cb.cvec")}) AS pd
@@ -3814,22 +3842,23 @@ object SparkEntry {
          |SELECT vec_id, adist FROM ad ORDER BY adist, vec_id LIMIT 10"""
         .stripMargin.replaceAll("\n", " ")
 
-    // IVF pruning (q51's chain, full-table seeds) composed with PQ
-    // codes (pqAsgCtes) and the ADC lookup-table sum: candidates =
-    // vectors whose cell is probed, ranked by Σ_sub lut[sub][code].
-    // Shared by q118 (ADC top-10) and q119 (ADC top-100 → exact
-    // re-rank).
-    private lazy val ivfPqCtes: String = {
+    // IVF pruning (q51's chain) composed with PQ codes (pqAsgCtes) and
+    // the ADC lookup-table sum: candidates = vectors whose cell is
+    // probed, ranked by Σ_sub lut[sub][code]. `seedCond` picks the
+    // seed population: the full table for the one-shot q118/q119, the
+    // standing corpus for the maintained q120 index.
+    private def ivfPqCtes(seedCond: String = ""): String = {
       def cosSql(dot: String, na: String, nb: String) =
         s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
-      s"""$pqAsgCtes,
+      val where = if (seedCond.isEmpty) "" else s" WHERE ${seedCond}TRUE"
+      s"""${pqAsgCtes(seedCond)},
          | nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
          |   ELSE LEAST(65536, GREATEST(4,
          |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
-         |   FROM embeddings),
+         |   FROM embeddings$where),
          | b2 AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm FROM b),
          | ic AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b2
-         |   WHERE vec_id < (SELECT c FROM nc)),
+         |   WHERE ${seedCond}vec_id < (SELECT c FROM nc)),
          | qq AS (SELECT q AS qvec, nrm AS qn FROM b2 WHERE vec_id = 0),
          | iasg AS (SELECT vec_id, cent_id,
          |   row_number() OVER (PARTITION BY vec_id ORDER BY
@@ -3847,8 +3876,16 @@ object SparkEntry {
          |   WHERE a.rn = 1 GROUP BY a.vec_id)""".stripMargin
     }
 
+    private lazy val q120OracleSql: String =
+      s"""WITH ${ivfPqCtes("vec_id % 10 <> 0 AND ")}
+         |SELECT i.vec_id, ad.adist FROM iasg i
+         |JOIN probes USING (cent_id) JOIN ad ON ad.vec_id = i.vec_id
+         |WHERE i.rn = 1 AND i.vec_id <> 0
+         |ORDER BY ad.adist, i.vec_id LIMIT 10"""
+        .stripMargin.replaceAll("\n", " ")
+
     private lazy val q118OracleSql: String =
-      s"""WITH $ivfPqCtes
+      s"""WITH ${ivfPqCtes()}
          |SELECT i.vec_id, ad.adist FROM iasg i
          |JOIN probes USING (cent_id) JOIN ad ON ad.vec_id = i.vec_id
          |WHERE i.rn = 1 AND i.vec_id <> 0
@@ -3858,7 +3895,7 @@ object SparkEntry {
     private lazy val q119OracleSql: String = {
       def cosSql(dot: String, na: String, nb: String) =
         s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
-      s"""WITH $ivfPqCtes,
+      s"""WITH ${ivfPqCtes()},
          | cand AS (SELECT i.vec_id FROM iasg i
          |   JOIN probes USING (cent_id) JOIN ad ON ad.vec_id = i.vec_id
          |   WHERE i.rn = 1 AND i.vec_id <> 0

@@ -1150,6 +1150,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental ingestion into a standing [[ensureIvfPqIndex]] layout
+    * — [[foldIntoIvfIndex]]'s contract for the COMPOSED index: the new
+    * batch is PQ-encoded against the STANDING codebooks (broadcast m·ks
+    * rows, never re-trained — the PQ analog of never moving centroids)
+    * and assigned to the standing IVF centroids, then appended as new
+    * cell files of (vec_id, codes). O(|batch|) rows written, corpus
+    * cells untouched, idempotent per batchTag via the same fold-ledger
+    * markers — so the serving tier ingests vectors at code size
+    * (~2 bytes each at the defaults) with zero index rewrites, and
+    * drift is governed by the same advisor/rebuild pair as plain IVF.
+    */
+  def foldIntoIvfPqIndex(
+      newVecs: DataFrame,
+      path: String,
+      batchTag: String,
+      m: Int = 4, ks: Int = 16, subDim: Int = 16): Unit = {
+    val spark   = newVecs.sparkSession
+    val memoKey =
+      s"${spark.sparkContext.applicationId}|$path|pqfold|$batchTag"
+    if (ivfFoldMemo.contains(memoKey)) return
+    lockFor(s"$path#fold").synchronized {
+      if (ivfFoldMemo.contains(memoKey)) return
+      val tagHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(batchTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val marker = new org.apache.hadoop.fs.Path(path, s"folds/$tagHash")
+      val fs     = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        val cents = spark.read.parquet(s"$path/centroids")
+          .select("cent_id", "cvec", "cnrm")
+        val cb = spark.read.parquet(s"$path/codebooks")
+        val b = newVecs
+          .select(col("vec_id"),
+            VectorFunctions.quantize(col("embedding")).as("q"))
+          .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
+        // encode against the STANDING codebooks (not pqAssignments,
+        // which would re-derive books from the batch)
+        val codes = pqSubvectors(newVecs, m, subDim)
+          .join(broadcast(cb), Seq("sub"))
+          .withColumn("l2", col("snrm") + col("cnrm") -
+            lit(2L) * VectorFunctions.qdot(col("sq"), col("cvec")))
+          .groupBy("vec_id", "sub")
+          .agg(min(struct(col("l2"), col("code_id")))
+            .getField("code_id").as("code_id"))
+          .groupBy("vec_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("sub"), col("code_id")))),
+            x => x.getField("code_id")).as("codes"))
+        assignToCentroids(b, cents)
+          .select("vec_id", "cent_id")
+          .join(codes, Seq("vec_id"))
+          .write.mode("append").partitionBy("cent_id")
+          .parquet(s"$path/cells")
+        fs.mkdirs(marker.getParent)
+        val out = fs.create(marker, true)
+        try out.write(batchTag.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      ivfFoldMemo.add(memoKey)
+      ()
+    }
+  }
+
   /** [[ivfPqProbe]] + EXACT RE-RANK — the full production recipe: the
     * compressed index nominates `kAdc` candidates by ADC (cheap, code-
     * only scan), then the exact vectors for just those ids are fetched

@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Similarity
+
+/** Small-file pressure on a fold-heavy IVF layout and what
+  * [[Similarity.compactIvfCells]] buys back
+  * (`runMain graft.tools.CompactionBench [sfDir] [nBatches]`):
+  * build the index on 90% of the corpus, fold the held-out 10% as
+  * `nBatches` separate ingestion batches (each appends one file set
+  * per touched cell — the long-lived ingestion-tier shape), measure
+  * cell-file count and steady-state probe wall, compact, re-measure.
+  * Probe results are pinned identical by SimilaritySpec; this tool
+  * measures only the file-count collapse and the scan-setup cost it
+  * removes. Prints one JSON line.
+  */
+object CompactionBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir    = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(20)
+    val cpus     = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.install(spark)
+
+    val emb    = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, c) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"$sfDir#compactbench${System.nanoTime()}")
+    // the held-out tenth arrives as nBatches separate ingestion folds
+    (0 until nBatches).foreach { i =>
+      Similarity.foldIntoIvfIndex(
+        emb.filter(col("vec_id") % 10 === 0 &&
+          col("vec_id") % (10L * nBatches) === 10L * i),
+        path, batchTag = s"cb$i")
+    }
+    def cellFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/cells"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val qv = emb.filter(col("vec_id") === 1L).select("embedding")
+      .collect().head.getSeq[Float](0).toSeq
+    def probeMedian(): Double = {
+      Similarity.ivfProbe(spark, path, qv, 10, 4, Some(1L)).count() // warm
+      val ts = (1 to 9).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.ivfProbe(spark, path, qv, 10, 4, Some(1L)).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    val filesBefore = cellFiles
+    val probeBefore = probeMedian()
+    val t0 = System.nanoTime()
+    Similarity.compactIvfCells(spark, path)
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val filesAfter = cellFiles
+    val probeAfter = probeMedian()
+    def f(d: Double) = math.round(d * 1000) / 1000.0
+    println(
+      s"""{"sf_dir":"$sfDir","n_vecs":${emb.count()},"n_centroids":$c,""" +
+      s""""n_batches":$nBatches,"files_before":$filesBefore,""" +
+      s""""files_after":$filesAfter,"compact_sec":${f(compactSec)},""" +
+      s""""probe_sec_before":${f(probeBefore)},"probe_sec_after":${f(probeAfter)}}""")
+    spark.stop()
+  }
+}

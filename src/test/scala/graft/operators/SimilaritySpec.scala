@@ -803,6 +803,38 @@ class SimilaritySpec extends SparkSpec {
       "re-rank must not lose recall vs the raw ADC top-k")
   }
 
+  test("foldIntoIvfPqIndex: standing-book encode, servable batch, replay no-op") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0)
+    val (path, _) = Similarity.ensureIvfPqIndex(corpus,
+      srcTag = s"pqfold-${System.nanoTime()}")
+    val corpusRows = spark.read.parquet(s"$path/cells").count()
+    Similarity.foldIntoIvfPqIndex(batch, path, "b0")
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.count() == emb.count(), "every union vector indexed once")
+    // folded rows carry codes from the STANDING corpus books: every
+    // code must be a corpus-seeded code_id (vec_id < 16, not %10==0)
+    val codeIds = cells.select(explode($"codes")).as[Long].collect().toSet
+    assert(codeIds.forall(c => c < 16 && c % 10 != 0),
+      s"codes must come from the corpus-seeded books, got $codeIds")
+    // a folded vector is immediately servable: its own codes are the
+    // per-subspace argmins of its exact subvectors, so no other code
+    // combination can beat it — it returns as ADC rank 1 (the distance
+    // is the quantization residual, NOT zero: ADC compares the exact
+    // query to the reconstruction)
+    val qv = emb.filter($"vec_id" === 20L).select("embedding")
+      .as[Array[Float]].head()
+    val top = Similarity.ivfPqProbe(spark, path, qv.toSeq, k = 1, nProbe = 4)
+      .as[(Long, Long)].head()
+    assert(top._1 == 20L,
+      s"folded vec must be its own ADC-nearest, got $top")
+    // replayed batch tag is a no-op
+    Similarity.foldIntoIvfPqIndex(batch, path, "b0")
+    assert(spark.read.parquet(s"$path/cells").count() == emb.count())
+    assert(corpusRows < emb.count())
+  }
+
   test("streaming vector ingestion ≡ the one-shot fold (q112 shape)") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
