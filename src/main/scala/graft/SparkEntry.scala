@@ -1949,6 +1949,45 @@ object SparkEntry {
     Similarity.ivfProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
   }
 
+  /** Batched serving over the COMPRESSED index ([[graft.operators
+    * .Similarity.ivfPqProbeBatch]]): five queries answered by ONE
+    * partition-pruned scan of code rows — distributed centroid
+    * ranking, a broadcast (query_id, sub, code, dist) lookup-table
+    * frame, map-side ADC aggregation, per-query top-k window. q107's
+    * serving-throughput shape at PQ footprint.
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val (path, _) = Similarity.ensureIvfPqIndex(emb, srcTag = s"$d#q118")
+    val qs = emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    Similarity.ivfPqProbeBatch(s, path, qs, k = 5, nProbe = 4)
+      .orderBy("query_id", "rk")
+  }
+
+  /** q120's semantics through a REAL Structured Streaming query: the
+    * new-vector batch arrives as TWO micro-batches of a foreachBatch
+    * stream, each PQ-encoded against the STANDING codebooks and folded
+    * into the compressed index ([[graft.streaming.AnnIngestStream
+    * .drainIngestPq]]); held to q120's oracle VERBATIM — code
+    * assignments are independent rows, so micro-batch boundaries are
+    * invisible in the final index.
+    */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfPqIndex(corpus, srcTag = s"$d#q121")
+    val newVecs   = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "embedding")
+    graft.streaming.AnnIngestStream.drainIngestPq(
+      Seq(newVecs.filter(col("vec_id") % 20 === 0),
+          newVecs.filter(col("vec_id") % 20 =!= 0)),
+      path, tagPrefix = s"$d#q121")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    Similarity.ivfPqProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -2128,7 +2167,9 @@ object SparkEntry {
     "q117_pq_adc"           -> (q117 _),
     "q118_ivfpq"            -> (q118 _),
     "q119_ivfpq_rerank"     -> (q119 _),
-    "q120_ivfpq_fold"       -> (q120 _)
+    "q120_ivfpq_fold"       -> (q120 _),
+    "q121_ivfpq_stream"     -> (q121 _),
+    "q122_ivfpq_batch"      -> (q122 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3605,7 +3646,13 @@ object SparkEntry {
     "q119_ivfpq_rerank" -> q119OracleSql,
     // maintained composed index ≡ from-scratch corpus-seeded rebuild
     // over the union — fold ≡ rebuild for the compressed serving tier
-    "q120_ivfpq_fold" -> q120OracleSql
+    "q120_ivfpq_fold" -> q120OracleSql,
+    // stream ≡ batch for compressed-index maintenance — q120's oracle
+    // verbatim (code assignments are independent rows)
+    "q121_ivfpq_stream" -> q120OracleSql,
+    // q107's batched-serving shape at PQ footprint: per-query probes x
+    // the per-query ADC lookup-table sum
+    "q122_ivfpq_batch" -> q122OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
@@ -3874,6 +3921,48 @@ object SparkEntry {
          | ad AS (SELECT a.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adist
          |   FROM asg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
          |   WHERE a.rn = 1 GROUP BY a.vec_id)""".stripMargin
+    }
+
+    private lazy val q122OracleSql: String = {
+      def cosSql(dot: String, na: String, nb: String) =
+        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+      s"""WITH ${pqAsgCtes()},
+         | nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
+         |   ELSE LEAST(65536, GREATEST(4,
+         |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
+         |   FROM embeddings),
+         | b2 AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm FROM b),
+         | ic AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b2
+         |   WHERE vec_id < (SELECT c FROM nc)),
+         | qs AS (SELECT vec_id AS query_id, q AS qvec, nrm AS qn FROM b2
+         |   WHERE vec_id < 5),
+         | iasg AS (SELECT vec_id, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |     ${cosSql(qdotSql("q", "cvec"), "nrm", "cnrm")} DESC, cent_id DESC) AS rn
+         |   FROM b2 CROSS JOIN ic),
+         | probes AS (SELECT query_id, cent_id FROM (
+         |   SELECT qs.query_id, ic.cent_id,
+         |     row_number() OVER (PARTITION BY qs.query_id ORDER BY
+         |       ${cosSql(qdotSql("ic.cvec", "qs.qvec"), "ic.cnrm", "qs.qn")} DESC,
+         |       ic.cent_id DESC) AS pr
+         |   FROM ic CROSS JOIN qs) WHERE pr <= 4),
+         | qsub AS (SELECT vec_id AS query_id, sub, sq, snrm FROM sv2
+         |   WHERE vec_id < 5),
+         | lut AS (SELECT qsub.query_id, cb.sub, cb.code_id,
+         |   (qsub.snrm + cb.cnrm - 2*${qdotSql("qsub.sq", "cb.cvec")}) AS pd
+         |   FROM cb JOIN qsub USING (sub)),
+         | ad AS (SELECT l.query_id, a.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adist
+         |   FROM asg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
+         |   WHERE a.rn = 1 GROUP BY l.query_id, a.vec_id),
+         | cand AS (SELECT p.query_id, i.vec_id, ad.adist
+         |   FROM iasg i JOIN probes p ON i.cent_id = p.cent_id
+         |   JOIN ad ON ad.query_id = p.query_id AND ad.vec_id = i.vec_id
+         |   WHERE i.rn = 1 AND i.vec_id <> p.query_id),
+         | ranked AS (SELECT query_id, vec_id, adist,
+         |   CAST(row_number() OVER (PARTITION BY query_id
+         |     ORDER BY adist, vec_id) AS BIGINT) AS rk FROM cand)
+         |SELECT query_id, rk, vec_id, adist FROM ranked WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin.replaceAll("\n", " ")
     }
 
     private lazy val q120OracleSql: String =

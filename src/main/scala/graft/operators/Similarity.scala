@@ -1214,6 +1214,96 @@ object Similarity {
     }
   }
 
+  /** Batched probe of an [[ensureIvfPqIndex]] layout — [[
+    * ivfProbeBatchDf]]'s serving-throughput shape for the COMPRESSED
+    * index: N queries answered by ONE partition-pruned scan of code
+    * rows. Centroid ranking is the same distributed |batch|·C pass +
+    * per-query window; the ADC lookup table becomes a BROADCAST FRAME
+    * (query_id, sub, code_id, pd) of |batch|·m·ks exact integer
+    * distances (the distributed analog of the single-probe literal
+    * arrays — ~64 rows/query at the defaults, so ~10⁵-query batches
+    * stay broadcastable; shard beyond that). Scanned code rows fan out
+    * only to the queries probing their cell, explode to m (sub, code)
+    * pairs, join the LUT map-side, and partial-agg back to one adist
+    * per (query, vec) before the per-query top-k window — every
+    * exchange bounded by batch·nProbe·cellsize·m SMALL rows, never the
+    * corpus, and the scan still reads ~2-byte payloads.
+    * Output: (query_id, rk, vec_id, adist), all BIGINT.
+    */
+  def ivfPqProbeBatchDfOwned(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true,
+      m: Int = 4, subDim: Int = 16): (DataFrame, graft.util.Checkpoints.Staged) = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cent_id", "cvec", "cnrm")
+    val qdf = queries
+      .select(col("query_id"),
+        VectorFunctions.quantize(col("emb")).as("qvec"))
+      .withColumn("qn", VectorFunctions.qdot(col("qvec"), col("qvec")))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("cent_id").desc)
+    val staged = graft.util.Checkpoints.stageOwned(
+      qdf.crossJoin(broadcast(cents))
+        .withColumn("pcos",
+          VectorFunctions.qdot(col("cvec"), col("qvec")).cast("double") /
+            sqrt(col("cnrm").cast("double") * col("qn").cast("double")))
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= nProbe)
+        .select(col("query_id"), col("cent_id")))
+    val probeMap = staged.df
+    val probedCells: Seq[Long] =
+      probeMap.select("cent_id").distinct().as[Long].collect().toIndexedSeq
+    // the batch LUT: per-query subvectors × the standing codebooks
+    val lut = qdf
+      .select(col("query_id"),
+        explode(array((0 until m).map(lit(_)): _*)).as("sub"), col("qvec"))
+      .withColumn("qsv", slice(col("qvec"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("qsn", VectorFunctions.qdot(col("qsv"), col("qsv")))
+      .join(broadcast(spark.read.parquet(s"$path/codebooks")), Seq("sub"))
+      .withColumn("pd", col("qsn") + col("cnrm") -
+        lit(2L) * VectorFunctions.qdot(col("qsv"), col("cvec")))
+      .select("query_id", "sub", "code_id", "pd")
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cent_id").isin(probedCells: _*))
+      .join(broadcast(probeMap), Seq("cent_id"))
+    val cand =
+      if (excludeSelf) cells.filter(col("vec_id") =!= col("query_id"))
+      else cells
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id"))
+    val out = cand
+      .select(col("query_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code_id")))
+      .join(broadcast(lut), Seq("query_id", "sub", "code_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pd")).as("adist"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adist"))
+    (out, staged)
+  }
+
+  /** [[ivfPqProbeBatchDfOwned]] over an in-memory query batch, staged
+    * block released implicitly with the session (convenience form —
+    * long-lived serving drivers should use the Owned variant).
+    */
+  def ivfPqProbeBatch(
+      spark: SparkSession,
+      path: String,
+      queries: Seq[(Long, Seq[Float])],
+      k: Int,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    ivfPqProbeBatchDfOwned(spark, path,
+      queries.toDF("query_id", "emb"), k, nProbe, excludeSelf)._1
+  }
+
   /** [[ivfPqProbe]] + EXACT RE-RANK — the full production recipe: the
     * compressed index nominates `kAdc` candidates by ADC (cheap, code-
     * only scan), then the exact vectors for just those ids are fetched

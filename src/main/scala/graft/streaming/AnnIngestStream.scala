@@ -46,4 +46,21 @@ object AnnIngestStream {
     IncrementalSink.drainEach(vecBatches, (batch, id) =>
       Similarity.foldIntoIvfIndex(batch, path, batchTag = s"$tagPrefix#mb$id"))
   }
+
+  /** [[drainIngest]] for the COMPRESSED serving index: each micro-batch
+    * is PQ-encoded against the layout's standing codebooks and folded
+    * via [[Similarity.foldIntoIvfPqIndex]]. Same exactly-once contract
+    * (fold ledger keyed on the real `batchId`); per micro-batch the
+    * append is |batch| CODE rows — the ingestion tier writes ~2 bytes
+    * per vector at the defaults.
+    */
+  def drainIngestPq(
+      vecBatches: Seq[DataFrame],
+      path: String,
+      tagPrefix: String): Unit = {
+    require(!tagPrefix.contains("#mb"),
+      s"tagPrefix must not contain the batch-tag separator '#mb': '$tagPrefix'")
+    IncrementalSink.drainEach(vecBatches, (batch, id) =>
+      Similarity.foldIntoIvfPqIndex(batch, path, batchTag = s"$tagPrefix#mb$id"))
+  }
 }

@@ -835,6 +835,28 @@ class SimilaritySpec extends SparkSpec {
     assert(corpusRows < emb.count())
   }
 
+  test("ivfPqProbeBatch equals N sequential ADC probes, in one pruned scan") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (path, _) = Similarity.ensureIvfPqIndex(emb,
+      srcTag = s"ivfpqbatch-${System.nanoTime()}")
+    val qs = emb.filter($"vec_id" < 5).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, v.toSeq) }.toSeq.sortBy(_._1)
+    val batch = Similarity.ivfPqProbeBatch(spark, path, qs, k = 5, nProbe = 4)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cent_id"),
+      s"expected one pruned cells scan:\n$plan")
+    val got = batch.as[(Long, Long, Long, Long)].collect().toSeq
+      .map { case (q, rk, v, d) => (q, rk, v, d) }.sorted
+    val want = qs.flatMap { case (qid, qv) =>
+      Similarity.ivfPqProbe(spark, path, qv, k = 5, nProbe = 4,
+        exclude = Some(qid))
+        .as[(Long, Long)].collect().toSeq.zipWithIndex
+        .map { case ((v, d), i) => (qid, (i + 1).toLong, v, d) }
+    }.sorted
+    assert(got == want, "batched ADC must equal the sequential probes")
+  }
+
   test("streaming vector ingestion ≡ the one-shot fold (q112 shape)") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
