@@ -51,7 +51,15 @@ object Explain {
     // assignment over the batch with a map-side-combined argmax — the
     // batch is the only exchange payload, the corpus cells appear
     // nowhere
-    "p03_ivf_fold_uncapped")
+    "p03_ivf_fold_uncapped",
+    // IVF-PQ single probe: a partition-pruned scan of (vec_id, codes)
+    // ONLY — no vector column, no join, no aggregate; ADC is m literal
+    // array lookups fused into the scan's project, then TakeOrdered
+    "q118_ivfpq",
+    // batched IVF-PQ serving: ONE pruned code scan + broadcast probe
+    // map + broadcast per-query LUT join + map-side-combined adist agg
+    // + query-partitioned top-k window
+    "q122_ivfpq_batch")
 
   /** Strip run-dependent counters so committed dumps diff cleanly:
     * expression ids, codegen stage ids, plan ids, temp-view uuids.

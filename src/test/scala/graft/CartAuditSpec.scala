@@ -36,8 +36,12 @@ class CartAuditSpec extends SparkSpec {
                                 // into the term-filtered postings (q42 shape)
     "q97_hybrid_rrf" -> 2,      // lexical leg's 1-row n_docs broadcast +
                                 // vector leg's 1-row query broadcast
-    "q100_pmi_colloc" -> 1      // 1-row bigram-total broadcast into the
+    "q100_pmi_colloc" -> 1,     // 1-row bigram-total broadcast into the
                                 // support-filtered pair table (q42 shape)
+    "q114_ivf_advisor" -> 1     // 1-row occupancy aggregate x 1-row
+                                // centroid count — both sides single
+                                // rows by construction (the advisor's
+                                // one-row metrics join)
   )
 
   test("no query has an unsanctioned condition-less join") {
