@@ -2192,6 +2192,20 @@ object SparkEntry {
     ensureQ106Index(s, d)
     // q109's own copy (the fold target — q106's stays pristine)
     ensureQ109Index(s, d)
+    // the q111/q113/q114/q115 maintained-IVF corpus layout (the folds
+    // themselves stay in-query: they ARE the measured operation)
+    Similarity.ensureIvfIndex(
+      t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
+      srcTag = s"$d#q111")
+    // IVF-PQ layouts: the one-shot serving index (q118/q119/q122) and
+    // the maintained corpus copy (q120/q121)
+    Similarity.ensureIvfPqIndex(t(s, d, "embeddings"), srcTag = s"$d#q118")
+    Similarity.ensureIvfPqIndex(
+      t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
+      srcTag = s"$d#q120")
+    Similarity.ensureIvfPqIndex(
+      t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
+      srcTag = s"$d#q121")
     ()
   }
 

@@ -30,6 +30,7 @@ object IvfPqBench {
     val nProbe   = args.lift(3).map(_.toInt).getOrElse(4)
     val ks       = args.lift(4).map(_.toInt).getOrElse(16)
     val kAdcArg  = args.lift(5).map(_.toInt)
+    val batchN   = args.lift(6).map(_.toInt).getOrElse(0)
     val cpus     = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -111,6 +112,19 @@ object IvfPqBench {
         exclude = Some(qid)).count(); ()
     }
 
+    // optional batched-serving point: batchN queries answered by ONE
+    // pruned code scan (the q122 shape) — wall for the whole batch
+    val batchedSec = if (batchN <= 0) -1.0 else {
+      val bqs = emb.filter(col("vec_id") < batchN)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+      Similarity.ivfPqProbeBatch(spark, pqPath, bqs.take(2), k, nProbe).count()
+      val t0 = System.nanoTime()
+      val n  = Similarity.ivfPqProbeBatch(spark, pqPath, bqs, k, nProbe).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      require(n > 0); dt
+    }
+
     def f(d: Double) = math.round(d * 1000) / 1000.0
     println(
       s"""{"sf_dir":"$sfDir","n_vecs":${emb.count()},"n_centroids":$c,""" +
@@ -120,7 +134,8 @@ object IvfPqBench {
       s""""ivf_probe_sec":${f(ivfSec)},"pq_probe_sec":${f(pqSec)},""" +
       s""""ivf_recall_at_$k":${f(ivfRecall)},"pq_recall_at_$k":${f(pqRecall)},""" +
       s""""rerank_k_adc":$kAdc,"rerank_probe_sec":${f(rerankSec)},""" +
-      s""""rerank_recall_at_$k":${f(rerankRecall)}}""")
+      s""""rerank_recall_at_$k":${f(rerankRecall)},""" +
+      s""""batch_n":$batchN,"batched_sec":${f(batchedSec)}}""")
     spark.stop()
   }
 }
