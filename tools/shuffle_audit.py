@@ -34,6 +34,7 @@ DEFAULT = [
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
     "q102_repetition_profile", "q103_budget_select", "q106_incr_neardup",
     "q107_ivf_batch",
+    "q118_ivfpq", "q122_ivfpq_batch",
 ]
 queries = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT
 
