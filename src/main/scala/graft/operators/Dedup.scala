@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -590,6 +590,55 @@ object Dedup {
       }
       foldMemo.add(memoKey)
       ()
+    }
+  }
+
+  /** Small-file compaction for a fold-heavy [[ensureMinhashBandIndex]]
+    * — [[graft.operators.Similarity.compactIvfCells]]'s contract for
+    * the OTHER maintained index family: every
+    * [[foldIntoMinhashBandIndex]] appends one bucket-file set per
+    * batch, so a long-lived ingestion tier accumulates O(batches)
+    * files per bucket; this rewrites both tables to ~one file per
+    * bucket (aligning the shuffle partitioner with the bucket hash so
+    * each writer task holds one whole bucket) and preserves every
+    * `graft.*` table property — the Bucketing validity key AND the
+    * fold ledger survive, so repeated ensure calls stay zero-cost and
+    * a replayed batch tag still no-ops. Rows are unchanged (DedupSpec
+    * pins row equality and pair-output parity).
+    *
+    * Caveat vs the path-layout compactor: a MANAGED bucketed table has
+    * no atomic directory rename, so the rewrite is stage (reliable
+    * checkpoint) → drop → re-save under the per-index lock. A crash
+    * between drop and re-save loses the index — acceptable for DERIVED
+    * data (the next ensure rebuilds from source); at 100 TB prefer
+    * rebuilding under a fresh tag, which compacts for free.
+    */
+  def compactMinhashBandIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      buckets: Int = 8): Unit = {
+    val bandsTable = s"${tablePrefix}_bands"
+    foldLocks.computeIfAbsent(bandsTable, _ => new Object).synchronized {
+      Seq((bandsTable, "bk"), (s"${tablePrefix}_sigs", "doc_id"))
+        .foreach { case (table, key) =>
+          val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+            .map(r => r.getString(0) -> r.getString(1))
+            .filter(_._1.startsWith("graft.")).toMap
+          val staged = Checkpoints.stageOwned(
+            spark.table(table).repartition(buckets, col(key)),
+            Checkpoints.configured(spark))
+          try {
+            spark.sql(s"DROP TABLE $table")
+            staged.df.write.format("parquet")
+              .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+          } finally staged.release()
+          props.foreach { case (k, v) =>
+            val ek = k.replace("'", "''")
+            val ev = v.replace("'", "''")
+            spark.sql(
+              s"ALTER TABLE $table SET TBLPROPERTIES('$ek'='$ev')")
+          }
+        }
     }
   }
 

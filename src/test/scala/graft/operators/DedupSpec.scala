@@ -273,6 +273,50 @@ class DedupSpec extends SparkSpec {
       "folded sigs table must equal a from-scratch rebuild over A∪B∪C")
   }
 
+  test("compactMinhashBandIndex: fewer files, identical rows, ledger survives") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val a = docs.filter($"doc_id" % 10 =!= 0)
+    val b = docs.filter($"doc_id" % 10 === 0 && $"doc_id" % 20 === 0)
+    val c = docs.filter($"doc_id" % 10 === 0 && $"doc_id" % 20 =!= 0)
+    val tag = s"compactspec-${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(a, "graft_compactspec", srcTag = tag)
+    Dedup.foldIntoMinhashBandIndex(b, "graft_compactspec", batchTag = "b1")
+    Dedup.foldIntoMinhashBandIndex(c, "graft_compactspec", batchTag = "b2")
+    def files(t: String) = spark.table(t).inputFiles.length
+    def bandsOf = spark.table(bt).select("doc_id", "bk")
+      .as[(Long, String)].collect().toSet
+    def sigsOf = spark.table(st).select("doc_id", "sig")
+      .as[(Long, Seq[Long])].collect().map { case (d, s) => (d, s.toList) }.toSet
+    val probe = docs.filter($"doc_id" < 50)
+    def pairs = Dedup.incrementalNearDupPairs(probe, bt, st)
+      .select("new_doc", "dup_of", "n_match")
+      .as[(Long, Long, Long)].collect().toSet
+    val (fb, fs)    = (files(bt), files(st))
+    val (rb, rs)    = (bandsOf, sigsOf)
+    val pairsBefore = pairs
+    Dedup.compactMinhashBandIndex(spark, "graft_compactspec")
+    assert(files(bt) < fb && files(st) < fs,
+      s"compaction must shrink files: bands $fb->${files(bt)}, sigs $fs->${files(st)}")
+    assert(bandsOf == rb && sigsOf == rs,
+      "compaction must not change a single row")
+    // the Bucketing validity key survives: a repeated ensure is a no-op
+    // (would DROP and rebuild the tables if the contract were lost)
+    val n1 = spark.table(bt).count()
+    Dedup.ensureMinhashBandIndex(a, "graft_compactspec", srcTag = tag)
+    assert(spark.table(bt).count() == n1, "ensure must still see the layout current")
+    // the fold ledger survives: a replayed tag is still a no-op
+    val ledger = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ledger("graft.folds") == "b1,b2", s"ledger lost: $ledger")
+    Dedup.foldIntoMinhashBandIndex(b, "graft_compactspec", batchTag = "b1")
+    assert(spark.table(bt).count() == n1)
+    // and the index still answers: incremental pairs over the compacted
+    // tables equal the pre-compaction output
+    assert(pairs == pairsBefore,
+      "incremental dedup output must be identical after compaction")
+  }
+
   test("incremental near-dup plan: corpus tables stream, batch side broadcasts") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
