@@ -489,6 +489,12 @@ object Dedup {
       seed: Long = 7L): (String, String) = {
     val bandsTable = s"${tablePrefix}_bands"
     val sigsTable  = s"${tablePrefix}_sigs"
+    // fold the DATA FINGERPRINT into the validity key (the
+    // Similarity.inputFingerprint contract): a corpus regenerated at
+    // the same path with the same schema — the wiped-and-rebuilt /tmp
+    // fixture case — must invalidate the persisted index instead of
+    // silently deduping new text against old band/sig tables
+    val fpTag = s"$srcTag|fp=${Similarity.inputFingerprint(docs)}"
     // probe validity with the UNSTAGED plan first (schema + catalog
     // props only): a repeated ensure call must cost ZERO corpus work.
     // The eager signature staging used to run unconditionally, which
@@ -501,15 +507,15 @@ object Dedup {
     val rawSigs = minhashSignaturesPortable(docs, shingleN, bands * rows, seed)
     val current =
       Bucketing.isCurrent(bandKeys(rawSigs, bands, rows), bandsTable,
-        buckets, Seq("bk"), srcTag) &&
-      Bucketing.isCurrent(rawSigs, sigsTable, buckets, Seq("doc_id"), srcTag)
+        buckets, Seq("bk"), fpTag) &&
+      Bucketing.isCurrent(rawSigs, sigsTable, buckets, Seq("doc_id"), fpTag)
     if (!current) {
       // staged so the expensive minhash kernel runs ONCE for both writes
       val sigs = Checkpoints.stage(rawSigs,
         Checkpoints.configured(docs.sparkSession))
       Bucketing.ensureBucketed(bandKeys(sigs, bands, rows),
-        bandsTable, buckets, Seq("bk"), srcTag)
-      Bucketing.ensureBucketed(sigs, sigsTable, buckets, Seq("doc_id"), srcTag)
+        bandsTable, buckets, Seq("bk"), fpTag)
+      Bucketing.ensureBucketed(sigs, sigsTable, buckets, Seq("doc_id"), fpTag)
     }
     (bandsTable, sigsTable)
   }

@@ -594,9 +594,11 @@ object Similarity {
     * srcTag + schema (the ensureBucketed contract: landed inputs are
     * immutable snapshots).
     */
-  def ensureCorpusStats(df: DataFrame, srcTag: String): Long = {
+  def ensureCorpusStats(
+      df: DataFrame, srcTag: String, fp: Option[String] = None): Long = {
     val spark = df.sparkSession
-    val key   = s"$srcTag|stats|fp=${inputFingerprint(df)}|${df.schema.catalogString}"
+    val key   = s"$srcTag|stats|fp=${fp.getOrElse(inputFingerprint(df))}" +
+      s"|${df.schema.catalogString}"
     val memo  = s"${spark.sparkContext.applicationId}|$key"
     Option(statsMemo.get(memo)).getOrElse {
       val dir  = layoutPath(spark, "embstats", key)
@@ -655,9 +657,11 @@ object Similarity {
       embeddings: DataFrame,
       srcTag: String): (String, Int) = {
     val spark = embeddings.sparkSession
-    val n     = ensureCorpusStats(embeddings, srcTag)
+    // one FS-metadata sweep serves both the stats key and the layout key
+    val fp    = inputFingerprint(embeddings)
+    val n     = ensureCorpusStats(embeddings, srcTag, Some(fp))
     val c     = nCentroidsForCorpus(n)
-    val key   = s"$srcTag|ivf|c=$c|fp=${inputFingerprint(embeddings)}" +
+    val key   = s"$srcTag|ivf|c=$c|fp=$fp" +
       s"|${embeddings.schema.catalogString}"
     val path = layoutPath(spark, "ivf", key)
     val memo = s"${spark.sparkContext.applicationId}|$key"
@@ -667,6 +671,7 @@ object Similarity {
       // half-written layout (the build lands in a temp sibling and
       // becomes visible with one directory rename)
       lockFor(path).synchronized {
+        recoverCells(spark, path)
         val dest   = new org.apache.hadoop.fs.Path(path)
         val marker = new org.apache.hadoop.fs.Path(path, "cells/_SUCCESS")
         val fs     = dest.getFileSystem(spark.sessionState.newHadoopConf())
@@ -745,8 +750,9 @@ object Similarity {
     val spark   = newVecs.sparkSession
     val memoKey = s"${spark.sparkContext.applicationId}|$path|fold|$batchTag"
     if (ivfFoldMemo.contains(memoKey)) return
-    lockFor(s"$path#fold").synchronized {
+    lockFor(path).synchronized {
       if (ivfFoldMemo.contains(memoKey)) return
+      recoverCells(spark, path)
       val tagHash = java.security.MessageDigest.getInstance("MD5")
         .digest(batchTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
@@ -802,7 +808,8 @@ object Similarity {
     * row equality and probe parity).
     */
   def compactIvfCells(spark: SparkSession, path: String): Unit =
-    lockFor(s"$path#fold").synchronized {
+    lockFor(path).synchronized {
+      recoverCells(spark, path)
       val cellsDir = new org.apache.hadoop.fs.Path(path, "cells")
       val fs  = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new org.apache.hadoop.fs.Path(
@@ -814,14 +821,51 @@ object Similarity {
       cells
         .repartition(math.max(c, 1), col("cent_id"))
         .write.partitionBy("cent_id").parquet(tmp.toString)
+      // two renames, NOT atomic: a probe taking no lock can observe the
+      // gap, and a crash inside it leaves the layout headless — so (a)
+      // a failed second rename ROLLS THE ORIGINAL BACK rather than
+      // leaving no cells/, and (b) every locked entry point first runs
+      // [[recoverCells]], which restores the newest cells.old* after a
+      // crash instead of letting ensure* rebuild and silently discard
+      // the fold ledger. Run compaction in a maintenance window if
+      // concurrent probes cannot tolerate a transient read failure.
       val old = new org.apache.hadoop.fs.Path(
         path, s"cells.old${System.nanoTime()}")
-      if (!fs.rename(cellsDir, old) || !fs.rename(tmp, cellsDir))
+      if (!fs.rename(cellsDir, old))
         throw new java.io.IOException(
-          s"could not promote compacted cells $tmp -> $cellsDir")
+          s"could not stage current cells aside: $cellsDir -> $old")
+      if (!fs.rename(tmp, cellsDir)) {
+        if (!fs.rename(old, cellsDir))
+          throw new java.io.IOException(
+            s"could not promote $tmp AND rollback failed — restore $old manually")
+        fs.delete(tmp, true)
+        throw new java.io.IOException(
+          s"could not promote compacted cells $tmp -> $cellsDir (rolled back)")
+      }
       fs.delete(old, true)
       ()
     }
+
+  /** Heal a layout whose `cells/` vanished in a compaction crash
+    * window: restore the newest `cells.old*` sibling (the pre-compact
+    * data staged aside by [[compactIvfCells]]). Called under the layout
+    * lock by every maintenance entry point, so a crashed compaction
+    * costs one retry instead of a silent ledger-discarding rebuild.
+    */
+  private def recoverCells(spark: SparkSession, path: String): Unit = {
+    val cellsDir = new org.apache.hadoop.fs.Path(path, "cells")
+    val fs = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists =
+      try fs.exists(cellsDir) catch { case _: java.io.IOException => return }
+    if (!exists) {
+      val candidates =
+        try fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        catch { case _: java.io.IOException => Seq.empty }
+      candidates.map(_.getPath).filter(_.getName.startsWith("cells.old"))
+        .sortBy(_.getName).lastOption
+        .foreach(old => fs.rename(old, cellsDir))
+    }
+  }
 
   /** Rebuild advisor over a maintained (built + folded) IVF layout:
     * ONE row of integer drift metrics plus the rebuild decision under
@@ -879,6 +923,7 @@ object Similarity {
   def rebuildIvfIndex(
       spark: SparkSession, path: String, dest: String): String = {
     lockFor(dest).synchronized {
+      recoverCells(spark, path)
       val destP  = new org.apache.hadoop.fs.Path(dest)
       val marker = new org.apache.hadoop.fs.Path(dest, "cells/_SUCCESS")
       val fs     = destP.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1058,15 +1103,16 @@ object Similarity {
       embeddings: DataFrame, srcTag: String,
       m: Int = 4, ks: Int = 16, subDim: Int = 16): (String, Int) = {
     val spark = embeddings.sparkSession
-    val n     = ensureCorpusStats(embeddings, srcTag)
+    val fp    = inputFingerprint(embeddings)
+    val n     = ensureCorpusStats(embeddings, srcTag, Some(fp))
     val c     = nCentroidsForCorpus(n)
     val key   = s"$srcTag|ivfpq|c=$c|m=$m|ks=$ks|sd=$subDim" +
-      s"|fp=${inputFingerprint(embeddings)}" +
-      s"|${embeddings.schema.catalogString}"
+      s"|fp=$fp|${embeddings.schema.catalogString}"
     val path = layoutPath(spark, "ivfpq", key)
     val memo = s"${spark.sparkContext.applicationId}|$key"
     if (ivfMemo.get(memo) != path) {
       lockFor(path).synchronized {
+        recoverCells(spark, path)
         val dest   = new org.apache.hadoop.fs.Path(path)
         val marker = new org.apache.hadoop.fs.Path(path, "cells/_SUCCESS")
         val fs     = dest.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1170,8 +1216,9 @@ object Similarity {
     val memoKey =
       s"${spark.sparkContext.applicationId}|$path|pqfold|$batchTag"
     if (ivfFoldMemo.contains(memoKey)) return
-    lockFor(s"$path#fold").synchronized {
+    lockFor(path).synchronized {
       if (ivfFoldMemo.contains(memoKey)) return
+      recoverCells(spark, path)
       val tagHash = java.security.MessageDigest.getInstance("MD5")
         .digest(batchTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
@@ -1298,10 +1345,11 @@ object Similarity {
       queries: Seq[(Long, Seq[Float])],
       k: Int,
       nProbe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
     import spark.implicits._
     ivfPqProbeBatchDfOwned(spark, path,
-      queries.toDF("query_id", "emb"), k, nProbe, excludeSelf)._1
+      queries.toDF("query_id", "emb"), k, nProbe, excludeSelf, m, subDim)._1
   }
 
   /** [[ivfPqProbe]] + EXACT RE-RANK — the full production recipe: the
@@ -1326,8 +1374,10 @@ object Similarity {
       k: Int,
       kAdc: Int = 100,
       nProbe: Int = 4,
-      exclude: Option[Long] = None): DataFrame = {
-    val candIds = ivfPqProbe(spark, path, queryVec, kAdc, nProbe, exclude)
+      exclude: Option[Long] = None,
+      m: Int = 4, subDim: Int = 16): DataFrame = {
+    val candIds =
+      ivfPqProbe(spark, path, queryVec, kAdc, nProbe, exclude, m, subDim)
       .select("vec_id").collect().map(_.getLong(0)).toIndexedSeq
     val qq = queryVec.map { f =>
       val d = f.toDouble * 1000

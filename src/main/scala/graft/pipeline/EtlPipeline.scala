@@ -81,6 +81,11 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
           .map(java.nio.file.Paths.get(_, stem))
           .getOrElse(java.nio.file.Paths.get(
             sys.props("java.io.tmpdir"), "graft-landing", stem))
+        // absent cache_ttl = the reference's land-once cache (io.py:
+        // 28-30 — exists ⇒ reuse, no expiry); the discoveryTtl 3600 s
+        // default applies to the DISCOVERY response cache only, NOT to
+        // landed payloads. A source opts into re-landing by setting
+        // cache_ttl explicitly.
         val ttl = source.raw.get("cache_ttl").map(_ => discoveryTtl(source) * 1000L)
         val (landed, _, _) = graft.util.Landing.landUrl(source.url, landDir, ttl)
         readSource(source.copy(url = landed.toString))

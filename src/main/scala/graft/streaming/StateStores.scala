@@ -35,7 +35,18 @@ private[graft] object StateStores {
         case other     => other
       })
 
-  /** Propagate the resolved provider onto a drain-clone session. */
-  def propagate(from: SparkSession, to: SparkSession): Unit =
+  /** Propagate the resolved provider onto a drain-clone session —
+    * plus `spark.graft.checkpointDir`: `newSession()` does not inherit
+    * runtime conf, and operators staged INSIDE a foreachBatch sink
+    * (e.g. the batched-probe map in AnnServeStream) resolve their
+    * reliable-checkpoint root from the batch's session. Without the
+    * copy they silently downgrade to localCheckpoint and an executor
+    * loss mid-drain becomes unrecoverable despite the caller having
+    * configured reliable storage.
+    */
+  def propagate(from: SparkSession, to: SparkSession): Unit = {
     resolveProvider(from).foreach(to.conf.set(ProviderKey, _))
+    from.conf.getOption("spark.graft.checkpointDir")
+      .foreach(to.conf.set("spark.graft.checkpointDir", _))
+  }
 }

@@ -43,13 +43,7 @@ object CompactionBench {
           col("vec_id") % (10L * nBatches) === 10L * i),
         path, batchTag = s"cb$i")
     }
-    def cellFiles: Int = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
-        else Seq(f)
-      walk(new java.io.File(s"$path/cells"))
-        .count(_.getName.endsWith(".parquet"))
-    }
+    def cellFiles: Int = graft.util.LocalFs.parquetFileCount(s"$path/cells")
     val qv = emb.filter(col("vec_id") === 1L).select("embedding")
       .collect().head.getSeq[Float](0).toSeq
     def probeMedian(): Double = {

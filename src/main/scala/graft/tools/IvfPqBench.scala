@@ -47,14 +47,8 @@ object IvfPqBench {
     val (ivfPath, c)  = Similarity.ensureIvfIndex(emb, srcTag = sfDir)
     val (pqPath, _)   = Similarity.ensureIvfPqIndex(emb, srcTag = sfDir, ks = ks)
 
-    def dirBytes(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
-        else f.length()
-      walk(new java.io.File(p))
-    }
-    val ivfBytes = dirBytes(s"$ivfPath/cells")
-    val pqBytes  = dirBytes(s"$pqPath/cells")
+    val ivfBytes = graft.util.LocalFs.dirBytes(s"$ivfPath/cells")
+    val pqBytes  = graft.util.LocalFs.dirBytes(s"$pqPath/cells")
 
     val queries = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding").collect()

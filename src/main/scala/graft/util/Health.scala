@@ -207,8 +207,13 @@ object Health {
       spark: org.apache.spark.sql.SparkSession,
       expected: Int,
       clock: () => Long = () => System.currentTimeMillis()): HealthCheck = {
-    // executorInfos includes the driver row in local mode
-    val live = spark.sparkContext.statusTracker.getExecutorInfos.length
+    // executorInfos includes a row for the driver: in local mode the
+    // driver IS the executor (count it), on a cluster it is not —
+    // subtract it so 4 live of 10 expected reads 4, not 5, and zero
+    // live executors can never satisfy expected=1
+    val infos = spark.sparkContext.statusTracker.getExecutorInfos.length
+    val live =
+      if (spark.sparkContext.isLocal) infos else math.max(infos - 1, 0)
     val status =
       if (expected <= 0 || live >= expected) "healthy"
       else if (live * 2 >= expected) "warning"

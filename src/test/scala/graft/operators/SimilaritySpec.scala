@@ -565,13 +565,9 @@ class SimilaritySpec extends SparkSpec {
     val batch  = emb.filter($"vec_id" % 10 === 0)
     val tag    = s"ivffold-${System.nanoTime()}"
     val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = tag)
-    def cellFiles: Set[String] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
-        else Seq(f)
-      walk(new java.io.File(s"$path/cells"))
+    def cellFiles: Set[String] =
+      graft.util.LocalFs.walkFiles(new java.io.File(s"$path/cells"))
         .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
-    }
     val before = cellFiles
     Similarity.foldIntoIvfIndex(batch, path, batchTag = "b1")
     val after = cellFiles
@@ -619,13 +615,7 @@ class SimilaritySpec extends SparkSpec {
       srcTag = s"compact-${System.nanoTime()}")
     Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 20 === 0), path, "b1")
     Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 20 =!= 0), path, "b2")
-    def cellFiles: Int = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.toSeq.flatMap(walk)
-        else Seq(f)
-      walk(new java.io.File(s"$path/cells"))
-        .count(_.getName.endsWith(".parquet"))
-    }
+    def cellFiles: Int = graft.util.LocalFs.parquetFileCount(s"$path/cells")
     def rows = spark.read.parquet(s"$path/cells")
       .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
@@ -650,6 +640,32 @@ class SimilaritySpec extends SparkSpec {
     val f = cellFiles
     Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 20 === 0), path, "b1")
     assert(cellFiles == f)
+  }
+
+  test("recoverCells: a crashed compaction window heals on the next maintenance entry") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"recover-${System.nanoTime()}")
+    Similarity.foldIntoIvfIndex(
+      emb.filter($"vec_id" % 10 === 0), path, "b1")
+    def rows = spark.read.parquet(s"$path/cells")
+      .select($"vec_id").as[Long].collect().toSeq.sorted
+    val before = rows
+    // simulate the compaction crash window: cells staged aside, layout
+    // headless (exactly the state between compactIvfCells' two renames)
+    val cells = new java.io.File(s"$path/cells")
+    val old   = new java.io.File(s"$path/cells.old12345")
+    assert(cells.renameTo(old), "test setup: stage cells aside")
+    assert(!cells.exists())
+    // the next locked maintenance entry must heal, then do its work —
+    // instead of ensure* rebuilding and discarding the fold ledger
+    Similarity.compactIvfCells(spark, path)
+    assert(rows == before, "healed layout must hold every pre-crash row")
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest("b1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(new java.io.File(s"$path/folds/$h").isFile,
+      "the fold ledger must survive the heal")
   }
 
   test("rebuildIvfIndex: rebuild-from-index ≡ build-from-source over the union") {
