@@ -805,7 +805,10 @@ object Similarity {
     * [[ensureIvfIndex]]. Rows, centroids and the fold ledger are
     * untouched — a replayed old batch tag still no-ops after
     * compaction, and probes see identical data (SimilaritySpec pins
-    * row equality and probe parity).
+    * row equality and probe parity). Schema-agnostic over the cells
+    * rows, so the same compactor serves BOTH maintained layouts —
+    * [[buildIvfIndex]] (vector cells) and [[buildIvfPqIndex]] (code
+    * cells).
     */
   def compactIvfCells(spark: SparkSession, path: String): Unit =
     lockFor(path).synchronized {

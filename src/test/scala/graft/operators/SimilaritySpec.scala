@@ -849,6 +849,16 @@ class SimilaritySpec extends SparkSpec {
     Similarity.foldIntoIvfPqIndex(batch, path, "b0")
     assert(spark.read.parquet(s"$path/cells").count() == emb.count())
     assert(corpusRows < emb.count())
+    // the shared compactor serves the CODE cells too: fewer files,
+    // identical probe
+    val before = Similarity.ivfPqProbe(spark, path, qv.toSeq, k = 10, nProbe = 4)
+      .as[(Long, Long)].collect().toSeq
+    val filesBefore = graft.util.LocalFs.parquetFileCount(s"$path/cells")
+    Similarity.compactIvfCells(spark, path)
+    assert(graft.util.LocalFs.parquetFileCount(s"$path/cells") < filesBefore)
+    val after = Similarity.ivfPqProbe(spark, path, qv.toSeq, k = 10, nProbe = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(after == before, "PQ probes must be identical after compaction")
   }
 
   test("ivfPqProbeBatch equals N sequential ADC probes, in one pruned scan") {
