@@ -1988,6 +1988,39 @@ object SparkEntry {
     Similarity.ivfPqProbe(s, path, q, k = 10, nProbe = 4, exclude = Some(0L))
   }
 
+  /** The END-TO-END corpus-prep flagship: the training-data pipeline's
+    * stages COMPOSED into one plan and one oracle — quality gate
+    * (q19's integer score, keep ≥ 60) → exact dedup among the
+    * survivors (q20's min-doc_id-per-fingerprint) → contiguous
+    * sequence packing of the deduped stream (q66's exclusive prefix
+    * sum at budget 4096) → deterministic train/val/test split (q65's
+    * hash buckets). Output is the per-document TRAINING MANIFEST
+    * (quality, token count, pack offset, first chunk, split) — what a
+    * data loader consumes. One oracle hash gates the whole composition,
+    * so an off-by-one anywhere in the chain (a doc surviving the wrong
+    * gate, an offset shifted by a dropped row) fails the round. Scale
+    * shape: each stage is the already-audited operator — the only
+    * additions are a semi-join on the dedup keep-set and the same
+    * single-column windows.
+    */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val scored = spread(t(s, d, "documents"), "doc_id")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+    val qualified = scored.filter(col("quality") >= 60)
+    val deduped   = graft.operators.Dedup.exactDedup(qualified)
+    val packed = graft.operators.Packing.concatPack(
+      deduped.select(col("doc_id"), col("quality"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens")),
+      orderCol = "doc_id", weightCol = "n_tokens", budget = 4096L)
+    graft.operators.Sampling.hashSplit(packed, "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("start_offset"), col("chunk_first"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -2169,7 +2202,8 @@ object SparkEntry {
     "q119_ivfpq_rerank"     -> (q119 _),
     "q120_ivfpq_fold"       -> (q120 _),
     "q121_ivfpq_stream"     -> (q121 _),
-    "q122_ivfpq_batch"      -> (q122 _)
+    "q122_ivfpq_batch"      -> (q122 _),
+    "q123_corpus_prep"      -> (q123 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3666,7 +3700,10 @@ object SparkEntry {
     "q121_ivfpq_stream" -> q120OracleSql,
     // q107's batched-serving shape at PQ footprint: per-query probes x
     // the per-query ADC lookup-table sum
-    "q122_ivfpq_batch" -> q122OracleSql
+    "q122_ivfpq_batch" -> q122OracleSql,
+    // the composed pipeline: quality gate -> exact dedup -> pack ->
+    // split, one hash over the whole manifest
+    "q123_corpus_prep" -> q123OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
@@ -3935,6 +3972,39 @@ object SparkEntry {
          | ad AS (SELECT a.vec_id, CAST(SUM(l.pd) AS BIGINT) AS adist
          |   FROM asg a JOIN lut l ON a.sub = l.sub AND a.code_id = l.code_id
          |   WHERE a.rn = 1 GROUP BY a.vec_id)""".stripMargin
+    }
+
+    // q19's quality arithmetic -> q20's keep-set -> q66's prefix sum ->
+    // q65's hash split, chained as CTEs over the SURVIVORS of each stage
+    private lazy val q123OracleSql: String = {
+      val bucket = graft.operators.Sampling.pctBucketSql("doc_id", "split")
+      s"""WITH sc AS (SELECT doc_id, text,
+         |   CAST(greatest(0, 100 - len_pen - punct_pen - stop_bonus) AS BIGINT) AS quality
+         |  FROM (SELECT doc_id, text,
+         |   CASE WHEN toks < 5 THEN 40 WHEN toks < 20 THEN 10 ELSE 0 END AS len_pen,
+         |   CASE WHEN punct_pct > 20 THEN 30 WHEN punct_pct > 10 THEN 10 ELSE 0 END AS punct_pen,
+         |   CASE WHEN stop_pct > 0 THEN 0 ELSE 20 END AS stop_bonus
+         |  FROM (SELECT doc_id, text, toks,
+         |    CASE WHEN chars = 0 THEN 100 ELSE CAST(floor(100.0 * punct / chars) AS BIGINT) END AS punct_pct,
+         |    CASE WHEN toks = 0 THEN 0 ELSE CAST(floor(100.0 * stops / toks) AS BIGINT) END AS stop_pct
+         |   FROM (SELECT doc_id, text, $tokensSql AS toks, CAST(length(text) AS BIGINT) AS chars,
+         |         $punctSql AS punct, ${hitsSql(TextFunctions.StopwordsEn)} AS stops
+         |         FROM documents)))),
+         | s0 AS (SELECT doc_id, text, quality FROM sc WHERE quality >= 60),
+         | keep AS (SELECT MIN(doc_id) AS doc_id
+         |   FROM (SELECT doc_id, $fingerprintSql AS fp FROM s0) GROUP BY fp),
+         | ded AS (SELECT s0.doc_id, s0.quality, $tokensSql AS n_tokens
+         |   FROM s0 JOIN keep USING (doc_id)),
+         | o AS (SELECT doc_id, quality, n_tokens,
+         |   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |   FROM ded)
+         |SELECT doc_id, quality, n_tokens,
+         |  CAST(start_offset AS BIGINT) AS start_offset,
+         |  CAST(start_offset // 4096 AS BIGINT) AS chunk_first,
+         |  CASE WHEN $bucket < 90 THEN 'train'
+         |       WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM o ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     }
 
     private lazy val q122OracleSql: String = {

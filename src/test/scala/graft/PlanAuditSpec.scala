@@ -15,6 +15,7 @@ class PlanAuditSpec extends SparkSpec {
 
   private val allowedUnpartitionedWindows = Map(
     "q66_seq_pack" -> 1, // two-level prefix sum: window over bucket totals
+    "q123_corpus_prep" -> 1, // same concatPack two-level prefix sum
     "q83_curriculum_shards" -> 1, // same idiom: window over (score, sub-bucket) totals
     "q103_budget_select" -> 1, // same idiom: weight prefix sum over bucket totals
     "q85_stratified_exact" -> 1, // remainder rank over the O(#strata) quota table
