@@ -542,7 +542,15 @@ object Dedup {
     * Idempotent per `batchTag`: folded tags are recorded in the bands
     * table's TBLPROPERTIES (`graft.folds`), so a replayed ingestion
     * batch (driver retry, at-least-once upstream) is a no-op rather
-    * than a double-append. A rebuild through [[ensureMinhashBandIndex]]
+    * than a double-append. The crash window between the two appends and
+    * the ledger write is closed by an INTENT property
+    * (`graft.folds.intent`, set before the appends): a replay of a tag
+    * whose intent is still standing probes each table for the batch's
+    * doc_ids and re-appends only the table whose append never committed
+    * (Spark appends are all-or-nothing via the commit protocol), so a
+    * crashed fold REPAIRS on replay instead of double-appending — the
+    * probe scan is paid only on that crash-replay path, never in the
+    * O(|batch|) happy path. A rebuild through [[ensureMinhashBandIndex]]
     * (new srcTag/schema) drops the table and with it the fold ledger —
     * folds always belong to exactly one base lineage. Caller contract:
     * `admitted` holds NEW doc_ids only (admission filtered them);
@@ -572,6 +580,19 @@ object Dedup {
       val folded = props.get("graft.folds")
         .map(_.split(",").toSet).getOrElse(Set.empty)
       if (!folded.contains(batchTag)) {
+        // a standing intent for THIS tag means a previous attempt
+        // crashed between its appends and the ledger write — probe each
+        // table before re-appending (repair instead of double-append).
+        // The intent is a SET (one crashed tag must survive other tags
+        // folding in between), trimmed to tags still absent from the
+        // ledger so it can't grow past the crash population
+        val intents = props.get("graft.folds.intent")
+          .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+        val suspect = intents.contains(batchTag)
+        val pending = ((intents -- folded) + batchTag).toSeq.sorted
+          .mkString(",").replace("'", "''")
+        spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES(" +
+          s"'graft.folds.intent'='$pending')")
         // owned stage, released once both appends land: an ingestion
         // loop folding batches for the session's lifetime must not
         // accumulate one staged block per batch
@@ -580,19 +601,29 @@ object Dedup {
           Checkpoints.configured(spark))
         try {
           val sigs = staged.df
+          // an append is all-or-nothing (commit protocol), so under a
+          // standing intent "any batch doc_id present" ⇔ "that table's
+          // append landed" — paid only on the crash-replay path
+          def landed(table: String): Boolean = suspect && !spark.table(table)
+            .join(broadcast(sigs.select("doc_id").distinct()), "doc_id")
+            .isEmpty
           // append resolves columns BY NAME and must match the table's
           // bucket spec exactly — same keys/counts as ensureMinhashBandIndex
-          bandKeys(sigs, bands, rows).write.mode("append").format("parquet")
-            .bucketBy(buckets, "bk").sortBy("bk")
-            .saveAsTable(bandsTable)
-          sigs.write.mode("append").format("parquet")
-            .bucketBy(buckets, "doc_id").sortBy("doc_id")
-            .saveAsTable(sigsTable)
+          if (!landed(bandsTable))
+            bandKeys(sigs, bands, rows).write.mode("append").format("parquet")
+              .bucketBy(buckets, "bk").sortBy("bk")
+              .saveAsTable(bandsTable)
+          if (!landed(sigsTable))
+            sigs.write.mode("append").format("parquet")
+              .bucketBy(buckets, "doc_id").sortBy("doc_id")
+              .saveAsTable(sigsTable)
         } finally staged.release()
         val ledger = (folded + batchTag).toSeq.sorted.mkString(",")
           .replace("'", "''")
-        spark.sql(
-          s"ALTER TABLE $bandsTable SET TBLPROPERTIES('graft.folds'='$ledger')")
+        val remaining = (intents -- folded - batchTag).toSeq.sorted
+          .mkString(",").replace("'", "''")
+        spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES(" +
+          s"'graft.folds'='$ledger','graft.folds.intent'='$remaining')")
       }
       foldMemo.add(memoKey)
       ()

@@ -440,15 +440,26 @@ object Similarity {
       .withColumn("qn", VectorFunctions.qdot(col("qvec"), col("qvec")))
     val pw = Window.partitionBy("query_id")
       .orderBy(col("pcos").desc, col("cent_id").desc)
+    // the |batch|·C ranking sheds qvec/qn BEFORE the window's
+    // partitionBy(query_id) exchange — the crossJoin side is map-only
+    // (broadcast nested loop), so the qvec array (~550B/row at dim 64)
+    // would otherwise ride the full |batch|·C shuffle just to be
+    // re-selected after the filter; ranking on (query_id, cent_id,
+    // pcos) alone shrinks that exchange ~20×, and the survivors
+    // (|batch|·nProbe rows) get qvec/qn back from a broadcast of the
+    // |batch|-row query side
+    val ranked = qdf.crossJoin(broadcast(cents))
+      .withColumn("pcos",
+        VectorFunctions.qdot(col("cvec"), col("qvec")).cast("double") /
+          sqrt(col("cnrm").cast("double") * col("qn").cast("double")))
+      .select(col("query_id"), col("cent_id"), col("pcos"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cent_id"))
     // staged: the distinct-cells prune below and the candidate join both
     // read the ranking — one |batch|·C pass, not two
     val staged = graft.util.Checkpoints.stageOwned(
-      qdf.crossJoin(broadcast(cents))
-        .withColumn("pcos",
-          VectorFunctions.qdot(col("cvec"), col("qvec")).cast("double") /
-            sqrt(col("cnrm").cast("double") * col("qn").cast("double")))
-        .withColumn("pr", row_number().over(pw))
-        .filter(col("pr") <= nProbe)
+      ranked.join(broadcast(qdf), Seq("query_id"))
         .select(col("query_id"), col("cent_id"), col("qvec"), col("qn")))
     val probeMap = staged.df
     val probedCells: Seq[Long] =
@@ -860,14 +871,23 @@ object Similarity {
     val fs = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
     val exists =
       try fs.exists(cellsDir) catch { case _: java.io.IOException => return }
-    if (!exists) {
-      val candidates =
-        try fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-        catch { case _: java.io.IOException => Seq.empty }
-      candidates.map(_.getPath).filter(_.getName.startsWith("cells.old"))
+    val candidates =
+      try fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      catch { case _: java.io.IOException => Seq.empty }
+    val stale = candidates.map(_.getPath).filter { p =>
+      p.getName.startsWith("cells.old") || p.getName.startsWith("cells.compact")
+    }
+    if (!exists)
+      stale.filter(_.getName.startsWith("cells.old"))
         .sortBy(_.getName).lastOption
         .foreach(old => fs.rename(old, cellsDir))
-    }
+    else
+      // a promoted cells/ makes every cells.old* / cells.compact*
+      // sibling a crash leftover (compactIvfCells deletes them only on
+      // its success path) — garbage-collect here, under the same lock
+      // every maintenance entry point takes, or a long-lived
+      // fold+compact tier leaks one full index copy per crashed run
+      stale.foreach(p => fs.delete(p, true))
   }
 
   /** Rebuild advisor over a maintained (built + folded) IVF layout:

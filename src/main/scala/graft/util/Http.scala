@@ -109,7 +109,10 @@ object Http {
 
   private def retryCfg(cfg: SessionConfig): Retry.RetryConfig =
     Retry.RetryConfig(
-      maxAttempts = math.max(1, cfg.maxRetries),
+      // urllib3 Retry(total=N) allows N retries AFTER the initial
+      // attempt, so attempts = retries + 1 (maxRetries = 0 still
+      // performs the one initial request)
+      maxAttempts = math.max(1, cfg.maxRetries + 1),
       baseDelayMs = cfg.backoffBaseMillis,
       jitter = cfg.jitter)
 

@@ -149,8 +149,14 @@ object Landing {
     val out =
       try land(() => body, destDir.resolve(name), age, clock)
       finally body.close()
-    Files.write(sidecar, s"$url\n$name".getBytes(
+    // tmp + ATOMIC_MOVE, matching land()'s commit discipline: a crash
+    // mid-write must never leave a truncated sidecar
+    val sidecarTmp = sidecar.resolveSibling(s"${sidecar.getFileName}.tmp")
+    Files.write(sidecarTmp, s"$url\n$name".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(sidecarTmp, sidecar,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     out
   }
 

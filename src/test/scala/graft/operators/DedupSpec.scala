@@ -273,6 +273,48 @@ class DedupSpec extends SparkSpec {
       "folded sigs table must equal a from-scratch rebuild over A∪B∪C")
   }
 
+  test("foldIntoMinhashBandIndex: a crashed fold REPAIRS on replay, no double-append") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val a = docs.filter($"doc_id" % 10 =!= 0)
+    val b = docs.filter($"doc_id" % 10 === 0)
+    val tag = s"crashspec-${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(a, "graft_crashspec", srcTag = tag)
+    // simulate the crash window: intent recorded, the BANDS append
+    // landed (appends are all-or-nothing via the commit protocol), the
+    // sigs append and the ledger write never happened — exactly the
+    // state a killed driver leaves behind mid-fold
+    spark.sql(s"ALTER TABLE $bt SET TBLPROPERTIES(" +
+      "'graft.folds.intent'='ghost,crashed')")
+    val sigs = Dedup.minhashSignaturesPortable(b, 3, 64, 7L)
+    sigs.select($"doc_id", explode(Dedup.bandKeyArray($"sig", 16, 4)).as("bk"))
+      .write.mode("append").format("parquet")
+      .bucketBy(8, "bk").sortBy("bk").saveAsTable(bt)
+    val bandsAfterCrash = spark.table(bt).count()
+    // replay of the crashed tag: must append ONLY the missing sigs side
+    Dedup.foldIntoMinhashBandIndex(b, "graft_crashspec", batchTag = "crashed")
+    assert(spark.table(bt).count() == bandsAfterCrash,
+      "replay must not re-append the bands side that already landed")
+    // repaired state ≡ a from-scratch rebuild over A∪B, on both tables
+    val (rbt, rst) = Dedup.ensureMinhashBandIndex(docs, "graft_crashref", srcTag = tag)
+    def bandsOf(t: String) =
+      spark.table(t).select("doc_id", "bk").as[(Long, String)].collect().toSet
+    def sigsOf(t: String) =
+      spark.table(t).select("doc_id", "sig").as[(Long, Seq[Long])]
+        .collect().map { case (d, s) => (d, s.toList) }.toSet
+    assert(bandsOf(bt) == bandsOf(rbt),
+      "repaired bands table must equal a from-scratch rebuild")
+    assert(sigsOf(st) == sigsOf(rst),
+      "repaired sigs table must equal a from-scratch rebuild")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.folds") == "crashed")
+    // the OTHER crashed tag's standing intent survives this fold — it
+    // must still be treated as suspect when ITS replay arrives
+    assert(props("graft.folds.intent") == "ghost",
+      s"unrelated standing intent lost: ${props("graft.folds.intent")}")
+  }
+
   test("compactMinhashBandIndex: fewer files, identical rows, ledger survives") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")

@@ -668,6 +668,34 @@ class SimilaritySpec extends SparkSpec {
       "the fold ledger must survive the heal")
   }
 
+  test("recoverCells: stale cells.old*/cells.compact* leftovers are GC'd once cells/ stands") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"gc-${System.nanoTime()}")
+    def rows = spark.read.parquet(s"$path/cells")
+      .select($"vec_id").as[Long].collect().toSeq.sorted
+    val before = rows
+    // simulate a compaction that crashed AFTER the tmp→cells promote but
+    // before the old-copy delete: cells/ stands, a full pre-compaction
+    // copy (cells.old*) and a half-written staging dir (cells.compact*)
+    // linger — without GC a long-lived fold+compact tier leaks one full
+    // index copy per crashed run
+    val old = new java.io.File(s"$path/cells.old99999")
+    val cmp = new java.io.File(s"$path/cells.compact99999")
+    assert(old.mkdir() && cmp.mkdir(), "test setup: plant stale siblings")
+    java.nio.file.Files.write(old.toPath.resolve("leftover.parquet"),
+      Array[Byte](1, 2, 3))
+    // the next locked maintenance entry garbage-collects the leftovers
+    Similarity.foldIntoIvfIndex(
+      emb.filter($"vec_id" % 10 === 0), path, "gc1")
+    assert(!old.exists() && !cmp.exists(),
+      "stale cells.old*/cells.compact* siblings must be deleted once cells/ stands")
+    assert(rows.toSet.subsetOf(spark.read.parquet(s"$path/cells")
+        .select($"vec_id").as[Long].collect().toSet),
+      s"GC must not touch the live layout (pre-fold rows: ${before.size})")
+  }
+
   test("rebuildIvfIndex: rebuild-from-index ≡ build-from-source over the union") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)

@@ -107,7 +107,9 @@ class HttpSpec extends AnyFunSuite {
       val e = intercept[Http.RetryableStatus] {
         Http.get(s"$base/down", Http.SessionConfig(maxRetries = 2, backoffBaseMillis = 1))
       }
-      assert(e.status == 503 && hits.get() == 2)
+      // urllib3 Retry(total=2) parity: the initial attempt plus two
+      // retries = three requests before the status surfaces
+      assert(e.status == 503 && hits.get() == 3)
     }
   }
 
