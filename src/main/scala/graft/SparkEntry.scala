@@ -3898,7 +3898,7 @@ object SparkEntry {
 
     // shared PQ CTE chain (q116/q117/q118/q119/q120): 4×16-dim slices
     // of the fixed-point quantization, codebooks seeded from the first
-    // 16 vec_ids OF THE SEED POPULATION (`seedCond` — the full table
+    // ks=256 vec_ids OF THE SEED POPULATION (`seedCond` — the full table
     // for the one-shot queries, the standing corpus for the maintained
     // q120 index), argmin by exact integer squared L2
     // (na + nb - 2·dot), ties → smaller code_id — mirrors
@@ -3911,7 +3911,7 @@ object SparkEntry {
          | sv2 AS (SELECT vec_id, sub, sq, ${qdotSql("sq", "sq")} AS snrm
          |   FROM sv),
          | cb AS (SELECT sub, vec_id AS code_id, sq AS cvec, snrm AS cnrm
-         |   FROM sv2 WHERE ${seedCond}vec_id < 16),
+         |   FROM sv2 WHERE ${seedCond}vec_id < 256),
          | asg AS (SELECT v.vec_id, v.sub, cb.code_id,
          |   row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
          |     (v.snrm + cb.cnrm - 2*${qdotSql("v.sq", "cb.cvec")}) ASC,

@@ -1005,7 +1005,7 @@ object Similarity {
     */
   def pqCodebooks(
       embeddings: DataFrame,
-      m: Int = 4, ks: Int = 16, subDim: Int = 16): DataFrame =
+      m: Int = 4, ks: Int = 256, subDim: Int = 16): DataFrame =
     pqSubvectors(embeddings.filter(col("vec_id") < ks), m, subDim)
       .select(col("sub"), col("vec_id").as("code_id"),
         col("sq").as("cvec"), col("snrm").as("cnrm"))
@@ -1030,13 +1030,14 @@ object Similarity {
 
   /** PQ encoding: one row per vector with its m codeword ids as wide
     * BIGINT columns (c0..c{m-1}) — at the defaults each 64-float
-    * vector compresses to 4 nibbles, the form a 100 TB corpus ships to
+    * vector compresses to m·log2(ks) bits (4 bytes at the defaults), the
+    * form a 100 TB corpus ships to
     * the serving tier. Shuffles: the assignment groupBy plus the wide
     * pivot-style agg, both over n·m three-int rows.
     */
   def pqEncode(
       embeddings: DataFrame,
-      m: Int = 4, ks: Int = 16, subDim: Int = 16): DataFrame = {
+      m: Int = 4, ks: Int = 256, subDim: Int = 16): DataFrame = {
     val wide = (0 until m).map { s0 =>
       max(when(col("sub") === s0, col("code_id"))).as(s"c$s0")
     }
@@ -1053,12 +1054,12 @@ object Similarity {
     * touches only the CODES (n·m int triples, never the vectors), one
     * map-side-combinable sum per vec_id, TakeOrdered top-k. This is
     * the PQ serving contract at 100 TB: vectors stay in cold storage,
-    * the hot path reads 2-byte codes. All-integer arithmetic → ties
+    * the hot path reads ~4-byte codes. All-integer arithmetic → ties
     * broken by vec_id identically on every engine.
     */
   def pqAdcTopK(
       embeddings: DataFrame, queryId: Long, k: Int,
-      m: Int = 4, ks: Int = 16, subDim: Int = 16): DataFrame = {
+      m: Int = 4, ks: Int = 256, subDim: Int = 16): DataFrame = {
     val qs = pqSubvectors(
         embeddings.filter(col("vec_id") === queryId), m, subDim)
       .select(col("sub"), col("sq").as("qv"), col("snrm").as("qn"))
@@ -1081,7 +1082,7 @@ object Similarity {
   /** Build the composed IVF-PQ layout — THE standard serving design at
     * 100 TB: IVF gives partition pruning (a probe touches nProbe/C of
     * the corpus), PQ gives compression (a pruned cell row is vec_id +
-    * m code ids, ~2 bytes of payload at the defaults — the raw vectors
+    * m code ids, ~4 bytes of payload at the defaults — the raw vectors
     * never reach the serving tier). Cells hold (vec_id, codes)
     * partitioned by cent_id; the ≤C-row centroid table and the m·ks
     * codebooks land beside them. Build cost: the IVF assignment pass,
@@ -1092,7 +1093,7 @@ object Similarity {
       embeddings: DataFrame,
       path: String,
       nCentroids: Int,
-      m: Int = 4, ks: Int = 16, subDim: Int = 16): Unit = {
+      m: Int = 4, ks: Int = 256, subDim: Int = 16): Unit = {
     val b = embeddings
       .select(col("vec_id"), VectorFunctions.quantize(col("embedding")).as("q"))
       .withColumn("nrm", VectorFunctions.qdot(col("q"), col("q")))
@@ -1124,7 +1125,7 @@ object Similarity {
     */
   def ensureIvfPqIndex(
       embeddings: DataFrame, srcTag: String,
-      m: Int = 4, ks: Int = 16, subDim: Int = 16): (String, Int) = {
+      m: Int = 4, ks: Int = 256, subDim: Int = 16): (String, Int) = {
     val spark = embeddings.sparkSession
     val fp    = inputFingerprint(embeddings)
     val n     = ensureCorpusStats(embeddings, srcTag, Some(fp))
@@ -1166,7 +1167,7 @@ object Similarity {
     * driver-side from the tiny codebook file and inlined as literal
     * arrays, so each scanned row costs m array-index adds, no join, no
     * shuffle beyond the top-k partials. The scan reads (vec_id, codes)
-    * only: at 100 TB the serving tier holds ~2 bytes per vector and
+    * only: at 100 TB the serving tier holds ~4 bytes per vector and
     * the exact vectors stay in cold storage (re-rank there if recall
     * demands it). All-BIGINT distances; ties broken by vec_id — the
     * q117 portability contract.
@@ -1227,14 +1228,14 @@ object Similarity {
     * cell files of (vec_id, codes). O(|batch|) rows written, corpus
     * cells untouched, idempotent per batchTag via the same fold-ledger
     * markers — so the serving tier ingests vectors at code size
-    * (~2 bytes each at the defaults) with zero index rewrites, and
+    * (~4 bytes each at the defaults) with zero index rewrites, and
     * drift is governed by the same advisor/rebuild pair as plain IVF.
     */
   def foldIntoIvfPqIndex(
       newVecs: DataFrame,
       path: String,
       batchTag: String,
-      m: Int = 4, ks: Int = 16, subDim: Int = 16): Unit = {
+      m: Int = 4, ks: Int = 256, subDim: Int = 16): Unit = {
     val spark   = newVecs.sparkSession
     val memoKey =
       s"${spark.sparkContext.applicationId}|$path|pqfold|$batchTag"
@@ -1291,13 +1292,13 @@ object Similarity {
     * per-query window; the ADC lookup table becomes a BROADCAST FRAME
     * (query_id, sub, code_id, pd) of |batch|·m·ks exact integer
     * distances (the distributed analog of the single-probe literal
-    * arrays — ~64 rows/query at the defaults, so ~10⁵-query batches
-    * stay broadcastable; shard beyond that). Scanned code rows fan out
+    * arrays — m·ks ≈ 10³ rows/query at the defaults, so ~10⁴-query
+    * batches stay broadcastable; shard beyond that). Scanned code rows fan out
     * only to the queries probing their cell, explode to m (sub, code)
     * pairs, join the LUT map-side, and partial-agg back to one adist
     * per (query, vec) before the per-query top-k window — every
     * exchange bounded by batch·nProbe·cellsize·m SMALL rows, never the
-    * corpus, and the scan still reads ~2-byte payloads.
+    * corpus, and the scan still reads ~4-byte payloads.
     * Output: (query_id, rk, vec_id, adist), all BIGINT.
     */
   def ivfPqProbeBatchDfOwned(
@@ -1379,10 +1380,14 @@ object Similarity {
     * compressed index nominates `kAdc` candidates by ADC (cheap, code-
     * only scan), then the exact vectors for just those ids are fetched
     * from the SOURCE table and re-ranked by the portable quantized
-    * cosine. PQ at 16 codewords/subspace is a coarse sieve (recall@10
-    * alone ~0.3 on isotropic vectors — IvfPqBench measures it); the
-    * re-rank recovers exactness for whatever the sieve caught, which
-    * rises quickly with kAdc. Scale shape: the candidate ids are a ≤kAdc
+    * cosine. Raw ADC is a coarse sieve on isotropic vectors (IvfPqBench
+    * measures recall@10 alone ~0.2); the re-rank recovers exactness for
+    * whatever the sieve caught, which rises quickly with kAdc — at the
+    * defaults (ks=256 books, kAdc=1000) the measured sf10 ladder
+    * reaches 0.985 recall@10, exactly the plain-IVF nProbe=4 pruning
+    * ceiling, at 4.3× compression and the same probe latency
+    * (BENCH_ivfpq.json); dial ks/kAdc down to trade recall for
+    * compression/candidate-lookup cost. Scale shape: the candidate ids are a ≤kAdc
     * driver list (same sanctioned-collect class as the centroid
     * ranking) pushed into the source scan as an `IN` filter — parquet
     * row-group pruning serves a point lookup, or the q75 bucketed
@@ -1395,7 +1400,7 @@ object Similarity {
       embeddings: DataFrame,
       queryVec: Seq[Float],
       k: Int,
-      kAdc: Int = 100,
+      kAdc: Int = 1000,
       nProbe: Int = 4,
       exclude: Option[Long] = None,
       m: Int = 4, subDim: Int = 16): DataFrame = {

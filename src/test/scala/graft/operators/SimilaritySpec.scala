@@ -748,10 +748,10 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(codes.length == emb.count())
     codes.foreach { case (_, c0, c1, c2, c3) =>
-      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0 && c < 16)) }
+      Seq(c0, c1, c2, c3).foreach(c => assert(c >= 0 && c < 256)) }
     // a seed's subvectors have squared-L2 zero to their own codeword,
     // the unique minimum (random floats; distinct subvectors)
-    codes.filter(_._1 < 16).foreach { case (id, c0, c1, c2, c3) =>
+    codes.filter(_._1 < 256).foreach { case (id, c0, c1, c2, c3) =>
       assert(Seq(c0, c1, c2, c3).forall(_ == id),
         s"seed $id must encode to itself, got ($c0,$c1,$c2,$c3)") }
   }
@@ -766,7 +766,7 @@ class SimilaritySpec extends SparkSpec {
     val cb = Similarity.pqCodebooks(emb)
       .as[(Int, Long, Seq[Long], Long)].collect()
       .map { case (s0, cid, cv, cn) => (s0, cid) -> ((cv, cn)) }.toMap
-    val asg = Similarity.pqAssignments(emb, 4, 16, 16)
+    val asg = Similarity.pqAssignments(emb, 4, 256, 16)
       .as[(Long, Int, Long)].collect()
       .groupBy(_._1).map { case (v, rs) => v -> rs.map(r => r._2 -> r._3).toMap }
     val q = emb.filter($"vec_id" === 0L).select("embedding")
@@ -858,9 +858,9 @@ class SimilaritySpec extends SparkSpec {
     val cells = spark.read.parquet(s"$path/cells")
     assert(cells.count() == emb.count(), "every union vector indexed once")
     // folded rows carry codes from the STANDING corpus books: every
-    // code must be a corpus-seeded code_id (vec_id < 16, not %10==0)
+    // code must be a corpus-seeded code_id (vec_id < 256, not %10==0)
     val codeIds = cells.select(explode($"codes")).as[Long].collect().toSet
-    assert(codeIds.forall(c => c < 16 && c % 10 != 0),
+    assert(codeIds.forall(c => c < 256 && c % 10 != 0),
       s"codes must come from the corpus-seeded books, got $codeIds")
     // a folded vector is immediately servable: its own codes are the
     // per-subspace argmins of its exact subvectors, so no other code
