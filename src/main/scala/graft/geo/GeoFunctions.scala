@@ -40,6 +40,14 @@ object GeoFunctions {
       .orNull
   }
 
+  private val clipPolyUdf = udf { (wkt: String, aoiWkt: String) =>
+    (Geometry.fromWkt(wkt), Geometry.fromWkt(aoiWkt)) match {
+      case (Some(g), Some(Geometry.Polygon(rings))) =>
+        Geometry.clipToPolygon(g, rings.head).map(Geometry.toWkt).orNull
+      case _ => null
+    }
+  }
+
   private val transformUdf = udf { (wkt: String, from: Int, to: Int) =>
     Geometry.fromWkt(wkt).map(g => Geometry.toWkt(Geometry.transform(g, from, to))).orNull
   }
@@ -64,6 +72,13 @@ object GeoFunctions {
 
   def stClipBbox(geomWkt: Column, b: BBox): Column =
     clipUdf(geomWkt, lit(b.xmin), lit(b.ymin), lit(b.xmax), lit(b.ymax))
+
+  /** Exact polygon-AOI clip (true G1): geometry ∩ the AOI polygon, as
+    * WKT; null when nothing remains. The AOI rides as a LITERAL — one
+    * polygon for the whole pipeline, broadcast by construction.
+    */
+  def stClipPolygon(geomWkt: Column, aoiWkt: String): Column =
+    clipPolyUdf(geomWkt, lit(aoiWkt))
 
   def stTransform(geomWkt: Column, fromSrid: Column, toSrid: Column): Column =
     transformUdf(geomWkt, fromSrid, toSrid)
@@ -96,6 +111,35 @@ object GeoFunctions {
     val pre = df.filter(bboxIntersects(col("xmin"), col("ymin"), col("xmax"), col("ymax"), aoi))
     val clipped = pre
       .withColumn(geomCol, stClipBbox(col(geomCol), aoi))
+      .filter(col(geomCol).isNotNull)
+    val projected = clipped
+      .withColumn(geomCol, stTransform(col(geomCol), col(sridCol), lit(targetSrid)))
+      .withColumn(sridCol, lit(targetSrid))
+    withBboxColumns(projected.drop("xmin", "ymin", "xmax", "ymax"), geomCol)
+  }
+
+  /** [[clipProject]] with a POLYGON AOI — the reference's actual
+    * geoprocess semantics (PairwiseClip against the municipality
+    * boundary, geoprocess.py:63-98): the AOI's ENVELOPE drives the
+    * scan-pushable bbox prefilter (Catalyst-only, row-group pruning),
+    * then the exact polygon clip runs on the survivors, then reproject.
+    * Same plan shape as [[clipProject]] — only the exact kernel widens
+    * from rectangle to polygon.
+    */
+  def clipProjectAoi(
+      df: DataFrame,
+      aoiWkt: String,
+      targetSrid: Int,
+      geomCol: String = "geometry",
+      sridCol: String = "srid"): DataFrame = {
+    val aoiBox = Geometry.fromWkt(aoiWkt)
+      .map(Geometry.bbox)
+      .getOrElse(throw new IllegalArgumentException(
+        s"clipProjectAoi: AOI is not valid WKT: ${aoiWkt.take(80)}"))
+    val pre = df.filter(
+      bboxIntersects(col("xmin"), col("ymin"), col("xmax"), col("ymax"), aoiBox))
+    val clipped = pre
+      .withColumn(geomCol, stClipPolygon(col(geomCol), aoiWkt))
       .filter(col(geomCol).isNotNull)
     val projected = clipped
       .withColumn(geomCol, stTransform(col(geomCol), col(sridCol), lit(targetSrid)))

@@ -376,6 +376,234 @@ object Geometry {
     if (ps.nonEmpty && ps.head != ps.last) ps :+ ps.head else ps
 
   // -------------------------------------------------------------------------
+  // Polygon-AOI clip (true G1 intersection; geoprocess.py:63-98 clips to a
+  // municipality POLYGON, not its envelope — the bbox clip above is the
+  // prefilter shape, this is the exact one)
+  // -------------------------------------------------------------------------
+
+  /** Shoelace signed area of a ring (positive = counter-clockwise).
+    * Accepts open or closed rings.
+    */
+  def signedArea(ring: Seq[Pt]): Double = {
+    val r = openRing(ring)
+    if (r.length < 3) 0.0
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < r.length) {
+        val (x1, y1) = r(i)
+        val (x2, y2) = r((i + 1) % r.length)
+        s += x1 * y2 - x2 * y1
+        i += 1
+      }
+      s / 2
+    }
+  }
+
+  /** Total area of a geometry's exterior rings (clip pieces carry no
+    * holes, so this is exact for clip outputs; spec arithmetic).
+    */
+  def area(g: Geom): Double = g match {
+    case Polygon(rings)      => math.abs(signedArea(rings.head))
+    case MultiPolygon(polys) => polys.map(rs => math.abs(signedArea(rs.head))).sum
+    case _                   => 0.0
+  }
+
+  private def openRing(ps: Seq[Pt]): Seq[Pt] =
+    if (ps.length > 1 && ps.head == ps.last) ps.init else ps
+
+  // CCW, open, degenerate-vertex-free view of an AOI ring
+  private def normalizeAoi(aoi: Seq[Pt]): Seq[Pt] = {
+    val open = openRing(aoi).distinct
+    if (signedArea(open) < 0) open.reverse else open
+  }
+
+  private def cross(o: Pt, a: Pt, b: Pt): Double =
+    (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+
+  /** Is the ring convex? (collinear runs allowed; open or closed) */
+  def isConvexRing(ring: Seq[Pt]): Boolean = {
+    val r = openRing(ring)
+    if (r.length < 3) return false
+    var sign = 0
+    var i    = 0
+    while (i < r.length) {
+      val c = cross(r(i), r((i + 1) % r.length), r((i + 2) % r.length))
+      if (c != 0.0) {
+        val s = if (c > 0) 1 else -1
+        if (sign == 0) sign = s
+        else if (sign != s) return false
+      }
+      i += 1
+    }
+    sign != 0
+  }
+
+  /** Sutherland–Hodgman clip of a subject ring against a CONVEX AOI
+    * ring (any orientation, open or closed): one half-plane pass per
+    * AOI edge, exactly the [[clipRing]] recurrence with the four
+    * rectangle edges generalized to the AOI's k edges.
+    */
+  def clipRingToConvex(subject: Seq[Pt], aoi: Seq[Pt]): Seq[Pt] = {
+    val a = normalizeAoi(aoi)
+    if (a.length < 3) return Seq.empty
+    a.indices.foldLeft(openRing(subject)) { (poly, i) =>
+      if (poly.isEmpty) poly
+      else {
+        val e1 = a(i)
+        val e2 = a((i + 1) % a.length)
+        def f(p: Pt): Double = cross(e1, e2, p) // >= 0 ⇔ inside (CCW aoi)
+        val out = Seq.newBuilder[Pt]
+        for (j <- poly.indices) {
+          val cur  = poly(j)
+          val prev = poly((j + poly.length - 1) % poly.length)
+          val (fp, fc) = (f(prev), f(cur))
+          def hit: Pt = {
+            val t = fp / (fp - fc)
+            (prev._1 + (cur._1 - prev._1) * t, prev._2 + (cur._2 - prev._2) * t)
+          }
+          (fp >= 0, fc >= 0) match {
+            case (true, true)   => out += cur
+            case (true, false)  => out += hit
+            case (false, true)  => out += hit; out += cur
+            case (false, false) =>
+          }
+        }
+        out.result()
+      }
+    }
+  }
+
+  /** Clip a polyline to an ARBITRARY simple AOI ring: each segment is
+    * split at every AOI-edge crossing and the pieces whose midpoint
+    * lies inside the AOI survive — exact for concave AOIs (no convex
+    * decomposition, no duplicated boundary pieces), the line analog of
+    * [[clipLine]]'s parametric rectangle clip.
+    */
+  def clipLineToPolygon(ps: Seq[Pt], aoi: Seq[Pt]): Seq[Seq[Pt]] = {
+    val a = normalizeAoi(aoi)
+    if (a.length < 3 || ps.length < 2) return Seq.empty
+    def segPieces(p0: Pt, p1: Pt): Seq[(Pt, Pt)] = {
+      val (dx, dy) = (p1._1 - p0._1, p1._2 - p0._2)
+      // segment-vs-edge crossing params on the SUBJECT segment
+      val ts = Seq.newBuilder[Double]
+      ts += 0.0; ts += 1.0
+      var i = 0
+      while (i < a.length) {
+        val e1 = a(i)
+        val e2 = a((i + 1) % a.length)
+        val (ex, ey) = (e2._1 - e1._1, e2._2 - e1._2)
+        val den = dx * ey - dy * ex
+        if (den != 0.0) {
+          val t = ((e1._1 - p0._1) * ey - (e1._2 - p0._2) * ex) / den
+          val u = ((e1._1 - p0._1) * dy - (e1._2 - p0._2) * dx) / den
+          if (t > 0 && t < 1 && u >= 0 && u <= 1) ts += t
+        }
+        i += 1
+      }
+      val cuts = ts.result().distinct.sorted
+      def at(t: Double): Pt = (p0._1 + dx * t, p0._2 + dy * t)
+      cuts.sliding(2).collect {
+        case Seq(t0, t1) if t1 > t0 &&
+          pointInRing(at((t0 + t1) / 2), a) => (at(t0), at(t1))
+      }.toSeq
+    }
+    val segs = ps.sliding(2).flatMap { case Seq(x, y) => segPieces(x, y) }.toSeq
+    segs.foldLeft(Seq.empty[Seq[Pt]]) { (acc, seg) =>
+      acc.lastOption match {
+        case Some(run) if run.last == seg._1 => acc.init :+ (run :+ seg._2)
+        case _                               => acc :+ Seq(seg._1, seg._2)
+      }
+    }
+  }
+
+  /** Ear-clipping triangulation of a SIMPLE ring (no holes, either
+    * orientation): the public textbook algorithm (SURVEY §7.4 sanctions
+    * Sutherland–Hodgman-class geometry) that turns a concave AOI into
+    * convex pieces for [[clipToPolygon]]. O(n²), driver/executor-local
+    * over AOI rings which are single literals — never data-sized.
+    */
+  def triangulate(ring: Seq[Pt]): Seq[(Pt, Pt, Pt)] = {
+    val out = Seq.newBuilder[(Pt, Pt, Pt)]
+    var r   = normalizeAoi(ring).toVector
+    def inTri(p: Pt, a: Pt, b: Pt, c: Pt): Boolean = {
+      val d1 = cross(a, b, p); val d2 = cross(b, c, p); val d3 = cross(c, a, p)
+      (d1 >= 0 && d2 >= 0 && d3 >= 0) || (d1 <= 0 && d2 <= 0 && d3 <= 0)
+    }
+    var guard = r.length * r.length + 8
+    while (r.length > 3 && guard > 0) {
+      guard -= 1
+      val n = r.length
+      val ear = (0 until n).find { i =>
+        val (p, c, nx) = (r((i + n - 1) % n), r(i), r((i + 1) % n))
+        cross(p, c, nx) > 0 && // convex corner of the CCW ring
+          !r.exists(v => v != p && v != c && v != nx && inTri(v, p, c, nx))
+      }
+      ear match {
+        case Some(i) =>
+          val (p, c, nx) = (r((i + n - 1) % n), r(i), r((i + 1) % n))
+          if (cross(p, c, nx) != 0) out += ((p, c, nx))
+          r = r.patch(i, Nil, 1)
+        case None => // degenerate remainder (collinear spikes): drop a flat vertex
+          val i = (0 until n).find { i =>
+            cross(r((i + n - 1) % n), r(i), r((i + 1) % n)) == 0
+          }.getOrElse(0)
+          r = r.patch(i, Nil, 1)
+      }
+    }
+    if (r.length == 3 && cross(r(0), r(1), r(2)) != 0) out += ((r(0), r(1), r(2)))
+    out.result()
+  }
+
+  /** TRUE polygon-AOI clip (G1's PairwiseClip semantics): geometry ∩ a
+    * SIMPLE polygon AOI. Convex AOIs run one Sutherland–Hodgman pass;
+    * concave AOIs are ear-clipped into triangles and polygon subjects
+    * are clipped per triangle — the pieces land as a MultiPolygon whose
+    * union is the exact intersection (same area/coverage; internal
+    * triangle edges are NOT dissolved — the documented topology trade).
+    * Points classify by even-odd containment; polylines split exactly
+    * at boundary crossings ([[clipLineToPolygon]]). Subject holes follow
+    * the [[clip]] scope (exterior rings only). None when nothing remains.
+    */
+  def clipToPolygon(g: Geom, aoi: Seq[Pt]): Option[Geom] = {
+    val a = normalizeAoi(aoi)
+    if (a.length < 3) return None
+    val convex = isConvexRing(a)
+    def clipExt(ring: Seq[Pt]): Seq[Seq[Pt]] =
+      if (convex) {
+        val r = clipRingToConvex(ring, a)
+        if (math.abs(signedArea(r)) > 0 && r.length >= 3) Seq(r) else Seq.empty
+      } else triangulate(a).flatMap { case (t1, t2, t3) =>
+        val r = clipRingToConvex(ring, Seq(t1, t2, t3))
+        if (math.abs(signedArea(r)) > 0 && r.length >= 3) Some(r) else None
+      }
+    g match {
+      case Point(p)       => if (pointInRing(p, a)) Some(Point(p)) else None
+      case MultiPoint(ps) =>
+        val in = ps.filter(pointInRing(_, a))
+        if (in.isEmpty) None else Some(MultiPoint(in))
+      case LineString(ps) =>
+        clipLineToPolygon(ps, a) match {
+          case Seq()    => None
+          case Seq(one) => Some(LineString(one))
+          case many     => Some(MultiLineString(many))
+        }
+      case MultiLineString(ls) =>
+        val out = ls.flatMap(clipLineToPolygon(_, a))
+        if (out.isEmpty) None else Some(MultiLineString(out))
+      case Polygon(rings) =>
+        clipExt(rings.head) match {
+          case Seq()    => None
+          case Seq(one) => Some(Polygon(Seq(closeRing(one))))
+          case many     => Some(MultiPolygon(many.map(r => Seq(closeRing(r)))))
+        }
+      case MultiPolygon(polys) =>
+        val out = polys.flatMap(rs => clipExt(rs.head)).map(r => Seq(closeRing(r)))
+        if (out.isEmpty) None else Some(MultiPolygon(out))
+    }
+  }
+
+  // -------------------------------------------------------------------------
   // CRS transform (planar affine registry)
   // -------------------------------------------------------------------------
 

@@ -28,7 +28,7 @@ object IvfPqBench {
     val nQueries = args.lift(1).map(_.toInt).getOrElse(20)
     val k        = args.lift(2).map(_.toInt).getOrElse(10)
     val nProbe   = args.lift(3).map(_.toInt).getOrElse(4)
-    val ks       = args.lift(4).map(_.toInt).getOrElse(16)
+    val ks       = args.lift(4).map(_.toInt).getOrElse(256)
     val kAdcArg  = args.lift(5).map(_.toInt)
     val batchN   = args.lift(6).map(_.toInt).getOrElse(0)
     val cpus     = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -95,7 +95,9 @@ object IvfPqBench {
       Similarity.ivfPqProbe(spark, pqPath, qv, k, nProbe, exclude = Some(qid))
         .select("vec_id").collect().map(_.getLong(0)).toSet
     }
-    val kAdc = kAdcArg.getOrElse(10 * k)
+    // mirror the library default (ivfPqProbeRerank's kAdc=1000) so a
+    // bare run measures the point a deployment would actually serve
+    val kAdc = kAdcArg.getOrElse(1000)
     val rerankRecall = recall { (qid, qv) =>
       Similarity.ivfPqProbeRerank(spark, pqPath, emb, qv, k, kAdc, nProbe,
         exclude = Some(qid))

@@ -110,4 +110,132 @@ class GeometrySpec extends AnyFunSuite {
     assert(!looksLikeWgs84(Seq((500000.0, 6500000.0))))
     assert(!looksLikeWgs84(Seq.empty))
   }
+
+  // ---- true polygon-AOI clip (G1 exact semantics) ----
+
+  private val square4 = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+  // concave L: the unit squares [0,4]x[0,2] ∪ [0,2]x[2,4], area 12
+  private val lShape =
+    Seq((0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (2.0, 2.0), (2.0, 4.0), (0.0, 4.0))
+
+  test("signedArea / isConvexRing / triangulate basics") {
+    assert(signedArea(square4) == 16.0)
+    assert(signedArea(square4.reverse) == -16.0)
+    assert(isConvexRing(square4) && !isConvexRing(lShape))
+    val tris = triangulate(lShape)
+    assert(tris.nonEmpty)
+    val total = tris.map { case (a, b, c) =>
+      math.abs(signedArea(Seq(a, b, c)))
+    }.sum
+    assert(math.abs(total - 12.0) < 1e-9,
+      s"triangulation must cover the L-shape exactly, got area $total")
+    // orientation-independent
+    assert(math.abs(triangulate(lShape.reverse).map { case (a, b, c) =>
+      math.abs(signedArea(Seq(a, b, c))) }.sum - 12.0) < 1e-9)
+  }
+
+  test("clipToPolygon: rectangle AOI reproduces the bbox clip exactly") {
+    val b    = BBox(0, 0, 10, 10)
+    val rect = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val subjects: Seq[Geom] = Seq(
+      Point((5.0, 5.0)), Point((11.0, 5.0)),
+      MultiPoint(Seq((1.0, 1.0), (12.0, 1.0))),
+      LineString(Seq((-5.0, 5.0), (15.0, 5.0))),
+      Polygon(Seq(Seq((5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0), (5.0, 5.0)))))
+    subjects.foreach { g =>
+      val viaBox  = clip(g, b)
+      val viaPoly = clipToPolygon(g, rect)
+      (viaBox, viaPoly) match {
+        case (None, None) =>
+        case (Some(x), Some(y)) =>
+          assert(math.abs(area(x) - area(y)) < 1e-9, s"area mismatch for $g")
+          // ring starting vertex may rotate between the two pipelines —
+          // compare the vertex SETS (same ring up to rotation)
+          def verts(g: Geom): Set[(Double, Double)] = g match {
+            case Point(p)            => Set(p)
+            case MultiPoint(ps)      => ps.toSet
+            case LineString(ps)      => ps.toSet
+            case MultiLineString(ls) => ls.flatten.toSet
+            case Polygon(rs)         => rs.head.toSet
+            case MultiPolygon(ps)    => ps.flatMap(_.head).toSet
+          }
+          assert(verts(x) == verts(y), s"vertex mismatch for $g: ${toWkt(x)} vs ${toWkt(y)}")
+        case other => fail(s"bbox/polygon clip disagree on $g: $other")
+      }
+    }
+  }
+
+  test("clipToPolygon: convex triangle AOI (one Sutherland–Hodgman pass)") {
+    val tri = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))
+    // the 10-square ∩ triangle = the triangle itself, area 50
+    val sq = Polygon(Seq(Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))))
+    val out = clipToPolygon(sq, tri).get
+    assert(math.abs(area(out) - 50.0) < 1e-9)
+    // a square fully inside survives unchanged in area
+    val inner = Polygon(Seq(Seq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0))))
+    assert(math.abs(area(clipToPolygon(inner, tri).get) - 4.0) < 1e-9)
+    // a square fully outside vanishes
+    val outer = Polygon(Seq(Seq((9.0, 9.0), (11.0, 9.0), (11.0, 11.0), (9.0, 11.0), (9.0, 9.0))))
+    assert(clipToPolygon(outer, tri).isEmpty)
+  }
+
+  test("clipToPolygon: CONCAVE AOI — exact area via triangulated pieces") {
+    // square ∩ L-shape = the L-shape, area 12, delivered as pieces
+    val sq  = Polygon(Seq(square4))
+    val out = clipToPolygon(sq, lShape).get
+    assert(math.abs(area(out) - 12.0) < 1e-9, s"got area ${area(out)}")
+    // the notch [2,4]x[2,4] must be EXCLUDED (a bbox clip would keep it)
+    val notch = Polygon(Seq(Seq((2.5, 2.5), (3.5, 2.5), (3.5, 3.5), (2.5, 3.5), (2.5, 2.5))))
+    assert(clipToPolygon(notch, lShape).isEmpty,
+      "geometry in the concave notch must clip away entirely")
+    // partial overlap with the notch: only the inside-the-L half survives
+    val straddle = Polygon(Seq(Seq((1.0, 2.5), (3.0, 2.5), (3.0, 3.5), (1.0, 3.5), (1.0, 2.5))))
+    assert(math.abs(area(clipToPolygon(straddle, lShape).get) - 1.0) < 1e-9)
+    // every piece's vertices and centroid stay inside the AOI
+    clipToPolygon(sq, lShape).get match {
+      case MultiPolygon(polys) =>
+        polys.flatMap(_.head).foreach { p =>
+          val eps = 1e-9
+          val nudged = ((p._1 - eps) max 0.0, (p._2 - eps) max 0.0)
+          assert(pointInRing(nudged, lShape) || polys.exists(_.head.contains(p)))
+        }
+      case Polygon(_) => // single piece is fine too
+      case other      => fail(s"unexpected clip output: $other")
+    }
+  }
+
+  test("clipToPolygon: lines and points against a concave AOI") {
+    // along y=3 the L-shape spans x ∈ [0,2] only
+    val line = LineString(Seq((-1.0, 3.0), (5.0, 3.0)))
+    clipToPolygon(line, lShape) match {
+      case Some(LineString(ps)) =>
+        assert(ps.head == ((0.0, 3.0)) && ps.last == ((2.0, 3.0)), s"got $ps")
+      case other => fail(s"expected one piece, got $other")
+    }
+    // along y=1 it spans x ∈ [0,4]
+    clipToPolygon(LineString(Seq((-1.0, 1.0), (5.0, 1.0))), lShape) match {
+      case Some(LineString(ps)) =>
+        assert(ps.head == ((0.0, 1.0)) && ps.last == ((4.0, 1.0)), s"got $ps")
+      case other => fail(s"expected one piece, got $other")
+    }
+    // a diagonal exiting and re-entering around the notch yields 2 pieces
+    val diag = LineString(Seq((1.0, 3.0), (3.0, 3.0), (3.0, 1.0)))
+    clipToPolygon(diag, lShape) match {
+      case Some(MultiLineString(ls)) => assert(ls.length == 2, s"got $ls")
+      case other                     => fail(s"expected two pieces, got $other")
+    }
+    assert(clipToPolygon(Point((1.0, 1.0)), lShape).nonEmpty)
+    assert(clipToPolygon(Point((3.0, 3.0)), lShape).isEmpty) // in the notch
+    clipToPolygon(MultiPoint(Seq((1.0, 1.0), (3.0, 3.0))), lShape) match {
+      case Some(MultiPoint(ps)) => assert(ps == Seq((1.0, 1.0)))
+      case other                => fail(s"got $other")
+    }
+  }
+
+  test("clipToPolygon: idempotent on its own output (pieces already inside)") {
+    val sq  = Polygon(Seq(square4))
+    val out = clipToPolygon(sq, lShape).get
+    val again = clipToPolygon(out, lShape).get
+    assert(math.abs(area(again) - area(out)) < 1e-9)
+  }
 }
