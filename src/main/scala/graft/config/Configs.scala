@@ -97,6 +97,7 @@ object Configs {
       geoprocessingEnabled = bool(geo, "enabled", dflt = true),
       targetSrid = int(geo, "target_srid", 3010),
       aoi = aoi,
+      aoiWkt = opt(geo, "aoi_wkt"),
       sdeAuthorityMapping = asMap(root.getOrElse("sde_authority_mapping", null))
         .map { case (k, v) => k -> v.toString },
       continueOnFailure = bool(root, "continue_on_failure", dflt = true),

@@ -62,6 +62,12 @@ final case class GlobalConfig(
     geoprocessingEnabled: Boolean = true,
     targetSrid: Int = 3010,
     aoi: Option[(Double, Double, Double, Double)] = None,
+    /** exact clip boundary (`geoprocessing.aoi_wkt`, a POLYGON WKT —
+      * the reference clips to the municipality polygon itself,
+      * geoprocess.py:63-98); when set it SUPERSEDES `aoi`, whose bbox
+      * remains the scan-pushable prefilter shape.
+      */
+    aoiWkt: Option[String] = None,
     sdeAuthorityMapping: Map[String, String] = Map("LSTD" -> "GNG.Underlag_LstD"),
     continueOnFailure: Boolean = true,
     /** schemas are inferred on first load, then pinned: re-staging the

@@ -40,10 +40,21 @@ object GeoFunctions {
       .orNull
   }
 
+  // one PreparedAoi per distinct AOI WKT per executor JVM: the AOI is a
+  // literal, so without this every row would re-parse and (for concave
+  // boundaries) re-run the O(n²) ear clipping
+  private val preparedAois =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Geometry.PreparedAoi]]()
+
   private val clipPolyUdf = udf { (wkt: String, aoiWkt: String) =>
-    (Geometry.fromWkt(wkt), Geometry.fromWkt(aoiWkt)) match {
-      case (Some(g), Some(Geometry.Polygon(rings))) =>
-        Geometry.clipToPolygon(g, rings.head).map(Geometry.toWkt).orNull
+    val prep = preparedAois.computeIfAbsent(aoiWkt,
+      w => Geometry.fromWkt(w) match {
+        case Some(Geometry.Polygon(rings)) => Geometry.prepareAoi(rings.head)
+        case _                             => None
+      })
+    (Geometry.fromWkt(wkt), prep) match {
+      case (Some(g), Some(p)) =>
+        Geometry.clipToPolygon(g, p).map(Geometry.toWkt).orNull
       case _ => null
     }
   }

@@ -565,15 +565,41 @@ object Geometry {
     * at boundary crossings ([[clipLineToPolygon]]). Subject holes follow
     * the [[clip]] scope (exterior rings only). None when nothing remains.
     */
-  def clipToPolygon(g: Geom, aoi: Seq[Pt]): Option[Geom] = {
+  def clipToPolygon(g: Geom, aoi: Seq[Pt]): Option[Geom] =
+    prepareAoi(aoi).flatMap(clipToPolygon(g, _))
+
+  /** AOI preprocessing hoisted out of the per-row path: normalization,
+    * convexity, and (for concave rings) the O(n²) ear-clipping run ONCE
+    * per AOI — the clip UDF serves millions of rows against one literal
+    * municipality boundary, and a thousand-vertex concave AOI must not
+    * be re-triangulated per feature. None for degenerate (<3 distinct
+    * vertex) rings.
+    */
+  final case class PreparedAoi private[Geometry] (
+      ring: Seq[Pt],
+      convex: Boolean,
+      triangles: Seq[(Pt, Pt, Pt)])
+
+  def prepareAoi(aoi: Seq[Pt]): Option[PreparedAoi] = {
     val a = normalizeAoi(aoi)
-    if (a.length < 3) return None
-    val convex = isConvexRing(a)
+    if (a.length < 3) None
+    else {
+      val convex = isConvexRing(a)
+      Some(PreparedAoi(a, convex,
+        if (convex) Seq.empty else triangulate(a)))
+    }
+  }
+
+  /** [[clipToPolygon]] against a [[prepareAoi]] result (the hot-path
+    * form the clip UDF uses).
+    */
+  def clipToPolygon(g: Geom, prep: PreparedAoi): Option[Geom] = {
+    val a = prep.ring
     def clipExt(ring: Seq[Pt]): Seq[Seq[Pt]] =
-      if (convex) {
+      if (prep.convex) {
         val r = clipRingToConvex(ring, a)
         if (math.abs(signedArea(r)) > 0 && r.length >= 3) Seq(r) else Seq.empty
-      } else triangulate(a).flatMap { case (t1, t2, t3) =>
+      } else prep.triangles.flatMap { case (t1, t2, t3) =>
         val r = clipRingToConvex(ring, Seq(t1, t2, t3))
         if (math.abs(signedArea(r)) > 0 && r.length >= 3) Some(r) else None
       }

@@ -1318,11 +1318,15 @@ object Similarity {
       .withColumn("qn", VectorFunctions.qdot(col("qvec"), col("qvec")))
     val pw = Window.partitionBy("query_id")
       .orderBy(col("pcos").desc, col("cent_id").desc)
+    // shed qvec/qn BEFORE the window's partitionBy(query_id) exchange
+    // (the ivfProbeBatchDfOwned rationale) — the PQ probe map never
+    // needs them back, so no re-join either
     val staged = graft.util.Checkpoints.stageOwned(
       qdf.crossJoin(broadcast(cents))
         .withColumn("pcos",
           VectorFunctions.qdot(col("cvec"), col("qvec")).cast("double") /
             sqrt(col("cnrm").cast("double") * col("qn").cast("double")))
+        .select(col("query_id"), col("cent_id"), col("pcos"))
         .withColumn("pr", row_number().over(pw))
         .filter(col("pr") <= nProbe)
         .select(col("query_id"), col("cent_id")))

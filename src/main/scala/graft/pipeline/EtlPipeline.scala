@@ -278,14 +278,21 @@ class EtlPipeline( // extensible: override readSource to plug custom readers (S8
     * (pipeline.py:424-429, the 0.001s phase in the shipped run log).
     */
   def geoprocess(source: Source, fcName: String): Unit = {
-    if (!cfg.geoprocessingEnabled || cfg.aoi.isEmpty) {
+    if (!cfg.geoprocessingEnabled || (cfg.aoi.isEmpty && cfg.aoiWkt.isEmpty)) {
       record(source, "geoprocess", "skip", fcName); return
     }
     try {
-      val (a, b, c, d) = cfg.aoi.get
-      val clipped = GeoFunctions.clipProject(
-        spark.table(s"`$stagingDb`.`$fcName`"),
-        Geometry.BBox(a, b, c, d), cfg.targetSrid)
+      val staged = spark.table(s"`$stagingDb`.`$fcName`")
+      // exact polygon boundary when configured (the reference's actual
+      // PairwiseClip semantics); bbox clip otherwise — same plan shape,
+      // only the exact kernel differs
+      val clipped = cfg.aoiWkt match {
+        case Some(wkt) =>
+          GeoFunctions.clipProjectAoi(staged, wkt, cfg.targetSrid)
+        case None =>
+          val (a, b, c, d) = cfg.aoi.get
+          GeoFunctions.clipProject(staged, Geometry.BBox(a, b, c, d), cfg.targetSrid)
+      }
       // in-place replace (Delete + CopyFeatures, geoprocess.py:79-81):
       // stage to temp then overwrite — Spark can't overwrite a table
       // from a plan that reads the same table.

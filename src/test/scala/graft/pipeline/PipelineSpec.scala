@@ -122,6 +122,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(pipe.summary(("stage", "skip")) == 1L)
   }
 
+  test("geoprocess with a CONCAVE polygon AOI: exact clip beats the envelope") {
+    // L-shape whose ENVELOPE (17.9..18.2 × 59.2..59.5) contains both
+    // category-A points id1 (18.0,59.3) and id3 (18.1,59.4), but whose
+    // POLYGON keeps only id1 — id3 sits in the notch (x>18.05 ∧
+    // y>59.33). A bbox clip would keep 2 rows; the exact clip keeps 1.
+    val lWkt = "POLYGON ((17.9 59.2, 18.2 59.2, 18.2 59.33, " +
+      "18.05 59.33, 18.05 59.5, 17.9 59.5, 17.9 59.2))"
+    val cfg = GlobalConfig(
+      aoiWkt = Some(lWkt),
+      targetSrid = 3006,
+      sdeLoadStrategy = "truncate_and_load")
+    val pipe = new EtlPipeline(spark, cfg, stagingDb = "staging_aoi")
+    pipe.run(sources.filter(_.name == "Rest Layers"))
+    val after = spark.table("`staging_aoi`.`tst2_rest_layers`").collect()
+    assert(after.length == 1, s"exact polygon clip must keep only id1, got ${after.length}")
+    assert(after.head.getAs[Map[String, String]]("properties")("id") == "1")
+    // the config surface parses the boundary
+    val parsed = graft.config.Configs.parseGlobal(
+      s"""geoprocessing:
+         |  enabled: true
+         |  target_srid: 3006
+         |  aoi_wkt: "$lWkt"
+         |""".stripMargin)
+    assert(parsed.aoiWkt.contains(lWkt) && parsed.geoprocessingEnabled)
+  }
+
   test("zip source lands, extracts, routes by extension; re-read hits the landing cache") {
     // build an archive with a geojson payload and a distractor entry —
     // the reference's single-resource zip path (file.py:228-371)
