@@ -3912,11 +3912,11 @@ object SparkEntry {
          |   FROM sv),
          | cb AS (SELECT sub, vec_id AS code_id, sq AS cvec, snrm AS cnrm
          |   FROM sv2 WHERE ${seedCond}vec_id < 256),
-         | asg AS (SELECT v.vec_id, v.sub, cb.code_id,
-         |   row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
-         |     (v.snrm + cb.cnrm - 2*${qdotSql("v.sq", "cb.cvec")}) ASC,
-         |     cb.code_id ASC) AS rn
-         |   FROM sv2 v JOIN cb USING (sub))""".stripMargin
+         | asg AS (SELECT v.vec_id, v.sub,
+         |   (min(struct_pack(
+         |     l := (v.snrm + cb.cnrm - 2*${qdotSql("v.sq", "cb.cvec")}),
+         |     c := cb.code_id))).c AS code_id, 1 AS rn
+         |   FROM sv2 v JOIN cb USING (sub) GROUP BY v.vec_id, v.sub)""".stripMargin
 
     private lazy val q116OracleSql: String =
       s"""WITH ${pqAsgCtes()}
