@@ -555,12 +555,68 @@ object Geometry {
     out.result()
   }
 
+  /** Dissolve a piece set (open or closed rings) by merging pairs that
+    * share a FULL edge — the inverse of the triangulation cut, so the
+    * per-triangle clip pieces of one connected region stitch back into
+    * one ring. Pieces sharing ≥2 edges or only a pinch vertex are left
+    * separate (merging them could produce a non-simple ring); collinear
+    * seam vertices are dropped from merged rings. Area-preserving by
+    * construction; ClipPropertySpec pins it.
+    */
+  def dissolvePieces(rings: Seq[Seq[Pt]]): Seq[Seq[Pt]] = {
+    // CCW open rings: a shared edge then appears as (a,b) in one ring
+    // and (b,a) in the other
+    var pieces = rings.map(r => normalizeAoi(r)).filter(_.length >= 3).toVector
+    def dropCollinear(r: Seq[Pt]): Seq[Pt] = {
+      val out = r.indices.collect {
+        case i if cross(r((i + r.length - 1) % r.length), r(i),
+          r((i + 1) % r.length)) != 0.0 || r((i + r.length - 1) % r.length) ==
+          r((i + 1) % r.length) => r(i)
+      }
+      out.distinct
+    }
+    var merged = true
+    while (merged && pieces.length > 1) {
+      merged = false
+      val found = (for {
+        i <- pieces.indices.iterator
+        j <- (i + 1 until pieces.length).iterator
+        ri = pieces(i); rj = pieces(j)
+        shared = ri.indices.flatMap { p =>
+          val (a, b) = (ri(p), ri((p + 1) % ri.length))
+          rj.indices.collect {
+            case q if rj(q) == b && rj((q + 1) % rj.length) == a => (p, q)
+          }
+        }
+        if shared.length == 1 // exactly one shared edge → simple splice
+      } yield (i, j, shared.head)).take(1).toSeq
+      found.foreach { case (i, j, (p, q)) =>
+        val (ri, rj) = (pieces(i), pieces(j))
+        // splice: ri up to a (index p), then rj from the vertex after a
+        // (q+2) all the way around to b (index q), then ri from b (p+1)
+        val spliced = ri.take(p + 1) ++
+          (1 until rj.length - 1).map(k => rj((q + 1 + k) % rj.length)) ++
+          ri.drop(p + 1)
+        val clean = dropCollinear(spliced)
+        if (clean.length >= 3 && math.abs(signedArea(clean) -
+          (signedArea(ri) + signedArea(rj))) < 1e-9 * (1 + math.abs(
+            signedArea(ri) + signedArea(rj)))) {
+          pieces = pieces.patch(j, Nil, 1).patch(i, Seq(clean), 1)
+          merged = true
+        }
+      }
+    }
+    pieces
+  }
+
   /** TRUE polygon-AOI clip (G1's PairwiseClip semantics): geometry ∩ a
     * SIMPLE polygon AOI. Convex AOIs run one Sutherland–Hodgman pass;
-    * concave AOIs are ear-clipped into triangles and polygon subjects
-    * are clipped per triangle — the pieces land as a MultiPolygon whose
-    * union is the exact intersection (same area/coverage; internal
-    * triangle edges are NOT dissolved — the documented topology trade).
+    * concave AOIs are ear-clipped into triangles, polygon subjects are
+    * clipped per triangle, and the pieces are DISSOLVED back along the
+    * triangulation's internal edges ([[dissolvePieces]]) — one ring per
+    * connected component in the common case; pieces whose merge could
+    * produce a non-simple ring stay separate as MultiPolygon parts
+    * (same area/coverage either way — the documented topology trade).
     * Points classify by even-odd containment; polylines split exactly
     * at boundary crossings ([[clipLineToPolygon]]). Subject holes follow
     * the [[clip]] scope (exterior rings only). None when nothing remains.
@@ -599,10 +655,10 @@ object Geometry {
       if (prep.convex) {
         val r = clipRingToConvex(ring, a)
         if (math.abs(signedArea(r)) > 0 && r.length >= 3) Seq(r) else Seq.empty
-      } else prep.triangles.flatMap { case (t1, t2, t3) =>
+      } else dissolvePieces(prep.triangles.flatMap { case (t1, t2, t3) =>
         val r = clipRingToConvex(ring, Seq(t1, t2, t3))
         if (math.abs(signedArea(r)) > 0 && r.length >= 3) Some(r) else None
-      }
+      })
     g match {
       case Point(p)       => if (pointInRing(p, a)) Some(Point(p)) else None
       case MultiPoint(ps) =>

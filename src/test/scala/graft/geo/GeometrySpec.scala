@@ -191,17 +191,31 @@ class GeometrySpec extends AnyFunSuite {
     // partial overlap with the notch: only the inside-the-L half survives
     val straddle = Polygon(Seq(Seq((1.0, 2.5), (3.0, 2.5), (3.0, 3.5), (1.0, 3.5), (1.0, 2.5))))
     assert(math.abs(area(clipToPolygon(straddle, lShape).get) - 1.0) < 1e-9)
-    // every piece's vertices and centroid stay inside the AOI
+    // the triangle pieces DISSOLVE along the internal cut edges: the
+    // square ∩ L is one connected region, so one ring comes back, and
+    // its vertex set is exactly the L's corners
     clipToPolygon(sq, lShape).get match {
-      case MultiPolygon(polys) =>
-        polys.flatMap(_.head).foreach { p =>
-          val eps = 1e-9
-          val nudged = ((p._1 - eps) max 0.0, (p._2 - eps) max 0.0)
-          assert(pointInRing(nudged, lShape) || polys.exists(_.head.contains(p)))
-        }
-      case Polygon(_) => // single piece is fine too
-      case other      => fail(s"unexpected clip output: $other")
+      case Polygon(rings) =>
+        assert(rings.head.toSet == lShape.toSet,
+          s"dissolved ring must be the L-shape, got ${rings.head}")
+      case other => fail(s"expected one dissolved polygon, got $other")
     }
+  }
+
+  test("dissolvePieces: splices full-edge neighbors, preserves area, skips ambiguity") {
+    // two unit squares sharing an edge → one 2×1 rectangle
+    val a = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))
+    val b = Seq((1.0, 0.0), (2.0, 0.0), (2.0, 1.0), (1.0, 1.0))
+    val m = dissolvePieces(Seq(a, b))
+    assert(m.length == 1 && math.abs(signedArea(m.head)) == 2.0)
+    assert(m.head.toSet == Set((0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (0.0, 1.0)),
+      s"collinear seam vertices must drop, got ${m.head}")
+    // disjoint pieces stay separate
+    val c = Seq((5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0))
+    assert(dissolvePieces(Seq(a, c)).length == 2)
+    // pinch-vertex-only neighbors stay separate (no shared edge)
+    val d = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0))
+    assert(dissolvePieces(Seq(a, d)).length == 2)
   }
 
   test("clipToPolygon: lines and points against a concave AOI") {
