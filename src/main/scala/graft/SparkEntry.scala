@@ -2021,6 +2021,44 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Polygon-AOI clip under the ORACLE (G1's exact kernel, hash-gated):
+    * per document a synthetic point and a 0.5×0.5 square at
+    * half-integer coordinates are clipped against a CONCAVE rectilinear
+    * L-shaped AOI through the full production path —
+    * [[graft.geo.GeoFunctions.stClipPolygon]]: WKT parse → prepared-AOI
+    * cache → ear-clipped triangles → per-triangle Sutherland–Hodgman →
+    * dissolve. Because the AOI is rectilinear it decomposes into two
+    * disjoint axis rectangles, so DuckDB re-derives containment and the
+    * exact clipped area in pure SQL (no spatial extension). Coordinates
+    * are half-integers against integer edges — no point ever lies ON a
+    * boundary, so even-odd containment equals the open-interior test;
+    * areas are quarter-integer multiples, emitted ×16 as BIGINT
+    * (ROUND absorbs the ~1-ulp float residue of the diagonal
+    * triangulation cuts).
+    */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    import graft.geo.GeoFunctions
+    // L-shape: [0,60]×[0,40] ∪ [0,30]×[40,80]
+    val aoi = "POLYGON ((0 0, 60 0, 60 40, 30 40, 30 80, 0 80, 0 0))"
+    val base = t(s, d, "documents").select(col("doc_id"))
+      .withColumn("x", (col("doc_id") % 89).cast("double") + lit(0.5))
+      .withColumn("y", ((col("doc_id") * 7) % 83).cast("double") + lit(0.5))
+    base
+      .withColumn("pt", format_string("POINT (%.1f %.1f)", col("x"), col("y")))
+      .withColumn("sq", format_string(
+        "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))",
+        col("x") - 0.25, col("y") - 0.25, col("x") + 0.25, col("y") - 0.25,
+        col("x") + 0.25, col("y") + 0.25, col("x") - 0.25, col("y") + 0.25,
+        col("x") - 0.25, col("y") - 0.25))
+      .select(col("doc_id"),
+        when(GeoFunctions.stClipPolygon(col("pt"), aoi).isNotNull, 1L)
+          .otherwise(0L).as("kept"),
+        round(GeoFunctions.stArea(
+          GeoFunctions.stClipPolygon(col("sq"), aoi)) * 16).cast("long")
+          .as("clip16"))
+      .orderBy("doc_id")
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -2203,7 +2241,8 @@ object SparkEntry {
     "q120_ivfpq_fold"       -> (q120 _),
     "q121_ivfpq_stream"     -> (q121 _),
     "q122_ivfpq_batch"      -> (q122 _),
-    "q123_corpus_prep"      -> (q123 _)
+    "q123_corpus_prep"      -> (q123 _),
+    "q124_polygon_clip"     -> (q124 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3703,7 +3742,28 @@ object SparkEntry {
     "q122_ivfpq_batch" -> q122OracleSql,
     // the composed pipeline: quality gate -> exact dedup -> pack ->
     // split, one hash over the whole manifest
-    "q123_corpus_prep" -> q123OracleSql
+    "q123_corpus_prep" -> q123OracleSql,
+    // the L-shaped AOI decomposes into two DISJOINT axis rectangles
+    // ([0,60]×[0,40] ∪ [0,30]×[40,80)), so point containment is two
+    // open-interval tests (half-integer coords never sit on an integer
+    // edge) and the clipped square area is the sum of two axis-rect
+    // overlaps — pure SQL, no spatial extension; ×16 lands the
+    // quarter-integer areas on exact BIGINTs
+    "q124_polygon_clip" ->
+      """WITH p AS (SELECT doc_id,
+        |  (doc_id % 89) + 0.5 AS x, ((doc_id * 7) % 83) + 0.5 AS y
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN (x > 0 AND x < 60 AND y > 0 AND y < 40)
+        |    OR (x > 0 AND x < 30 AND y > 40 AND y < 80)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        |  CAST(ROUND((
+        |    GREATEST(0, LEAST(x + 0.25, 60) - GREATEST(x - 0.25, 0)) *
+        |      GREATEST(0, LEAST(y + 0.25, 40) - GREATEST(y - 0.25, 0)) +
+        |    GREATEST(0, LEAST(x + 0.25, 30) - GREATEST(x - 0.25, 0)) *
+        |      GREATEST(0, LEAST(y + 0.25, 80) - GREATEST(y - 0.25, 40))
+        |  ) * 16) AS BIGINT) AS clip16
+        |FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):

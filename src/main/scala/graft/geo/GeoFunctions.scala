@@ -91,6 +91,16 @@ object GeoFunctions {
   def stClipPolygon(geomWkt: Column, aoiWkt: String): Column =
     clipPolyUdf(geomWkt, lit(aoiWkt))
 
+  private val areaUdf = udf { (wkt: String) =>
+    Option(wkt).flatMap(Geometry.fromWkt).map(Geometry.area).getOrElse(0.0)
+  }
+
+  /** Planar area of a WKT geometry's exterior rings (0 for points and
+    * lines; null/unparseable → 0). Shoelace, exact for the clip-output
+    * shapes (no holes).
+    */
+  def stArea(geomWkt: Column): Column = areaUdf(geomWkt)
+
   def stTransform(geomWkt: Column, fromSrid: Column, toSrid: Column): Column =
     transformUdf(geomWkt, fromSrid, toSrid)
 
