@@ -2043,13 +2043,20 @@ object SparkEntry {
     val base = t(s, d, "documents").select(col("doc_id"))
       .withColumn("x", (col("doc_id") % 89).cast("double") + lit(0.5))
       .withColumn("y", ((col("doc_id") * 7) % 83).cast("double") + lit(0.5))
+    // WKT built from double→string CASTS (Double.toString — always a
+    // dot decimal separator), not format_string (locale-dependent
+    // java.util.Formatter: a comma-decimal default locale would emit
+    // unparseable WKT)
+    def xy(cx: Column, cy: Column): Column =
+      concat(cx.cast("string"), lit(" "), cy.cast("string"))
     base
-      .withColumn("pt", format_string("POINT (%.1f %.1f)", col("x"), col("y")))
-      .withColumn("sq", format_string(
-        "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))",
-        col("x") - 0.25, col("y") - 0.25, col("x") + 0.25, col("y") - 0.25,
-        col("x") + 0.25, col("y") + 0.25, col("x") - 0.25, col("y") + 0.25,
-        col("x") - 0.25, col("y") - 0.25))
+      .withColumn("pt", concat(lit("POINT ("), xy(col("x"), col("y")), lit(")")))
+      .withColumn("sq", concat(lit("POLYGON (("),
+        xy(col("x") - 0.25, col("y") - 0.25), lit(", "),
+        xy(col("x") + 0.25, col("y") - 0.25), lit(", "),
+        xy(col("x") + 0.25, col("y") + 0.25), lit(", "),
+        xy(col("x") - 0.25, col("y") + 0.25), lit(", "),
+        xy(col("x") - 0.25, col("y") - 0.25), lit("))")))
       .select(col("doc_id"),
         when(GeoFunctions.stClipPolygon(col("pt"), aoi).isNotNull, 1L)
           .otherwise(0L).as("kept"),
