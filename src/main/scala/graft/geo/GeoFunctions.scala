@@ -40,22 +40,24 @@ object GeoFunctions {
       .orNull
   }
 
-  // one PreparedAoi per distinct AOI WKT per executor JVM: the AOI is a
-  // literal, so without this every row would re-parse and (for concave
-  // boundaries) re-run the O(n²) ear clipping
+  // one PreparedClipAoi per distinct AOI WKT per executor JVM: the AOI
+  // is a literal, so without this every row would re-parse and (for
+  // concave boundaries) re-run the O(n²) ear clipping. A non-areal /
+  // unparseable AOI throws — every row would otherwise silently clip
+  // to nothing, and EtlPipeline.geoprocess would commit an EMPTY table
+  // as "done" (total data loss reported as success).
   private val preparedAois =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Geometry.PreparedAoi]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Geometry.PreparedClipAoi]()
 
   private val clipPolyUdf = udf { (wkt: String, aoiWkt: String) =>
     val prep = preparedAois.computeIfAbsent(aoiWkt,
-      w => Geometry.fromWkt(w) match {
-        case Some(Geometry.Polygon(rings)) => Geometry.prepareAoi(rings.head)
-        case _                             => None
-      })
-    (Geometry.fromWkt(wkt), prep) match {
-      case (Some(g), Some(p)) =>
-        Geometry.clipToPolygon(g, p).map(Geometry.toWkt).orNull
-      case _ => null
+      w => Geometry.fromWkt(w).flatMap(Geometry.prepareClipAoi).getOrElse(
+        throw new IllegalArgumentException(
+          s"stClipPolygon: AOI must be POLYGON or MULTIPOLYGON WKT, got: " +
+            s"${String.valueOf(w).take(80)}")))
+    Option(wkt).flatMap(Geometry.fromWkt) match {
+      case Some(g) => Geometry.clipToAoi(g, prep).map(Geometry.toWkt).orNull
+      case _       => null
     }
   }
 
@@ -128,10 +130,25 @@ object GeoFunctions {
       aoi: BBox,
       targetSrid: Int,
       geomCol: String = "geometry",
-      sridCol: String = "srid"): DataFrame = {
-    val pre = df.filter(bboxIntersects(col("xmin"), col("ymin"), col("xmax"), col("ymax"), aoi))
+      sridCol: String = "srid"): DataFrame =
+    clipThenProject(df, aoi, stClipBbox(col(geomCol), aoi),
+      targetSrid, geomCol, sridCol)
+
+  // the shared geoprocess tail: envelope prefilter (Catalyst-only,
+  // scan-pushable) → exact clip kernel on survivors → reproject → bbox
+  // columns refreshed in the target CRS. The bbox and polygon paths
+  // differ ONLY in the kernel Column.
+  private def clipThenProject(
+      df: DataFrame,
+      envelope: BBox,
+      clipKernel: Column,
+      targetSrid: Int,
+      geomCol: String,
+      sridCol: String): DataFrame = {
+    val pre = df.filter(
+      bboxIntersects(col("xmin"), col("ymin"), col("xmax"), col("ymax"), envelope))
     val clipped = pre
-      .withColumn(geomCol, stClipBbox(col(geomCol), aoi))
+      .withColumn(geomCol, clipKernel)
       .filter(col(geomCol).isNotNull)
     val projected = clipped
       .withColumn(geomCol, stTransform(col(geomCol), col(sridCol), lit(targetSrid)))
@@ -153,19 +170,17 @@ object GeoFunctions {
       targetSrid: Int,
       geomCol: String = "geometry",
       sridCol: String = "srid"): DataFrame = {
-    val aoiBox = Geometry.fromWkt(aoiWkt)
-      .map(Geometry.bbox)
+    // fail at PLAN time, not per row: an AOI that is valid WKT but not
+    // areal (e.g. a LINESTRING) would otherwise null every geometry
+    // and commit an empty table as a successful geoprocess
+    val aoiGeom = Geometry.fromWkt(aoiWkt)
       .getOrElse(throw new IllegalArgumentException(
         s"clipProjectAoi: AOI is not valid WKT: ${aoiWkt.take(80)}"))
-    val pre = df.filter(
-      bboxIntersects(col("xmin"), col("ymin"), col("xmax"), col("ymax"), aoiBox))
-    val clipped = pre
-      .withColumn(geomCol, stClipPolygon(col(geomCol), aoiWkt))
-      .filter(col(geomCol).isNotNull)
-    val projected = clipped
-      .withColumn(geomCol, stTransform(col(geomCol), col(sridCol), lit(targetSrid)))
-      .withColumn(sridCol, lit(targetSrid))
-    withBboxColumns(projected.drop("xmin", "ymin", "xmax", "ymax"), geomCol)
+    require(Geometry.prepareClipAoi(aoiGeom).isDefined,
+      s"clipProjectAoi: AOI must be POLYGON or MULTIPOLYGON, got " +
+        s"${aoiGeom.kind}: ${aoiWkt.take(80)}")
+    clipThenProject(df, Geometry.bbox(aoiGeom),
+      stClipPolygon(col(geomCol), aoiWkt), targetSrid, geomCol, sridCol)
   }
 
   /** G4: geometry-type detection over a sample (geojson_loader.py:20-99) —

@@ -480,32 +480,46 @@ object Geometry {
     * decomposition, no duplicated boundary pieces), the line analog of
     * [[clipLine]]'s parametric rectangle clip.
     */
-  def clipLineToPolygon(ps: Seq[Pt], aoi: Seq[Pt]): Seq[Seq[Pt]] = {
-    val a = normalizeAoi(aoi)
-    if (a.length < 3 || ps.length < 2) return Seq.empty
+  def clipLineToPolygon(ps: Seq[Pt], aoi: Seq[Pt]): Seq[Seq[Pt]] =
+    clipLineToRings(ps, normalizeAoi(aoi), Seq.empty)
+
+  /** [[clipLineToPolygon]] with AOI HOLES: segments are additionally
+    * cut at hole-edge crossings and a piece survives only when its
+    * midpoint is inside the exterior AND outside every hole — the
+    * pointInPolygon semantics applied to line pieces. Rings must
+    * already be normalized (CCW, open).
+    */
+  private def clipLineToRings(
+      ps: Seq[Pt], ext: Seq[Pt], holes: Seq[Seq[Pt]]): Seq[Seq[Pt]] = {
+    if (ext.length < 3 || ps.length < 2) return Seq.empty
+    val rings = ext +: holes
     def segPieces(p0: Pt, p1: Pt): Seq[(Pt, Pt)] = {
       val (dx, dy) = (p1._1 - p0._1, p1._2 - p0._2)
       // segment-vs-edge crossing params on the SUBJECT segment
       val ts = Seq.newBuilder[Double]
       ts += 0.0; ts += 1.0
-      var i = 0
-      while (i < a.length) {
-        val e1 = a(i)
-        val e2 = a((i + 1) % a.length)
-        val (ex, ey) = (e2._1 - e1._1, e2._2 - e1._2)
-        val den = dx * ey - dy * ex
-        if (den != 0.0) {
-          val t = ((e1._1 - p0._1) * ey - (e1._2 - p0._2) * ex) / den
-          val u = ((e1._1 - p0._1) * dy - (e1._2 - p0._2) * dx) / den
-          if (t > 0 && t < 1 && u >= 0 && u <= 1) ts += t
+      rings.foreach { a =>
+        var i = 0
+        while (i < a.length) {
+          val e1 = a(i)
+          val e2 = a((i + 1) % a.length)
+          val (ex, ey) = (e2._1 - e1._1, e2._2 - e1._2)
+          val den = dx * ey - dy * ex
+          if (den != 0.0) {
+            val t = ((e1._1 - p0._1) * ey - (e1._2 - p0._2) * ex) / den
+            val u = ((e1._1 - p0._1) * dy - (e1._2 - p0._2) * dx) / den
+            if (t > 0 && t < 1 && u >= 0 && u <= 1) ts += t
+          }
+          i += 1
         }
-        i += 1
       }
       val cuts = ts.result().distinct.sorted
       def at(t: Double): Pt = (p0._1 + dx * t, p0._2 + dy * t)
       cuts.sliding(2).collect {
-        case Seq(t0, t1) if t1 > t0 &&
-          pointInRing(at((t0 + t1) / 2), a) => (at(t0), at(t1))
+        case Seq(t0, t1) if t1 > t0 && {
+          val mid = at((t0 + t1) / 2)
+          pointInRing(mid, ext) && !holes.exists(pointInRing(mid, _))
+        } => (at(t0), at(t1))
       }.toSeq
     }
     val segs = ps.sliding(2).flatMap { case Seq(x, y) => segPieces(x, y) }.toSeq
@@ -643,6 +657,84 @@ object Geometry {
       val convex = isConvexRing(a)
       Some(PreparedAoi(a, convex,
         if (convex) Seq.empty else triangulate(a)))
+    }
+  }
+
+  /** Fully-prepared clip AOI for the UDF hot path: one or more
+    * (exterior, holes) parts — POLYGON or MULTIPOLYGON boundaries, with
+    * interior rings honored. Holes are normalized open rings.
+    */
+  final case class PreparedClipAoi private[Geometry] (
+      parts: Seq[(PreparedAoi, Seq[Seq[Pt]])])
+
+  /** Prepare any AREAL WKT geometry as a clip AOI. None for points,
+    * lines, and degenerate rings — callers must treat that as a
+    * configuration ERROR, never as "clip everything away".
+    */
+  def prepareClipAoi(g: Geom): Option[PreparedClipAoi] = {
+    def part(rings: Seq[Seq[Pt]]): Option[(PreparedAoi, Seq[Seq[Pt]])] =
+      prepareAoi(rings.head).map { p =>
+        (p, rings.tail.map(normalizeAoi).filter(_.length >= 3))
+      }
+    val parts = g match {
+      case Polygon(rings)      => part(rings).toSeq
+      case MultiPolygon(polys) => polys.flatMap(part)
+      case _                   => Seq.empty
+    }
+    if (parts.isEmpty) None else Some(PreparedClipAoi(parts))
+  }
+
+  /** Clip against a multi-part, possibly-holed AOI ([[prepareClipAoi]]):
+    * points classify by full even-odd containment (inside the exterior,
+    * outside every hole, of ANY part); polylines cut at exterior AND
+    * hole edges; AREAL subjects clip per part through the hole-FREE
+    * [[clipToPolygon]] kernel — a holed part under an areal subject is
+    * rejected loudly (polygon-minus-hole differencing is out of scope;
+    * dissolve the AOI or pass hole-free parts) rather than silently
+    * clipping as if the hole were filled. MultiPolygon parts are
+    * disjoint by WKT contract, so per-part outputs concatenate.
+    */
+  def clipToAoi(g: Geom, prep: PreparedClipAoi): Option[Geom] = {
+    def inAoi(p: Pt): Boolean = prep.parts.exists { case (e, hs) =>
+      pointInRing(p, e.ring) && !hs.exists(pointInRing(p, _))
+    }
+    def lines(ps: Seq[Pt]): Seq[Seq[Pt]] =
+      prep.parts.flatMap { case (e, hs) => clipLineToRings(ps, e.ring, hs) }
+    def areal(rings: Seq[Seq[Pt]]): Seq[Seq[Pt]] =
+      prep.parts.flatMap { case (e, hs) =>
+        require(hs.isEmpty,
+          "polygon clip against a holed AOI part is not supported for " +
+            "areal subjects: dissolve the AOI or pass hole-free parts " +
+            "(points and lines honor holes exactly)")
+        clipToPolygon(Polygon(rings), e) match {
+          case Some(Polygon(rs))      => Seq(rs.head)
+          case Some(MultiPolygon(ps)) => ps.map(_.head)
+          case _                      => Seq.empty
+        }
+      }
+    g match {
+      case Point(p)       => if (inAoi(p)) Some(Point(p)) else None
+      case MultiPoint(ps) =>
+        val in = ps.filter(inAoi)
+        if (in.isEmpty) None else Some(MultiPoint(in))
+      case LineString(ps) =>
+        lines(ps) match {
+          case Seq()    => None
+          case Seq(one) => Some(LineString(one))
+          case many     => Some(MultiLineString(many))
+        }
+      case MultiLineString(ls) =>
+        val out = ls.flatMap(lines)
+        if (out.isEmpty) None else Some(MultiLineString(out))
+      case Polygon(rings) =>
+        areal(rings) match {
+          case Seq()    => None
+          case Seq(one) => Some(Polygon(Seq(closeRing(one))))
+          case many     => Some(MultiPolygon(many.map(r => Seq(closeRing(r)))))
+        }
+      case MultiPolygon(polys) =>
+        val out = polys.flatMap(rs => areal(rs)).map(r => Seq(closeRing(r)))
+        if (out.isEmpty) None else Some(MultiPolygon(out))
     }
   }
 

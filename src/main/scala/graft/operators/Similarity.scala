@@ -874,20 +874,31 @@ object Similarity {
     val candidates =
       try fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
       catch { case _: java.io.IOException => Seq.empty }
-    val stale = candidates.map(_.getPath).filter { p =>
-      p.getName.startsWith("cells.old") || p.getName.startsWith("cells.compact")
+    val stale = candidates.filter { s =>
+      val n = s.getPath.getName
+      n.startsWith("cells.old") || n.startsWith("cells.compact")
     }
     if (!exists)
-      stale.filter(_.getName.startsWith("cells.old"))
+      stale.map(_.getPath).filter(_.getName.startsWith("cells.old"))
         .sortBy(_.getName).lastOption
         .foreach(old => fs.rename(old, cellsDir))
-    else
-      // a promoted cells/ makes every cells.old* / cells.compact*
-      // sibling a crash leftover (compactIvfCells deletes them only on
-      // its success path) — garbage-collect here, under the same lock
-      // every maintenance entry point takes, or a long-lived
-      // fold+compact tier leaks one full index copy per crashed run
-      stale.foreach(p => fs.delete(p, true))
+    else {
+      // a promoted cells/ makes cells.old* siblings crash leftovers
+      // (cells.old only ever exists after cells/ was renamed away, so
+      // the two coexisting means the promote landed and only the
+      // success-path delete was lost) — garbage-collect them, or a
+      // long-lived fold+compact tier leaks one full index copy per
+      // crashed run. cells.compact* is different: a compaction in
+      // ANOTHER process stages its rewrite there while cells/ still
+      // stands (lockFor is JVM-local), so a fresh compact dir may be a
+      // LIVE build — only age-gated leftovers are collected.
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      stale.foreach { s =>
+        val live = s.getPath.getName.startsWith("cells.compact") &&
+          s.getModificationTime >= cutoff
+        if (!live) fs.delete(s.getPath, true)
+      }
+    }
   }
 
   /** Rebuild advisor over a maintained (built + folded) IVF layout:

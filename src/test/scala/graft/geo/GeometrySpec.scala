@@ -252,4 +252,48 @@ class GeometrySpec extends AnyFunSuite {
     val again = clipToPolygon(out, lShape).get
     assert(math.abs(area(again) - area(out)) < 1e-9)
   }
+
+  test("clipToAoi: MULTIPOLYGON AOIs clip against every part") {
+    // two disjoint unit squares
+    val aoi = prepareClipAoi(MultiPolygon(Seq(
+      Seq(Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0))),
+      Seq(Seq((5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 6.0), (5.0, 5.0)))))).get
+    assert(clipToAoi(Point((0.5, 0.5)), aoi).nonEmpty)
+    assert(clipToAoi(Point((5.5, 5.5)), aoi).nonEmpty)
+    assert(clipToAoi(Point((3.0, 3.0)), aoi).isEmpty)
+    // a big square overlapping both parts clips to area 1 + 1
+    val big = Polygon(Seq(Seq((-1.0, -1.0), (7.0, -1.0), (7.0, 7.0), (-1.0, 7.0), (-1.0, -1.0))))
+    assert(math.abs(area(clipToAoi(big, aoi).get) - 2.0) < 1e-9)
+    // a line through both parts yields one piece per part
+    clipToAoi(LineString(Seq((-1.0, 0.5), (7.0, 0.5))), aoi) match {
+      case Some(LineString(ps)) =>
+        assert(ps.head == ((0.0, 0.5)) && ps.last == ((1.0, 0.5)))
+      case other => fail(s"got $other") // second part is at y=5.5, not hit
+    }
+    // non-areal WKT prepares to None — the UDF turns that into a LOUD
+    // error instead of clipping every row to nothing
+    assert(prepareClipAoi(LineString(Seq((0.0, 0.0), (1.0, 1.0)))).isEmpty)
+    assert(prepareClipAoi(Point((0.0, 0.0))).isEmpty)
+  }
+
+  test("clipToAoi: AOI HOLES honored for points/lines, rejected for areal subjects") {
+    // 10-square with a [4,6]² hole
+    val holed = prepareClipAoi(Polygon(Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+      Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0))))).get
+    assert(clipToAoi(Point((1.0, 1.0)), holed).nonEmpty)
+    assert(clipToAoi(Point((5.0, 5.0)), holed).isEmpty,
+      "a point inside the AOI's hole must clip away")
+    // a line across the hole loses its middle: [0,4] and [6,10] survive
+    clipToAoi(LineString(Seq((-1.0, 5.0), (11.0, 5.0))), holed) match {
+      case Some(MultiLineString(Seq(a, b))) =>
+        assert(a.head == ((0.0, 5.0)) && a.last == ((4.0, 5.0)), s"got $a")
+        assert(b.head == ((6.0, 5.0)) && b.last == ((10.0, 5.0)), s"got $b")
+      case other => fail(s"expected two pieces around the hole, got $other")
+    }
+    // areal subjects against a holed part: loud error, never
+    // silently-filled-hole output
+    val sq = Polygon(Seq(Seq((4.5, 4.5), (5.5, 4.5), (5.5, 5.5), (4.5, 5.5), (4.5, 4.5))))
+    intercept[IllegalArgumentException] { clipToAoi(sq, holed) }
+  }
 }

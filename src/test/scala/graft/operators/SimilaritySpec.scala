@@ -678,19 +678,28 @@ class SimilaritySpec extends SparkSpec {
     val before = rows
     // simulate a compaction that crashed AFTER the tmp→cells promote but
     // before the old-copy delete: cells/ stands, a full pre-compaction
-    // copy (cells.old*) and a half-written staging dir (cells.compact*)
-    // linger — without GC a long-lived fold+compact tier leaks one full
-    // index copy per crashed run
-    val old = new java.io.File(s"$path/cells.old99999")
-    val cmp = new java.io.File(s"$path/cells.compact99999")
-    assert(old.mkdir() && cmp.mkdir(), "test setup: plant stale siblings")
+    // copy (cells.old*) and staging dirs (cells.compact*) linger —
+    // without GC a long-lived fold+compact tier leaks one full index
+    // copy per crashed run. A FRESH compact dir may be a LIVE build in
+    // another process (lockFor is JVM-local), so only aged ones go.
+    val old   = new java.io.File(s"$path/cells.old99999")
+    val cmpL  = new java.io.File(s"$path/cells.compact88888") // live (fresh)
+    val cmpC  = new java.io.File(s"$path/cells.compact99999") // crashed (aged)
+    assert(old.mkdir() && cmpL.mkdir() && cmpC.mkdir(),
+      "test setup: plant stale siblings")
     java.nio.file.Files.write(old.toPath.resolve("leftover.parquet"),
       Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(cmpC.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 25L * 3600 * 1000))
     // the next locked maintenance entry garbage-collects the leftovers
     Similarity.foldIntoIvfIndex(
       emb.filter($"vec_id" % 10 === 0), path, "gc1")
-    assert(!old.exists() && !cmp.exists(),
-      "stale cells.old*/cells.compact* siblings must be deleted once cells/ stands")
+    assert(!old.exists() && !cmpC.exists(),
+      "cells.old* and AGED cells.compact* must be deleted once cells/ stands")
+    assert(cmpL.exists(),
+      "a FRESH cells.compact* (possibly a live cross-process build) must survive")
+    cmpL.delete()
     assert(rows.toSet.subsetOf(spark.read.parquet(s"$path/cells")
         .select($"vec_id").as[Long].collect().toSet),
       s"GC must not touch the live layout (pre-fold rows: ${before.size})")
