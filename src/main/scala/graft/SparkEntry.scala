@@ -2022,19 +2022,21 @@ object SparkEntry {
   }
 
   /** Polygon-AOI clip under the ORACLE (G1's exact kernel, hash-gated):
-    * per document a synthetic point and a 0.5×0.5 square at
-    * half-integer coordinates are clipped against a CONCAVE rectilinear
+    * per document a synthetic point and a 1.5×1.5 square at
+    * half-integer centers are clipped against a CONCAVE rectilinear
     * L-shaped AOI through the full production path —
     * [[graft.geo.GeoFunctions.stClipPolygon]]: WKT parse → prepared-AOI
     * cache → ear-clipped triangles → per-triangle Sutherland–Hodgman →
     * dissolve. Because the AOI is rectilinear it decomposes into two
     * disjoint axis rectangles, so DuckDB re-derives containment and the
-    * exact clipped area in pure SQL (no spatial extension). Coordinates
-    * are half-integers against integer edges — no point ever lies ON a
-    * boundary, so even-odd containment equals the open-interior test;
-    * areas are quarter-integer multiples, emitted ×16 as BIGINT
-    * (ROUND absorbs the ~1-ulp float residue of the diagonal
-    * triangulation cuts).
+    * exact clipped area in pure SQL (no spatial extension). Square
+    * edges sit at quarter-offsets (n±0.25, n±0.75) against the AOI's
+    * integer edges — squares STRADDLE boundaries (and the concave
+    * corner), so partial clips of the production kernel are exercised,
+    * while no point or edge ever lies ON a boundary, keeping even-odd
+    * containment equal to the open-interior test; areas are multiples
+    * of 1/16, emitted ×16 as BIGINT (ROUND absorbs the ~1-ulp float
+    * residue of the diagonal triangulation cuts).
     */
   private def q124(s: SparkSession, d: String): DataFrame = {
     import graft.geo.GeoFunctions
@@ -2052,11 +2054,11 @@ object SparkEntry {
     base
       .withColumn("pt", concat(lit("POINT ("), xy(col("x"), col("y")), lit(")")))
       .withColumn("sq", concat(lit("POLYGON (("),
-        xy(col("x") - 0.25, col("y") - 0.25), lit(", "),
-        xy(col("x") + 0.25, col("y") - 0.25), lit(", "),
-        xy(col("x") + 0.25, col("y") + 0.25), lit(", "),
-        xy(col("x") - 0.25, col("y") + 0.25), lit(", "),
-        xy(col("x") - 0.25, col("y") - 0.25), lit("))")))
+        xy(col("x") - 0.75, col("y") - 0.75), lit(", "),
+        xy(col("x") + 0.75, col("y") - 0.75), lit(", "),
+        xy(col("x") + 0.75, col("y") + 0.75), lit(", "),
+        xy(col("x") - 0.75, col("y") + 0.75), lit(", "),
+        xy(col("x") - 0.75, col("y") - 0.75), lit("))")))
       .select(col("doc_id"),
         when(GeoFunctions.stClipPolygon(col("pt"), aoi).isNotNull, 1L)
           .otherwise(0L).as("kept"),
@@ -3765,10 +3767,10 @@ object SparkEntry {
         |    OR (x > 0 AND x < 30 AND y > 40 AND y < 80)
         |    THEN 1 ELSE 0 END AS BIGINT) AS kept,
         |  CAST(ROUND((
-        |    GREATEST(0, LEAST(x + 0.25, 60) - GREATEST(x - 0.25, 0)) *
-        |      GREATEST(0, LEAST(y + 0.25, 40) - GREATEST(y - 0.25, 0)) +
-        |    GREATEST(0, LEAST(x + 0.25, 30) - GREATEST(x - 0.25, 0)) *
-        |      GREATEST(0, LEAST(y + 0.25, 80) - GREATEST(y - 0.25, 40))
+        |    GREATEST(0, LEAST(x + 0.75, 60) - GREATEST(x - 0.75, 0)) *
+        |      GREATEST(0, LEAST(y + 0.75, 40) - GREATEST(y - 0.75, 0)) +
+        |    GREATEST(0, LEAST(x + 0.75, 30) - GREATEST(x - 0.75, 0)) *
+        |      GREATEST(0, LEAST(y + 0.75, 80) - GREATEST(y - 0.75, 40))
         |  ) * 16) AS BIGINT) AS clip16
         |FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )

@@ -97,9 +97,10 @@ object GeoFunctions {
     Option(wkt).flatMap(Geometry.fromWkt).map(Geometry.area).getOrElse(0.0)
   }
 
-  /** Planar area of a WKT geometry's exterior rings (0 for points and
-    * lines; null/unparseable → 0). Shoelace, exact for the clip-output
-    * shapes (no holes).
+  /** Planar area of a WKT geometry (0 for points and lines;
+    * null/unparseable → 0). Exact shoelace arithmetic, interior rings
+    * (holes) subtracted — holed polygon WKT is measured correctly, not
+    * exterior-only.
     */
   def stArea(geomWkt: Column): Column = areaUdf(geomWkt)
 
@@ -164,21 +165,39 @@ object GeoFunctions {
     * Same plan shape as [[clipProject]] — only the exact kernel widens
     * from rectangle to polygon.
     */
+  /** @param arealSubjects whether the layer may contain polygons.
+    *   The polygon-clip kernel rejects holed AOI parts, so with the
+    *   default (true — any real layer may carry polygons) a holed AOI
+    *   is rejected HERE, at plan time, instead of throwing per row
+    *   mid-job. Pass false only for a points/lines-only layer, where
+    *   interior rings are honored exactly.
+    */
   def clipProjectAoi(
       df: DataFrame,
       aoiWkt: String,
       targetSrid: Int,
       geomCol: String = "geometry",
-      sridCol: String = "srid"): DataFrame = {
+      sridCol: String = "srid",
+      arealSubjects: Boolean = true): DataFrame = {
     // fail at PLAN time, not per row: an AOI that is valid WKT but not
     // areal (e.g. a LINESTRING) would otherwise null every geometry
     // and commit an empty table as a successful geoprocess
     val aoiGeom = Geometry.fromWkt(aoiWkt)
       .getOrElse(throw new IllegalArgumentException(
         s"clipProjectAoi: AOI is not valid WKT: ${aoiWkt.take(80)}"))
-    require(Geometry.prepareClipAoi(aoiGeom).isDefined,
-      s"clipProjectAoi: AOI must be POLYGON or MULTIPOLYGON, got " +
-        s"${aoiGeom.kind}: ${aoiWkt.take(80)}")
+    val prep = Geometry.prepareClipAoi(aoiGeom)
+      .getOrElse(throw new IllegalArgumentException(
+        s"clipProjectAoi: AOI must be a non-degenerate POLYGON or " +
+          s"MULTIPOLYGON, got ${aoiGeom.kind}: ${aoiWkt.take(80)}"))
+    // a holed municipality boundary is common real data; surfacing the
+    // kernel's per-row rejection here keeps the "fail before any task
+    // runs" contract for the default (possibly-areal) layer
+    require(!arealSubjects || prep.parts.forall(_._2.isEmpty),
+      "clipProjectAoi: AOI has interior rings (holes); the polygon-clip " +
+        "kernel rejects holed parts for areal subjects. Dissolve the AOI " +
+        "to hole-free parts, or pass arealSubjects=false for a " +
+        "points/lines-only layer (holes are honored exactly there): " +
+        aoiWkt.take(80))
     clipThenProject(df, Geometry.bbox(aoiGeom),
       stClipPolygon(col(geomCol), aoiWkt), targetSrid, geomCol, sridCol)
   }

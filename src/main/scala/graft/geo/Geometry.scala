@@ -400,13 +400,21 @@ object Geometry {
     }
   }
 
-  /** Total area of a geometry's exterior rings (clip pieces carry no
-    * holes, so this is exact for clip outputs; spec arithmetic).
+  /** Planar area of a geometry: exterior rings minus interior rings
+    * (holes), 0 for points and lines. Exact shoelace arithmetic on
+    * every ring — holed input WKT no longer overstates (the hole's
+    * |signedArea| is subtracted), and clip outputs (hole-free by
+    * construction) are unchanged.
     */
-  def area(g: Geom): Double = g match {
-    case Polygon(rings)      => math.abs(signedArea(rings.head))
-    case MultiPolygon(polys) => polys.map(rs => math.abs(signedArea(rs.head))).sum
-    case _                   => 0.0
+  def area(g: Geom): Double = {
+    def poly(rings: Seq[Seq[Pt]]): Double =
+      math.abs(signedArea(rings.head)) -
+        rings.tail.map(r => math.abs(signedArea(r))).sum
+    g match {
+      case Polygon(rings)      => poly(rings)
+      case MultiPolygon(polys) => polys.map(poly).sum
+      case _                   => 0.0
+    }
   }
 
   private def openRing(ps: Seq[Pt]): Seq[Pt] =
@@ -652,7 +660,12 @@ object Geometry {
 
   def prepareAoi(aoi: Seq[Pt]): Option[PreparedAoi] = {
     val a = normalizeAoi(aoi)
-    if (a.length < 3) None
+    // a zero-area ring (≥3 distinct but collinear vertices) is as
+    // degenerate as a 2-vertex one: isConvexRing is false, triangulate
+    // yields nothing, and every row would clip to null — the silent
+    // total-data-loss mode the throw-on-bad-AOI guard exists to stop.
+    // None here makes stClipPolygon/clipProjectAoi raise at config time.
+    if (a.length < 3 || signedArea(a) == 0.0) None
     else {
       val convex = isConvexRing(a)
       Some(PreparedAoi(a, convex,

@@ -891,11 +891,27 @@ object Similarity {
       // crashed run. cells.compact* is different: a compaction in
       // ANOTHER process stages its rewrite there while cells/ still
       // stands (lockFor is JVM-local), so a fresh compact dir may be a
-      // LIVE build — only age-gated leftovers are collected.
-      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      // LIVE build — only age-gated leftovers are collected, liveness
+      // keyed on the NEWEST FILE inside the dir (a very large rewrite
+      // keeps writing part files, refreshing its lease for as long as
+      // it makes progress; the dir's own mtime only reflects top-level
+      // entry creation) with the window configurable for deployments
+      // whose rewrites legitimately stall longer between files.
+      val staleHours = spark.conf
+        .getOption("spark.graft.index.gcStaleHours").map(_.toLong)
+        .getOrElse(24L)
+      val cutoff = System.currentTimeMillis() - staleHours * 3600 * 1000
+      def newestMtime(p: org.apache.hadoop.fs.Path, own: Long): Long = {
+        var m = own
+        try {
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+        } catch { case _: java.io.IOException => }
+        m
+      }
       stale.foreach { s =>
         val live = s.getPath.getName.startsWith("cells.compact") &&
-          s.getModificationTime >= cutoff
+          newestMtime(s.getPath, s.getModificationTime) >= cutoff
         if (!live) fs.delete(s.getPath, true)
       }
     }

@@ -296,4 +296,26 @@ class GeometrySpec extends AnyFunSuite {
     val sq = Polygon(Seq(Seq((4.5, 4.5), (5.5, 4.5), (5.5, 5.5), (4.5, 5.5), (4.5, 4.5))))
     intercept[IllegalArgumentException] { clipToAoi(sq, holed) }
   }
+
+  test("prepareAoi rejects zero-area (collinear) rings") {
+    // ≥3 distinct but collinear vertices: isConvexRing is false and
+    // triangulation yields nothing — accepting this ring would clip
+    // every row to null (silent total data loss reported as success)
+    assert(prepareAoi(Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (0.0, 0.0))).isEmpty)
+    assert(prepareClipAoi(Polygon(Seq(
+      Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (0.0, 0.0))))).isEmpty)
+    // a real ring still prepares
+    assert(prepareAoi(Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0))).nonEmpty)
+  }
+
+  test("area subtracts interior rings (holes)") {
+    val holed = Polygon(Seq(
+      Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)),
+      Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0))))
+    assert(math.abs(area(holed) - 96.0) < 1e-9, s"got ${area(holed)}")
+    val mp = MultiPolygon(Seq(
+      holed.rings,
+      Seq(Seq((20.0, 0.0), (21.0, 0.0), (21.0, 1.0), (20.0, 0.0)))))
+    assert(math.abs(area(mp) - 96.5) < 1e-9, s"got ${area(mp)}")
+  }
 }

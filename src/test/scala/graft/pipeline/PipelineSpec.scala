@@ -148,6 +148,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(parsed.aoiWkt.contains(lWkt) && parsed.geoprocessingEnabled)
   }
 
+  test("clipProjectAoi rejects a HOLED AOI at plan time for areal layers") {
+    // the polygon-clip kernel rejects holed parts per ROW; the plan-time
+    // guard must surface that misconfiguration before any task runs
+    val holed = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(4 4, 6 4, 6 6, 4 6, 4 4))"
+    val df = graft.geo.GeoFunctions.withBboxColumns(
+      spark.range(1).selectExpr(
+        "'POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))' AS geometry", "4326 AS srid"))
+    val e = intercept[IllegalArgumentException] {
+      graft.geo.GeoFunctions.clipProjectAoi(df, holed, 3006)
+    }
+    assert(e.getMessage.contains("interior rings"))
+    // a points/lines-only layer opts out and honors the hole exactly:
+    // the point inside the hole clips away, the one outside survives
+    val pts = graft.geo.GeoFunctions.withBboxColumns(
+      spark.range(2).selectExpr(
+        "CASE WHEN id = 0 THEN 'POINT (5 5)' ELSE 'POINT (1 1)' END AS geometry",
+        "4326 AS srid"))
+    val kept = graft.geo.GeoFunctions
+      .clipProjectAoi(pts, holed, 4326, arealSubjects = false)
+      .collect()
+    assert(kept.length == 1)
+    // zero-area (collinear) AOI ring: loud config error, never
+    // clip-everything-away
+    intercept[IllegalArgumentException] {
+      graft.geo.GeoFunctions.clipProjectAoi(
+        df, "POLYGON ((0 0, 1 1, 2 2, 0 0))", 3006)
+    }
+  }
+
   test("zip source lands, extracts, routes by extension; re-read hits the landing cache") {
     // build an archive with a geojson payload and a distractor entry —
     // the reference's single-resource zip path (file.py:228-371)
