@@ -2068,6 +2068,93 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** q125's own band-index lineage (the fold+delete target — q106/q109
+    * keep theirs pristine): same corpus split as q109.
+    */
+  private def ensureQ125Index(s: SparkSession, d: String): (String, String) =
+    graft.operators.Dedup.ensureMinhashBandIndex(
+      t(s, d, "documents")
+        .filter(col("doc_id") < 10000 && col("doc_id") % 10 =!= 0),
+      tablePrefix = "graft_q125", srcTag = d)
+
+  /** DELETION from the maintained MinHash band index
+    * ([[graft.operators.Dedup.deleteFromMinhashBandIndex]]) — the
+    * takedown/refresh half of the "never rebuilt, only maintained"
+    * contract: build on the 90% corpus, fold the admitted batch (the
+    * q109 loop), tombstone-DELETE a slice spanning BOTH populations
+    * (corpus docs ≡3 mod 20 and folded docs ≡0 mod 20), compact (the
+    * physical purge), and emit the index content. The oracle rebuilds
+    * from scratch over (corpus ∪ admitted) minus the deleted slice —
+    * green proves fold∘delete∘compact ≡ rebuild-from-remainder, byte
+    * equality of the maintained index with one never touched by
+    * maintenance.
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val (bt, st) = ensureQ125Index(s, d)
+    val batch = t(s, d, "documents")
+      .filter(col("doc_id") < 10000 && col("doc_id") % 10 === 0)
+    val dup = graft.operators.Dedup.incrementalNearDupPairs(batch, bt, st)
+      .select(col("new_doc").as("doc_id")).distinct()
+    val admitted = batch.join(dup, Seq("doc_id"), "left_anti")
+    graft.operators.Dedup.foldIntoMinhashBandIndex(
+      admitted, "graft_q125", batchTag = s"$d#batch0")
+    graft.operators.Dedup.deleteFromMinhashBandIndex(
+      t(s, d, "documents")
+        .filter(col("doc_id") % 20 === 0 || col("doc_id") % 20 === 3)
+        .select("doc_id"),
+      "graft_q125", delTag = s"$d#del0")
+    graft.operators.Dedup.compactMinhashBandIndex(s, "graft_q125")
+    s.table(bt).orderBy("doc_id", "bk")
+  }
+
+  /** DELETION from the maintained IVF index
+    * ([[graft.operators.Similarity.deleteFromIvfIndex]]): build on the
+    * standing corpus, fold the held-out batch (the q111 loop), then
+    * tombstone-DELETE half the folded batch (vec_id ≡ 10 mod 20) and
+    * emit the per-cell LIVE occupancy. The oracle re-derives the
+    * counts from a from-scratch assignment of (corpus ∪ batch) minus
+    * the deleted slice to the corpus-seeded centroids — every count
+    * shifts if a delete is dropped or over-applied, so the gate pins
+    * the tombstone-filtered view exactly (probe parity and the
+    * compaction purge are pinned by SimilaritySpec).
+    */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = s"$d#q126")
+    Similarity.foldIntoIvfIndex(emb.filter(col("vec_id") % 10 === 0),
+      path, batchTag = s"$d#db0")
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 20 === 10).select("vec_id"),
+      path, delTag = s"$d#del0")
+    Similarity.ivfCellStats(s, path)
+  }
+
+  /** DELETION from the maintained IVF-PQ index (the q126 contract for
+    * the COMPRESSED tier): build on the corpus, fold the batch
+    * (encoded against standing books/centroids), tombstone-delete half
+    * the batch, and emit the ENTIRE live index content — (vec_id,
+    * cell, all m codes) per surviving vector. The oracle re-derives
+    * books, centroids, cell membership and every code from scratch
+    * with corpus-only seeding over the remainder, so one hash gates
+    * the full compressed-index state under maintenance.
+    */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfPqIndex(corpus, srcTag = s"$d#q127")
+    Similarity.foldIntoIvfPqIndex(emb.filter(col("vec_id") % 10 === 0),
+      path, batchTag = s"$d#pqd0")
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 20 === 10).select("vec_id"),
+      path, delTag = s"$d#del0")
+    Similarity.liveCells(s, path)
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
+        col("codes").getItem(0).as("c0"), col("codes").getItem(1).as("c1"),
+        col("codes").getItem(2).as("c2"), col("codes").getItem(3).as("c3"))
+      .orderBy("vec_id")
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -2251,7 +2338,10 @@ object SparkEntry {
     "q121_ivfpq_stream"     -> (q121 _),
     "q122_ivfpq_batch"      -> (q122 _),
     "q123_corpus_prep"      -> (q123 _),
-    "q124_polygon_clip"     -> (q124 _)
+    "q124_polygon_clip"     -> (q124 _),
+    "q125_band_delete"      -> (q125 _),
+    "q126_ivf_delete"       -> (q126 _),
+    "q127_ivfpq_delete"     -> (q127 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -2274,6 +2364,16 @@ object SparkEntry {
     ensureQ106Index(s, d)
     // q109's own copy (the fold target — q106's stays pristine)
     ensureQ109Index(s, d)
+    // q125's own copy (the fold+DELETE target)
+    ensureQ125Index(s, d)
+    // q126/q127's maintained layouts under deletion (folds and deletes
+    // stay in-query: they ARE the measured operation)
+    Similarity.ensureIvfIndex(
+      t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
+      srcTag = s"$d#q126")
+    Similarity.ensureIvfPqIndex(
+      t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
+      srcTag = s"$d#q127")
     // the q111/q113/q114/q115 maintained-IVF corpus layout (the folds
     // themselves stay in-query: they ARE the measured operation)
     Similarity.ensureIvfIndex(
@@ -3772,7 +3872,10 @@ object SparkEntry {
         |    GREATEST(0, LEAST(x + 0.75, 30) - GREATEST(x - 0.75, 0)) *
         |      GREATEST(0, LEAST(y + 0.75, 80) - GREATEST(y - 0.75, 40))
         |  ) * 16) AS BIGINT) AS clip16
-        |FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        |FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "q125_band_delete" -> q125OracleSql,
+    "q126_ivf_delete" -> q126OracleSql,
+    "q127_ivfpq_delete" -> q127OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):
@@ -4148,6 +4251,57 @@ object SparkEntry {
          |ORDER BY ${cosSql("dot", "nrm", "qn")} DESC, vec_id LIMIT 10"""
         .stripMargin.replaceAll("\n", " ")
     }
+
+    // q109's fold-equals-rebuild oracle minus the deleted slice: the
+    // maintained index after fold∘delete∘compact must BYTE-equal a
+    // from-scratch build over (corpus ∪ admitted) \ deleted
+    private lazy val q125OracleSql: String =
+      s"""$minhashIngestCtes,
+         | dups AS (SELECT DISTINCT new_doc FROM m WHERE 100*n_match >= 50*64)
+         |SELECT doc_id, bk FROM (
+         |  SELECT doc_id, bk FROM ib0
+         |  UNION ALL
+         |  SELECT doc_id, bk FROM nb
+         |  WHERE doc_id NOT IN (SELECT new_doc FROM dups))
+         |WHERE doc_id % 20 <> 0 AND doc_id % 20 <> 3
+         |ORDER BY doc_id, bk""".stripMargin.replaceAll("\n", " ")
+
+    // q113's occupancy chain over the REMAINDER: corpus-derived C and
+    // seeds, union assignment, deleted slice excluded — every count
+    // shifts if a tombstone is dropped or over-applied
+    private lazy val q126OracleSql: String = {
+      def cosSql(dot: String, na: String, nb: String) =
+        s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+      s"""WITH nc AS (SELECT CASE WHEN COUNT(*) <= 1 THEN 4
+         |   ELSE LEAST(65536, GREATEST(4,
+         |     CAST(1 AS BIGINT) << ((length(bin(COUNT(*) - 1)) + 1) // 2))) END AS c
+         |   FROM embeddings WHERE vec_id % 10 <> 0),
+         | b AS (SELECT vec_id, q, ${qdotSql("q", "q")} AS nrm
+         |   FROM (SELECT vec_id, $qvecSql AS q FROM embeddings)),
+         | c AS (SELECT vec_id AS cent_id, q AS cvec, nrm AS cnrm FROM b
+         |   WHERE vec_id % 10 <> 0 AND vec_id < (SELECT c FROM nc)),
+         | asg AS (SELECT vec_id, cent_id,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY
+         |     ${cosSql(qdotSql("q", "cvec"), "nrm", "cnrm")} DESC, cent_id DESC) AS rn
+         |   FROM b CROSS JOIN c WHERE vec_id % 20 <> 10)
+         |SELECT cent_id, COUNT(*) AS n_vecs FROM asg WHERE rn = 1
+         |GROUP BY cent_id ORDER BY cent_id""".stripMargin.replaceAll("\n", " ")
+    }
+
+    // the full live content of the maintained IVF-PQ layout over the
+    // remainder: corpus-seeded books and centroids, union encode, the
+    // deleted slice excluded — (vec_id, cell, all m codes) hash-gated
+    private lazy val q127OracleSql: String =
+      s"""WITH ${ivfPqCtes("vec_id % 10 <> 0 AND ")}
+         |SELECT i.vec_id, i.cent_id,
+         |  MAX(CASE WHEN a.sub = 0 THEN a.code_id END) AS c0,
+         |  MAX(CASE WHEN a.sub = 1 THEN a.code_id END) AS c1,
+         |  MAX(CASE WHEN a.sub = 2 THEN a.code_id END) AS c2,
+         |  MAX(CASE WHEN a.sub = 3 THEN a.code_id END) AS c3
+         |FROM iasg i JOIN asg a ON a.vec_id = i.vec_id
+         |WHERE i.rn = 1 AND a.rn = 1 AND i.vec_id % 20 <> 10
+         |GROUP BY i.vec_id, i.cent_id ORDER BY i.vec_id"""
+        .stripMargin.replaceAll("\n", " ")
 
     // q111's lineage split (corpus-derived C and seeds, union
     // assignment), aggregated to per-cell occupancy instead of probed

@@ -456,16 +456,41 @@ object Dedup {
     sigs.select(col("doc_id"),
       explode(bandKeyArray(col("sig"), bands, rows)).as("bk"))
 
-  /** The skew-capped view of a persisted band index (over-cap buckets —
-    * boilerplate piles — dropped whole; the count window consumes the
-    * table's `bk` bucketing, no exchange). Shared by the batch and
-    * streaming ingestion paths.
+  // the tombstone table of a band-index lineage: `<prefix>_dels`, one
+  // `doc_id` column, appended by [[deleteFromMinhashBandIndex]] and
+  // purged+dropped by [[compactMinhashBandIndex]]
+  private[graft] def delsTableFor(bandsTable: String): String =
+    bandsTable.stripSuffix("_bands") + "_dels"
+
+  /** The LIVE view of a persisted index table (`_bands` or `_sigs`):
+    * physical rows minus the lineage's standing tombstones. The
+    * tombstone set is bounded between compactions, so the anti-join
+    * build side is an explicit BROADCAST — the bucketed scan keeps its
+    * layout (broadcast joins preserve child partitioning; the bucket-
+    * consuming window above this still plans zero exchanges).
+    */
+  private[graft] def liveIndexTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      bandsTable: String): DataFrame = {
+    val t = spark.table(table)
+    val delsTable = delsTableFor(bandsTable)
+    if (spark.catalog.tableExists(delsTable))
+      t.join(broadcast(spark.table(delsTable).distinct()),
+        Seq("doc_id"), "left_anti")
+    else t
+  }
+
+  /** The skew-capped LIVE view of a persisted band index (tombstoned
+    * docs excluded; over-cap buckets — boilerplate piles — dropped
+    * whole; the count window consumes the table's `bk` bucketing, no
+    * exchange). Shared by the batch and streaming ingestion paths.
     */
   private[graft] def cappedBandIndex(
       spark: org.apache.spark.sql.SparkSession,
       bandsTable: String,
       maxBucketSize: Int): DataFrame =
-    spark.table(bandsTable)
+    liveIndexTable(spark, bandsTable, bandsTable)
       .withColumn("_bn", count(lit(1)).over(Window.partitionBy("bk")))
       .filter(col("_bn") <= maxBucketSize)
       .drop("_bn")
@@ -510,6 +535,10 @@ object Dedup {
         buckets, Seq("bk"), fpTag) &&
       Bucketing.isCurrent(rawSigs, sigsTable, buckets, Seq("doc_id"), fpTag)
     if (!current) {
+      // a rebuild starts a NEW lineage: stale tombstones from the old
+      // one must not suppress freshly indexed docs
+      docs.sparkSession.sql(
+        s"DROP TABLE IF EXISTS ${delsTableFor(bandsTable)}")
       // staged so the expensive minhash kernel runs ONCE for both writes
       val sigs = Checkpoints.stage(rawSigs,
         Checkpoints.configured(docs.sparkSession))
@@ -589,6 +618,21 @@ object Dedup {
         val intents = props.get("graft.folds.intent")
           .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
         val suspect = intents.contains(batchTag)
+        // the re-insert guard (see [[deleteFromMinhashBandIndex]]): a
+        // batch that intersects standing tombstones must fail loudly —
+        // its old rows are still physical, so the tombstone would kill
+        // both versions. One tiny broadcast probe, paid only when a
+        // tombstone table exists at all.
+        val delsTable = delsTableFor(bandsTable)
+        if (spark.catalog.tableExists(delsTable)) {
+          val hit = spark.table(delsTable)
+            .join(broadcast(admitted.select("doc_id").distinct()), "doc_id")
+            .limit(1).collect()
+          require(hit.isEmpty,
+            s"fold batch re-inserts tombstoned doc_id ${hit.headOption.map(_.getLong(0)).getOrElse(-1L)}: " +
+              "compact the index first (compaction purges tombstones), " +
+              "then re-fold the doc as new")
+        }
         val pending = ((intents -- folded) + batchTag).toSeq.sorted
           .mkString(",").replace("'", "''")
         spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES(" +
@@ -630,6 +674,58 @@ object Dedup {
     }
   }
 
+  /** Tombstone DELETION from a maintained [[ensureMinhashBandIndex]]
+    * lineage — [[graft.operators.Similarity.deleteFromIvfIndex]]'s
+    * contract for the band index (reference analog: the replace
+    * semantics of `etl/pipeline.py:698-716`): `delIds` (a `doc_id`
+    * column) appends to the lineage's `<prefix>_dels` table —
+    * O(|delete|) work, the band/sig tables untouched — and every
+    * reader ([[liveIndexTable]]) excludes the docs immediately, so the
+    * next batch can re-admit text that only the deleted docs
+    * duplicated. Physical purge rides [[compactMinhashBandIndex]],
+    * which drops the dead rows from both tables and the dels table in
+    * the same pass: delete∘compact ≡ rebuild-from-remainder (q125
+    * gates this against the oracle).
+    *
+    * Idempotent per `delTag` (ledger in the bands table's
+    * `graft.dels` TBLPROPERTIES, the fold-ledger pattern) — and
+    * naturally idempotent even without it: a crash between the append
+    * and the ledger write replays as duplicate tombstone rows, which
+    * anti-join semantics make harmless. Deleting a never-indexed doc
+    * is likewise a no-op. Re-INSERTING a deleted doc requires a
+    * compaction in between (the fold path rejects batches that
+    * intersect standing tombstones — the old rows are still physical).
+    */
+  def deleteFromMinhashBandIndex(
+      delIds: DataFrame,
+      tablePrefix: String,
+      delTag: String): Unit = {
+    require(!delTag.contains(","),
+      s"delTag must not contain ',' (the ledger separator): '$delTag'")
+    val spark      = delIds.sparkSession
+    val bandsTable = s"${tablePrefix}_bands"
+    val delsTable  = s"${tablePrefix}_dels"
+    val memoKey = s"${spark.sparkContext.applicationId}|$delsTable|$delTag"
+    if (foldMemo.contains(memoKey)) return
+    foldLocks.computeIfAbsent(bandsTable, _ => new Object).synchronized {
+      if (foldMemo.contains(memoKey)) return
+      val props = spark.sql(s"SHOW TBLPROPERTIES $bandsTable").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val dels = props.get("graft.dels")
+        .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      if (!dels.contains(delTag)) {
+        delIds.select(col("doc_id").cast("long").as("doc_id"))
+          .write.mode("append").format("parquet").saveAsTable(delsTable)
+        val ledger = (dels + delTag).toSeq.sorted.mkString(",")
+          .replace("'", "''")
+        spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES(" +
+          s"'graft.dels'='$ledger')")
+      }
+      foldMemo.add(memoKey)
+      ()
+    }
+  }
+
   /** Small-file compaction for a fold-heavy [[ensureMinhashBandIndex]]
     * — [[graft.operators.Similarity.compactIvfCells]]'s contract for
     * the OTHER maintained index family: every
@@ -655,14 +751,29 @@ object Dedup {
       tablePrefix: String,
       buckets: Int = 8): Unit = {
     val bandsTable = s"${tablePrefix}_bands"
+    val delsTable  = s"${tablePrefix}_dels"
     foldLocks.computeIfAbsent(bandsTable, _ => new Object).synchronized {
+      // tombstone PURGE rides the rewrite ([[deleteFromMinhashBandIndex]]):
+      // both tables drop the tombstoned docs, then the dels table goes.
+      // Crash windows stay safe at every point — until the dels drop,
+      // the live views still anti-join (against already-purged ids at
+      // worst: a harmless no-op), and the `graft.dels` LEDGER lives in
+      // the bands TBLPROPERTIES (preserved below), so a replayed delete
+      // tag still no-ops after its tombstones are purged.
+      val hasDels = spark.catalog.tableExists(delsTable)
       Seq((bandsTable, "bk"), (s"${tablePrefix}_sigs", "doc_id"))
         .foreach { case (table, key) =>
           val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
             .map(r => r.getString(0) -> r.getString(1))
             .filter(_._1.startsWith("graft.")).toMap
+          val live =
+            if (hasDels)
+              spark.table(table).join(
+                broadcast(spark.table(delsTable).distinct()),
+                Seq("doc_id"), "left_anti")
+            else spark.table(table)
           val staged = Checkpoints.stageOwned(
-            spark.table(table).repartition(buckets, col(key)),
+            live.repartition(buckets, col(key)),
             Checkpoints.configured(spark))
           try {
             spark.sql(s"DROP TABLE $table")
@@ -676,6 +787,8 @@ object Dedup {
               s"ALTER TABLE $table SET TBLPROPERTIES('$ek'='$ev')")
           }
         }
+      if (hasDels) spark.sql(s"DROP TABLE IF EXISTS $delsTable")
+      ()
     }
   }
 
@@ -730,7 +843,8 @@ object Dedup {
     val probe = pairs.join(
       broadcast(newSigs.select(col("doc_id").as("new_doc"), col("sig").as("sig_a"))),
       "new_doc")
-    spark.table(sigsTable).select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
+    liveIndexTable(spark, sigsTable, bandsTable)
+      .select(col("doc_id").as("dup_of"), col("sig").as("sig_b"))
       .join(broadcast(probe), "dup_of")
       .withColumn("n_match",
         size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)).cast("long"))

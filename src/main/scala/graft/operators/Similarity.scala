@@ -329,7 +329,7 @@ object Similarity {
       (cos, r.getAs[Long]("cent_id"))
     }.sortBy { case (cos, id) => (-cos, -id) }.take(nProbe).map(_._2)
     val qCol = array(qq.map(lit): _*)
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = liveCells(spark, path)
       .filter(col("cent_id").isin(probeIds.toIndexedSeq: _*))
     exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
       .withColumn("dot", VectorFunctions.qdot(col("q"), qCol))
@@ -466,7 +466,7 @@ object Similarity {
       probeMap.select("cent_id").distinct().as[Long].collect().toIndexedSeq
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id"))
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = liveCells(spark, path)
       .filter(col("cent_id").isin(probedCells: _*))
       .join(broadcast(probeMap), Seq("cent_id"))
     val out =
@@ -771,6 +771,7 @@ object Similarity {
         new org.apache.hadoop.fs.Path(path, s"folds/$tagHash")
       val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(marker)) {
+        requireNotTombstoned(spark, path, newVecs.select("vec_id"))
         foldAssignment(newVecs, path)
           .write.mode("append").partitionBy("cent_id")
           .parquet(s"$path/cells")
@@ -788,20 +789,119 @@ object Similarity {
     }
   }
 
+  // ---- deletion: the tombstone tier of the maintained-index contract ----
+
+  /** The LIVE view of a layout's cells: physical rows minus standing
+    * tombstones ([[deleteFromIvfIndex]]). Every probe/stats/rebuild
+    * path reads through this, so a delete is SERVED the moment its
+    * tombstone lands — no rewrite on the delete path. The tombstone
+    * set is bounded between compactions (deletes are takedown/refresh
+    * trickle, purged wholesale by [[compactIvfCells]]), so the
+    * anti-join build side is an explicit BROADCAST — the cells scan
+    * never reshuffles, and the caller's cent_id partition-prune filter
+    * still pushes below the join to the scan (left-side predicate).
+    */
+  def liveCells(spark: SparkSession, path: String): DataFrame = {
+    val cells = spark.read.parquet(s"$path/cells")
+    val tp = new org.apache.hadoop.fs.Path(path, "tombstones")
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(tp))
+      cells.join(
+        broadcast(spark.read.parquet(tp.toString).select("vec_id").distinct()),
+        Seq("vec_id"), "left_anti")
+    else cells
+  }
+
+  /** Tombstone DELETION from a maintained [[ensureIvfIndex]] /
+    * [[ensureIvfPqIndex]] layout — the missing half of the "never
+    * rebuilt, only maintained" contract (the lexical index has folded
+    * deletes since q95; reference analog: the replace semantics of
+    * `etl/pipeline.py:698-716`). `delIds` (a `vec_id` column) lands as
+    * appended rows under `path/tombstones/` — O(|delete|) work,
+    * index-size independent; the corpus cells are untouched and every
+    * reader ([[liveCells]]) excludes the ids immediately. Physical
+    * purge rides [[compactIvfCells]] (or any rebuild), which drops the
+    * dead rows and clears the tombstone set in the same pass, so
+    * delete∘compact ≡ rebuild-from-remainder (q126/q127 gate this
+    * against the oracle; SimilaritySpec pins probe parity).
+    *
+    * Idempotent per `delTag` (marker under `path/dels/`, the fold-
+    * ledger pattern) — and naturally idempotent even WITHOUT the
+    * marker: a crash-replayed delete appends duplicate tombstone rows,
+    * which anti-join semantics make harmless. Deleting an id that was
+    * never indexed is likewise a harmless no-op.
+    *
+    * Caller contract: re-INSERTING a deleted id (delete X, fold a new
+    * X) requires a compaction in between — the fold paths REJECT a
+    * batch that intersects standing tombstones, because the old rows
+    * are still physically present and the tombstone would kill both
+    * versions. Compact purges the old rows and clears the tombstone;
+    * after that the id folds as any new id.
+    */
+  def deleteFromIvfIndex(
+      delIds: DataFrame,
+      path: String,
+      delTag: String): Unit = {
+    val spark   = delIds.sparkSession
+    val memoKey = s"${spark.sparkContext.applicationId}|$path|del|$delTag"
+    if (ivfFoldMemo.contains(memoKey)) return
+    lockFor(path).synchronized {
+      if (ivfFoldMemo.contains(memoKey)) return
+      recoverCells(spark, path)
+      val tagHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(delTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val marker = new org.apache.hadoop.fs.Path(path, s"dels/$tagHash")
+      val fs     = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(marker)) {
+        delIds.select(col("vec_id").cast("long").as("vec_id"))
+          .write.mode("append").parquet(s"$path/tombstones")
+        fs.mkdirs(marker.getParent)
+        val out = fs.create(marker, true)
+        try out.write(delTag.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      ivfFoldMemo.add(memoKey)
+      ()
+    }
+  }
+
+  // the fold-path guard behind the re-insert contract (see
+  // [[deleteFromIvfIndex]]): a batch that intersects standing
+  // tombstones must fail LOUDLY before the append — the old rows are
+  // still physical, so admitting the new ones would make the tombstone
+  // kill both. One tiny broadcast-join probe, paid only when a
+  // tombstone set exists at all.
+  private def requireNotTombstoned(
+      spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(path, "tombstones")
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(tp)) {
+      val hit = spark.read.parquet(tp.toString)
+        .join(broadcast(ids.select("vec_id").distinct()), "vec_id")
+        .limit(1).collect()
+      require(hit.isEmpty,
+        s"fold batch re-inserts tombstoned vec_id ${hit.headOption.map(_.getLong(0)).getOrElse(-1L)}: " +
+          "compact the layout first (compaction purges tombstones), " +
+          "then re-fold the id as new")
+    }
+  }
+
   /** Cell-occupancy telemetry for a [[buildIvfIndex]] layout — the
-    * rebuild advisor: per-cell vector counts over the partitioned
-    * cells layout. The scan projects ZERO data columns (`cent_id` is
-    * the partition column), so the vectorized reader serves batch row
-    * counts without materializing any column data. Folds
-    * ([[foldIntoIvfIndex]]) never move centroids, so occupancy skew
-    * grows monotonically with drift between the ingested corpus and
-    * the standing centroids — when max/mean crosses the caller's
+    * rebuild advisor: per-cell LIVE vector counts (tombstoned rows
+    * excluded — the advisor reasons about servable rows) over the
+    * partitioned cells layout. The scan projects only the ids the
+    * tombstone anti-join needs (`cent_id` is the partition column).
+    * Folds ([[foldIntoIvfIndex]]) never move centroids, so occupancy
+    * skew grows monotonically with drift between the ingested corpus
+    * and the standing centroids — when max/mean crosses the caller's
     * threshold, rebuild ([[ensureIvfIndex]] under a new srcTag), which
     * re-seeds centroids and compacts in one pass. Shuffle: C rows of
     * (cent_id, partial count) — index-size independent.
     */
   def ivfCellStats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/cells")
+    liveCells(spark, path)
       .groupBy(col("cent_id").cast("long").as("cent_id"))
       .agg(count(lit(1)).as("n_vecs"))
       .orderBy("cent_id")
@@ -828,7 +928,28 @@ object Similarity {
       val fs  = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new org.apache.hadoop.fs.Path(
         path, s"cells.compact${System.nanoTime()}")
-      val cells = spark.read.parquet(cellsDir.toString)
+      // tombstone PURGE rides the compaction rewrite: snapshot the
+      // tombstone FILES first, drop their ids from the rewrite, and
+      // delete exactly those files after the promote — a delete
+      // appended by another process mid-rewrite keeps its tombstone
+      // (and its rows, purged by the next compaction); a crash between
+      // promote and the file deletes leaves tombstones naming
+      // already-purged ids, which the anti-join makes a harmless no-op
+      val tombDir = new org.apache.hadoop.fs.Path(path, "tombstones")
+      val tombFiles: Seq[org.apache.hadoop.fs.Path] =
+        if (fs.exists(tombDir))
+          fs.listStatus(tombDir).toSeq.map(_.getPath)
+        else Seq.empty
+      val tombData = tombFiles.map(_.toString)
+        .filter(p => { val n = p.split('/').last
+          !n.startsWith("_") && !n.startsWith(".") })
+      val raw = spark.read.parquet(cellsDir.toString)
+      val cells =
+        if (tombData.isEmpty) raw
+        else raw.join(
+          broadcast(spark.read.parquet(tombData: _*)
+            .select("vec_id").distinct()),
+          Seq("vec_id"), "left_anti")
       // ≤C-row metadata table — the target partition count, so each
       // output task holds ~one whole cell and writes ~one file for it
       val c = spark.read.parquet(s"$path/centroids").count().toInt
@@ -857,6 +978,11 @@ object Similarity {
           s"could not promote compacted cells $tmp -> $cellsDir (rolled back)")
       }
       fs.delete(old, true)
+      // purge the consumed tombstone files (snapshot only — see above)
+      tombFiles.foreach(fs.delete(_, false))
+      if (tombFiles.nonEmpty && fs.exists(tombDir) &&
+          fs.listStatus(tombDir).isEmpty)
+        fs.delete(tombDir, true)
       ()
     }
 
@@ -978,7 +1104,10 @@ object Similarity {
       val marker = new org.apache.hadoop.fs.Path(dest, "cells/_SUCCESS")
       val fs     = destP.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(marker)) {
-        val b = spark.read.parquet(s"$path/cells")
+        // rebuild from the LIVE rows: tombstoned ids drop out here, so
+        // rebuild-from-index ≡ build-from-remainder and the new layout
+        // starts with an empty tombstone set
+        val b = liveCells(spark, path)
           .select(col("vec_id"), col("q"), col("nrm"))
         val c = nCentroidsForCorpus(b.count())
         val seeds = b.filter(col("vec_id") < c)
@@ -1238,7 +1367,7 @@ object Similarity {
         .map(cid => lut(s0).getOrElse(cid, Long.MaxValue / (2 * m)))
       element_at(typedlit(arr), col("codes").getItem(s0).cast("int") + 1)
     }
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = liveCells(spark, path)
       .filter(col("cent_id").isin(probeIds.toIndexedSeq: _*))
     exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
       .withColumn("adist", lutCols.reduce(_ + _))
@@ -1276,6 +1405,7 @@ object Similarity {
       val marker = new org.apache.hadoop.fs.Path(path, s"folds/$tagHash")
       val fs     = marker.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(marker)) {
+        requireNotTombstoned(spark, path, newVecs.select("vec_id"))
         val cents = spark.read.parquet(s"$path/centroids")
           .select("cent_id", "cvec", "cnrm")
         val cb = spark.read.parquet(s"$path/codebooks")
@@ -1370,7 +1500,7 @@ object Similarity {
       .withColumn("pd", col("qsn") + col("cnrm") -
         lit(2L) * VectorFunctions.qdot(col("qsv"), col("cvec")))
       .select("query_id", "sub", "code_id", "pd")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = liveCells(spark, path)
       .filter(col("cent_id").isin(probedCells: _*))
       .join(broadcast(probeMap), Seq("cent_id"))
     val cand =

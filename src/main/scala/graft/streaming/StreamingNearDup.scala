@@ -68,7 +68,7 @@ object StreamingNearDup {
           .dropDuplicatesWithinWatermark("new_doc", "dup_of")
       else candidates.dropDuplicates("new_doc", "dup_of")
     distinctPairs
-      .join(spark.table(sigsTable)
+      .join(Dedup.liveIndexTable(spark, sigsTable, bandsTable)
         .select(col("doc_id").as("dup_of"), col("sig").as("sig_b")), "dup_of")
       .withColumn("n_match",
         size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)).cast("long"))

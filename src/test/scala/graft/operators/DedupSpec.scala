@@ -359,6 +359,75 @@ class DedupSpec extends SparkSpec {
       "incremental dedup output must be identical after compaction")
   }
 
+  test("deleteFromMinhashBandIndex: live views, compact purge ≡ rebuild-from-remainder, re-insert contract") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val a   = docs.filter($"doc_id" % 10 =!= 0)
+    val b   = docs.filter($"doc_id" % 10 === 0)
+    val del = docs.filter($"doc_id" % 20 === 0 || $"doc_id" % 20 === 3)
+      .select("doc_id")
+    val tag = s"delspec-${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(a, "graft_delspec", srcTag = tag)
+    Dedup.foldIntoMinhashBandIndex(b, "graft_delspec", batchTag = "b1")
+    Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "d1")
+    // live probe ≡ probing a from-scratch index over the REMAINDER
+    val rem = docs.filter($"doc_id" % 20 =!= 0 && $"doc_id" % 20 =!= 3)
+    val (rbt, rst) = Dedup.ensureMinhashBandIndex(rem, "graft_delref", srcTag = tag)
+    val probe = docs.filter($"doc_id" < 60)
+    def pairs(btn: String, stn: String) =
+      Dedup.incrementalNearDupPairs(probe, btn, stn)
+        .select("new_doc", "dup_of", "n_match")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(pairs(bt, st) == pairs(rbt, rst),
+      "live probe must equal rebuild-from-remainder")
+    // replayed delete: ledger no-op (memo path and preburned-ledger path)
+    val delsN = spark.table("graft_delspec_dels").count()
+    Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "d1")
+    spark.sql(s"ALTER TABLE $bt SET TBLPROPERTIES('graft.dels'='d1,preburn')")
+    Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "preburn")
+    assert(spark.table("graft_delspec_dels").count() == delsN,
+      "a tag already in the delete ledger must not re-append")
+    // re-inserting a tombstoned doc before compaction: LOUD rejection,
+    // and nothing (intent/ledger/rows) recorded for the failed tag
+    val e = intercept[IllegalArgumentException] {
+      Dedup.foldIntoMinhashBandIndex(
+        docs.filter($"doc_id" % 20 === 0), "graft_delspec", batchTag = "bad")
+    }
+    assert(e.getMessage.contains("compact"))
+    val props0 = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!props0.get("graft.folds.intent").exists(_.contains("bad")),
+      "a rejected fold must not leave a standing intent")
+    // compaction purges both tables and drops the dels table; content
+    // now BYTE-equals the remainder rebuild
+    Dedup.compactMinhashBandIndex(spark, "graft_delspec")
+    assert(!spark.catalog.tableExists("graft_delspec_dels"),
+      "compaction must drop the consumed tombstone table")
+    def bandsOf(t: String) =
+      spark.table(t).select("doc_id", "bk").as[(Long, String)].collect().toSet
+    def sigsOf(t: String) =
+      spark.table(t).select("doc_id", "sig").as[(Long, Seq[Long])]
+        .collect().map { case (d, s) => (d, s.toList) }.toSet
+    assert(bandsOf(bt) == bandsOf(rbt),
+      "purged bands must equal rebuild-from-remainder")
+    assert(sigsOf(st) == sigsOf(rst),
+      "purged sigs must equal rebuild-from-remainder")
+    // the delete ledger survives the purge: a replayed tag still no-ops
+    val props = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.dels").contains("d1"), s"delete ledger lost: $props")
+    Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "preburn")
+    assert(!spark.catalog.tableExists("graft_delspec_dels"),
+      "a replayed delete tag must not recreate tombstones after the purge")
+    // after the purge the docs fold again as new — the replace recipe
+    Dedup.foldIntoMinhashBandIndex(
+      docs.filter($"doc_id" % 20 === 0), "graft_delspec", batchTag = "b2")
+    val (r2bt, r2st) = Dedup.ensureMinhashBandIndex(
+      docs.filter($"doc_id" % 20 =!= 3), "graft_delref2", srcTag = tag)
+    assert(bandsOf(bt) == bandsOf(r2bt) && sigsOf(st) == sigsOf(r2st),
+      "re-folded index must equal a rebuild over remainder ∪ re-inserts")
+  }
+
   test("incremental near-dup plan: corpus tables stream, batch side broadcasts") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

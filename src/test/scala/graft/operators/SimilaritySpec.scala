@@ -642,6 +642,127 @@ class SimilaritySpec extends SparkSpec {
     assert(cellFiles == f)
   }
 
+  test("deleteFromIvfIndex: live views, compact purge, re-insert contract") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"ivfdel-${System.nanoTime()}")
+    Similarity.foldIntoIvfIndex(batch, path, batchTag = "b1")
+    Similarity.deleteFromIvfIndex(
+      emb.filter($"vec_id" % 20 === 10).select("vec_id"), path, delTag = "d1")
+    // live content ≡ a from-scratch assignment of the REMAINDER to the
+    // standing centroids — fold∘delete ≡ rebuild-from-remainder
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cent_id", "cvec", "cnrm")
+    val want = Similarity.assignToCentroids(
+        emb.filter($"vec_id" % 20 =!= 10)
+          .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+          .withColumn("nrm", VectorFunctions.qdot($"q", $"q")), cents)
+      .select($"vec_id", $"cent_id", $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    def live = Similarity.liveCells(spark, path)
+      .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    assert(live == want, "live cells must equal the remainder assignment")
+    // stats are live: totals shrink by the delete
+    val statsN = Similarity.ivfCellStats(spark, path)
+      .agg(sum($"n_vecs")).as[Long].head()
+    assert(statsN == want.size.toLong, "cell stats must count live rows only")
+    // probes exclude tombstoned ids immediately: vec 10's own embedding
+    // no longer finds it, single-probe and batched alike
+    val qv10 = emb.filter($"vec_id" === 10L).select($"embedding")
+      .as[Array[Float]].head()
+    val single = Similarity.ivfProbe(spark, path, qv10.toSeq, k = 5, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!single.contains(10L), "tombstoned id served by ivfProbe")
+    val batched = Similarity.ivfProbeBatch(spark, path,
+        Seq((10L, qv10.toSeq)), k = 5, nProbe = 4, excludeSelf = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!batched.contains(10L), "tombstoned id served by ivfProbeBatch")
+    // replayed delete (marker path): no duplicate tombstone rows
+    val tombRows = spark.read.parquet(s"$path/tombstones").count()
+    Similarity.deleteFromIvfIndex(
+      emb.filter($"vec_id" % 20 === 10).select("vec_id"), path, delTag = "d1")
+    assert(spark.read.parquet(s"$path/tombstones").count() == tombRows)
+    // re-inserting a tombstoned id before compaction: LOUD rejection
+    val e = intercept[IllegalArgumentException] {
+      Similarity.foldIntoIvfIndex(
+        emb.filter($"vec_id" % 20 === 10), path, batchTag = "bad")
+    }
+    assert(e.getMessage.contains("compact"))
+    // compaction purges physically and clears the tombstone set; the
+    // delete ledger (dels/ markers) survives
+    Similarity.compactIvfCells(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear consumed tombstones")
+    val physical = spark.read.parquet(s"$path/cells")
+      .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    assert(physical == want, "compaction must purge exactly the tombstoned rows")
+    val dh = java.security.MessageDigest.getInstance("MD5")
+      .digest("d1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(new java.io.File(s"$path/dels/$dh").isFile,
+      "delete marker must survive compaction")
+    // after the purge the id folds again as new — the replace recipe
+    Similarity.foldIntoIvfIndex(
+      emb.filter($"vec_id" % 20 === 10), path, batchTag = "b2")
+    assert(live.size == want.size + emb.filter($"vec_id" % 20 === 10).count(),
+      "re-folded ids must serve again")
+    // rebuild-from-index starts the new layout from the LIVE rows
+    Similarity.deleteFromIvfIndex(
+      emb.filter($"vec_id" % 20 === 10).select("vec_id"), path, delTag = "d2")
+    val rebuilt = Similarity.rebuildIvfIndex(spark, path, s"$path-delrebuilt")
+    val rebuiltIds = spark.read.parquet(s"$rebuilt/cells")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!rebuiltIds.exists(_ % 20 == 10),
+      "rebuild must exclude tombstoned ids")
+    assert(!new java.io.File(s"$rebuilt/tombstones").exists())
+  }
+
+  test("deleteFromIvfIndex on IVF-PQ: ADC probes and batch probes honor tombstones") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    val (path, _) = Similarity.ensureIvfPqIndex(corpus,
+      srcTag = s"pqdel-${System.nanoTime()}")
+    Similarity.foldIntoIvfPqIndex(batch, path, batchTag = "b1")
+    val before = Similarity.liveCells(spark, path).count()
+    Similarity.deleteFromIvfIndex(
+      emb.filter($"vec_id" % 20 === 10).select("vec_id"), path, delTag = "d1")
+    val nDel = emb.filter($"vec_id" % 20 === 10).count()
+    assert(Similarity.liveCells(spark, path).count() == before - nDel)
+    val qv10 = emb.filter($"vec_id" === 10L).select($"embedding")
+      .as[Array[Float]].head()
+    val single = Similarity.ivfPqProbe(spark, path, qv10.toSeq, k = 5, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!single.contains(10L), "tombstoned id served by ivfPqProbe")
+    val batched = Similarity.ivfPqProbeBatch(spark, path,
+        Seq((10L, qv10.toSeq)), k = 5, nProbe = 4, excludeSelf = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!batched.contains(10L), "tombstoned id served by ivfPqProbeBatch")
+    // the rerank path nominates through the live ADC sieve too
+    val rer = Similarity.ivfPqProbeRerank(spark, path, emb, qv10.toSeq,
+        k = 5, kAdc = 100, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!rer.contains(10L), "tombstoned id served by ivfPqProbeRerank")
+    // PQ fold guard + purge parity
+    intercept[IllegalArgumentException] {
+      Similarity.foldIntoIvfPqIndex(
+        emb.filter($"vec_id" % 20 === 10), path, batchTag = "bad")
+    }
+    val liveBefore = Similarity.liveCells(spark, path)
+      .select($"vec_id").as[Long].collect().toSeq.sorted
+    Similarity.compactIvfCells(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val phys = spark.read.parquet(s"$path/cells")
+      .select($"vec_id").as[Long].collect().toSeq.sorted
+    assert(phys == liveBefore, "PQ compaction must purge exactly the tombstoned rows")
+    Similarity.foldIntoIvfPqIndex(
+      emb.filter($"vec_id" % 20 === 10), path, batchTag = "b2")
+    assert(Similarity.liveCells(spark, path).count() == before)
+  }
+
   test("recoverCells: a crashed compaction window heals on the next maintenance entry") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
