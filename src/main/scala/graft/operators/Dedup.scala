@@ -668,6 +668,21 @@ object Dedup {
           .mkString(",").replace("'", "''")
         spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES(" +
           s"'graft.folds'='$ledger','graft.folds.intent'='$remaining')")
+        // files-per-bucket AUTO-COMPACTION policy (the IVF
+        // maybeAutoCompactCells contract for the table-backed index):
+        // every fold appends one file set per bucket, so when the bands
+        // table averages ≥ `spark.graft.index.autoCompactFilesPerBucket`
+        // files per bucket (default 32; ≤0 disables), the crash-safe
+        // compactor runs under the lock this fold already holds. The
+        // check is one catalog file listing — driver metadata, bounded
+        // BECAUSE the policy keeps the count low. Tombstone purge rides
+        // along, so a delete-heavy tier is cleaned on the same cadence.
+        val threshold = spark.conf
+          .getOption("spark.graft.index.autoCompactFilesPerBucket")
+          .map(_.toInt).getOrElse(32)
+        if (threshold > 0 &&
+            spark.table(bandsTable).inputFiles.length >= threshold * buckets)
+          compactMinhashBandIndex(spark, tablePrefix, buckets)
       }
       foldMemo.add(memoKey)
       ()

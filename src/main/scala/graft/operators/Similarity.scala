@@ -783,9 +783,54 @@ object Similarity {
         try out.write(batchTag.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        // policy check under the already-held layout lock (reentrant)
+        maybeAutoCompactCells(spark, path)
       }
       ivfFoldMemo.add(memoKey)
       ()
+    }
+  }
+
+  // ---- auto-compaction: the policy that keeps a fold tier healthy ----
+
+  /** The files-per-cell AUTO-COMPACTION policy, evaluated after every
+    * fold (the r14/r15 ask: the advisor and the crash-safe compactor
+    * existed, but nothing ran them — a long-lived fold tier degraded
+    * until an operator remembered a function call). When the cells
+    * layout averages ≥ `spark.graft.index.autoCompactFilesPerCell`
+    * data files per cell (default 32 — each fold appends up to one
+    * file set per touched cell, so the default compacts roughly every
+    * 32 batches; ≤0 disables), [[compactIvfCells]] runs under the
+    * layout lock already held by the fold. Cost of the check: ONE
+    * recursive listing of cells/ — driver metadata, and bounded
+    * BECAUSE the policy keeps the file count low; the compaction
+    * itself is the one inherent shuffle of the index, amortized across
+    * the threshold's worth of batches. Tombstone purge rides along,
+    * so a delete-heavy tier is physically cleaned on the same cadence.
+    */
+  private def maybeAutoCompactCells(
+      spark: SparkSession, path: String): Unit = {
+    val threshold = spark.conf
+      .getOption("spark.graft.index.autoCompactFilesPerCell")
+      .map(_.toInt).getOrElse(32)
+    if (threshold > 0) {
+      val cellsDir = new org.apache.hadoop.fs.Path(path, "cells")
+      val fs = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
+      var files = 0L
+      val cells = scala.collection.mutable.HashSet.empty[String]
+      try {
+        val it = fs.listFiles(cellsDir, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            files += 1
+            cells += f.getPath.getParent.getName
+          }
+        }
+      } catch { case _: java.io.IOException => return }
+      if (cells.nonEmpty && files >= threshold.toLong * cells.size)
+        compactIvfCells(spark, path)
     }
   }
 
@@ -1436,6 +1481,8 @@ object Similarity {
         try out.write(batchTag.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        // policy check under the already-held layout lock (reentrant)
+        maybeAutoCompactCells(spark, path)
       }
       ivfFoldMemo.add(memoKey)
       ()

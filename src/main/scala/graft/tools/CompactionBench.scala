@@ -62,12 +62,50 @@ object CompactionBench {
     val compactSec = (System.nanoTime() - t0) / 1e9
     val filesAfter = cellFiles
     val probeAfter = probeMedian()
+
+    // the POLICY leg (r15 ask: the delta via the policy, not a manual
+    // call): a second fresh layout ingests the same batches with
+    // `spark.graft.index.autoCompactFilesPerCell` armed — the folds
+    // compact THEMSELVES whenever the layout crosses the threshold, so
+    // steady-state file count and probe wall stay near the compacted
+    // point with zero operator involvement
+    val policyThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_AUTOCOMPACT_FPC", "4")
+    spark.conf.set("spark.graft.index.autoCompactFilesPerCell",
+      policyThreshold)
+    val (path2, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"$sfDir#compactpolicy${System.nanoTime()}")
+    val tp0 = System.nanoTime()
+    (0 until nBatches).foreach { i =>
+      Similarity.foldIntoIvfIndex(
+        emb.filter(col("vec_id") % 10 === 0 &&
+          col("vec_id") % (10L * nBatches) === 10L * i),
+        path2, batchTag = s"cp$i")
+    }
+    val policyFoldSec = (System.nanoTime() - tp0) / 1e9
+    spark.conf.unset("spark.graft.index.autoCompactFilesPerCell")
+    def cellFiles2: Int = graft.util.LocalFs.parquetFileCount(s"$path2/cells")
+    def probeMedian2(): Double = {
+      Similarity.ivfProbe(spark, path2, qv, 10, 4, Some(1L)).count() // warm
+      val ts = (1 to 9).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.ivfProbe(spark, path2, qv, 10, 4, Some(1L)).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    val filesPolicy = cellFiles2
+    val probePolicy = probeMedian2()
+
     def f(d: Double) = math.round(d * 1000) / 1000.0
     println(
       s"""{"sf_dir":"$sfDir","n_vecs":${emb.count()},"n_centroids":$c,""" +
       s""""n_batches":$nBatches,"files_before":$filesBefore,""" +
       s""""files_after":$filesAfter,"compact_sec":${f(compactSec)},""" +
-      s""""probe_sec_before":${f(probeBefore)},"probe_sec_after":${f(probeAfter)}}""")
+      s""""probe_sec_before":${f(probeBefore)},"probe_sec_after":${f(probeAfter)},""" +
+      s""""policy_files_per_cell":$policyThreshold,""" +
+      s""""files_policy":$filesPolicy,"probe_sec_policy":${f(probePolicy)},""" +
+      s""""policy_fold_total_sec":${f(policyFoldSec)}}""")
     spark.stop()
   }
 }

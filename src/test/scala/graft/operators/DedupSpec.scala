@@ -359,6 +359,40 @@ class DedupSpec extends SparkSpec {
       "incremental dedup output must be identical after compaction")
   }
 
+  test("auto-compaction policy: fold crosses files-per-bucket threshold, output identical") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val a = docs.filter($"doc_id" % 10 =!= 0)
+    val tag = s"autocband-${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(a, "graft_autocband", srcTag = tag)
+    def files = spark.table(bt).inputFiles.length
+    def bandsOf = spark.table(bt).select("doc_id", "bk")
+      .as[(Long, String)].collect().toSet
+    spark.conf.set("spark.graft.index.autoCompactFilesPerBucket", "0")
+    try {
+      Dedup.foldIntoMinhashBandIndex(
+        docs.filter($"doc_id" % 20 === 0), "graft_autocband", "a1")
+      val accumulated = files
+      val expect = bandsOf ++ Dedup
+        .minhashSignaturesPortable(docs.filter($"doc_id" % 20 === 10), 3, 64, 7L)
+        .select($"doc_id", explode(Dedup.bandKeyArray($"sig", 16, 4)).as("bk"))
+        .as[(Long, String)].collect().toSet
+      // armed low, the next fold compacts itself under its own lock
+      spark.conf.set("spark.graft.index.autoCompactFilesPerBucket", "1")
+      Dedup.foldIntoMinhashBandIndex(
+        docs.filter($"doc_id" % 20 === 10), "graft_autocband", "a2")
+      assert(files < accumulated,
+        s"policy must have auto-compacted (was $accumulated, now $files)")
+      assert(bandsOf == expect,
+        "auto-compaction must preserve every row incl. the triggering fold")
+      // ledger intact: a replayed pre-compact tag still no-ops
+      val n = spark.table(bt).count()
+      Dedup.foldIntoMinhashBandIndex(
+        docs.filter($"doc_id" % 20 === 0), "graft_autocband", "a1")
+      assert(spark.table(bt).count() == n)
+    } finally spark.conf.unset("spark.graft.index.autoCompactFilesPerBucket")
+  }
+
   test("deleteFromMinhashBandIndex: live views, compact purge ≡ rebuild-from-remainder, re-insert contract") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")

@@ -642,6 +642,48 @@ class SimilaritySpec extends SparkSpec {
     assert(cellFiles == f)
   }
 
+  test("auto-compaction policy: fold crosses files-per-cell threshold, probes identical") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"autocompact-${System.nanoTime()}")
+    def cellFiles: Int = graft.util.LocalFs.parquetFileCount(s"$path/cells")
+    def rows = spark.read.parquet(s"$path/cells")
+      .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+    val qv = emb.filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+    def probe = Similarity.ivfProbe(spark, path, qv.toSeq, k = 10, nProbe = 4,
+      exclude = Some(0L)).as[(Long, Long)].collect().toSeq
+    // with the policy armed LOW, a fold that crosses the threshold
+    // compacts ITSELF — no operator call; with it disabled (0), folds
+    // accumulate files monotonically
+    spark.conf.set("spark.graft.index.autoCompactFilesPerCell", "0")
+    try {
+      Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 40 === 0), path, "a1")
+      Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 40 === 10), path, "a2")
+      Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 40 === 20), path, "a3")
+      val accumulated = cellFiles
+      val (rowsBefore, probeBefore) = (rows, probe)
+      spark.conf.set("spark.graft.index.autoCompactFilesPerCell", "2")
+      Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 40 === 30), path, "a4")
+      assert(cellFiles < accumulated,
+        s"policy must have auto-compacted (was $accumulated files, " +
+          s"now $cellFiles after one more fold)")
+      val allRows = rows
+      assert(allRows.map(_._1).toSet ==
+        (rowsBefore.map(_._1) ++ batch.filter($"vec_id" % 40 === 30)
+          .select("vec_id").as[Long].collect()).toSet,
+        "auto-compaction must preserve every row incl. the triggering fold")
+      assert(probe == probeBefore, "probes must be identical after auto-compact")
+      // fold ledger intact: replaying a pre-compact tag is still a no-op
+      val f = cellFiles
+      Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 40 === 0), path, "a1")
+      assert(cellFiles == f)
+    } finally spark.conf.unset("spark.graft.index.autoCompactFilesPerCell")
+  }
+
   test("deleteFromIvfIndex: live views, compact purge, re-insert contract") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
