@@ -1991,17 +1991,21 @@ object SparkEntry {
   /** The END-TO-END corpus-prep flagship: the training-data pipeline's
     * stages COMPOSED into one plan and one oracle — quality gate
     * (q19's integer score, keep ≥ 60) → exact dedup among the
-    * survivors (q20's min-doc_id-per-fingerprint) → contiguous
-    * sequence packing of the deduped stream (q66's exclusive prefix
-    * sum at budget 4096) → deterministic train/val/test split (q65's
-    * hash buckets). Output is the per-document TRAINING MANIFEST
-    * (quality, token count, pack offset, first chunk, split) — what a
-    * data loader consumes. One oracle hash gates the whole composition,
-    * so an off-by-one anywhere in the chain (a doc surviving the wrong
-    * gate, an offset shifted by a dropped row) fails the round. Scale
-    * shape: each stage is the already-audited operator — the only
-    * additions are a semi-join on the dedup keep-set and the same
-    * single-column windows.
+    * survivors (q20's min-doc_id-per-fingerprint) → NEAR-dup removal
+    * (q23's banded MinHash pairs over the exact-dedup survivors,
+    * q59's connected components, one doc — the min id — per cluster)
+    * → contiguous sequence packing of the deduped stream (q66's
+    * exclusive prefix sum at budget 4096) → deterministic
+    * train/val/test split (q65's hash buckets). Output is the
+    * per-document TRAINING MANIFEST (quality, token count, pack
+    * offset, first chunk, split) — what a data loader consumes. One
+    * oracle hash gates the whole composition, so an off-by-one
+    * anywhere in the chain (a doc surviving the wrong gate, an offset
+    * shifted by a dropped row) fails the round. Scale shape: each
+    * stage is the already-audited operator — the near-dup leg's
+    * shuffles stay fingerprint-only (banded keys, id pairs; the text
+    * rides no exchange past the signature kernel), and the drop list
+    * is O(|duplicates|), broadcast into the anti-join.
     */
   private def q123(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions
@@ -2010,8 +2014,12 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("quality"))
     val qualified = scored.filter(col("quality") >= 60)
     val deduped   = graft.operators.Dedup.exactDedup(qualified)
+    val nearDeduped = graft.operators.Dedup.nearDedup(
+      deduped,
+      graft.operators.Dedup.minhashNearDupPairsPortable(
+        deduped.select("doc_id", "text")))
     val packed = graft.operators.Packing.concatPack(
-      deduped.select(col("doc_id"), col("quality"),
+      nearDeduped.select(col("doc_id"), col("quality"),
         TextFunctions.tokenCount(col("text")).as("n_tokens")),
       orderCol = "doc_id", weightCol = "n_tokens", budget = 4096L)
     graft.operators.Sampling.hashSplit(packed, "doc_id",
@@ -2588,14 +2596,18 @@ object SparkEntry {
     * Shared by the q23 oracle (pairs themselves) and the q59 oracle
     * (recursive connected components over the pairs).
     */
-  private lazy val minhashPairsCtesSql: String = {
+  // the banded-MinHash near-dup pair chain over an arbitrary (doc_id,
+  // text) source — `src` is interpolated into the FROM clause, so the
+  // one-shot queries pass the capped raw table and the q123 flagship
+  // passes its exact-dedup-survivor CTE
+  private def minhashPairsCtesOver(src: String): String = {
     val ab = PortableHash.affineConstants(7L, 64)
     val minCols = ab.zipWithIndex
       .map { case (c, i) => s"MIN(${PortableHash.affineSql("h", c)}) AS m$i" }
       .mkString(", ")
     val sigList = (0 until 64).map(i => s"m$i").mkString("list_value(", ",", ")")
     val tokSplit = """regexp_split_to_array(trim(lower(text)), '\s+')"""
-    s"""toks AS (SELECT doc_id, $tokSplit AS tk FROM documents WHERE doc_id < 10000),
+    s"""toks AS (SELECT doc_id, $tokSplit AS tk FROM $src),
        | sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, greatest(len(tk)-2, 0)),
        |   i -> array_to_string(tk[i+1:i+3], ' ')))) AS shingle FROM toks),
        | hb AS (SELECT doc_id, ${PortableHash.md5Hex32Sql("shingle")} AS h FROM sh),
@@ -2613,6 +2625,9 @@ object SparkEntry {
        | mhp AS (SELECT doc_a, doc_b, n_match FROM m WHERE 100*n_match >= 50*64)"""
       .stripMargin.replaceAll("\n", " ")
   }
+
+  private lazy val minhashPairsCtesSql: String =
+    minhashPairsCtesOver("documents WHERE doc_id < 10000")
 
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
@@ -4146,11 +4161,13 @@ object SparkEntry {
          |   WHERE a.rn = 1 GROUP BY a.vec_id)""".stripMargin
     }
 
-    // q19's quality arithmetic -> q20's keep-set -> q66's prefix sum ->
+    // q19's quality arithmetic -> q20's keep-set -> q23's banded
+    // MinHash pairs over the survivors -> q59's min-label connected
+    // components (drop non-min cluster members) -> q66's prefix sum ->
     // q65's hash split, chained as CTEs over the SURVIVORS of each stage
     private lazy val q123OracleSql: String = {
       val bucket = graft.operators.Sampling.pctBucketSql("doc_id", "split")
-      s"""WITH sc AS (SELECT doc_id, text,
+      s"""WITH RECURSIVE sc AS (SELECT doc_id, text,
          |   CAST(greatest(0, 100 - len_pen - punct_pen - stop_bonus) AS BIGINT) AS quality
          |  FROM (SELECT doc_id, text,
          |   CASE WHEN toks < 5 THEN 40 WHEN toks < 20 THEN 10 ELSE 0 END AS len_pen,
@@ -4165,8 +4182,20 @@ object SparkEntry {
          | s0 AS (SELECT doc_id, text, quality FROM sc WHERE quality >= 60),
          | keep AS (SELECT MIN(doc_id) AS doc_id
          |   FROM (SELECT doc_id, $fingerprintSql AS fp FROM s0) GROUP BY fp),
-         | ded AS (SELECT s0.doc_id, s0.quality, $tokensSql AS n_tokens
+         | dd AS (SELECT s0.doc_id, s0.text, s0.quality
          |   FROM s0 JOIN keep USING (doc_id)),
+         | ${minhashPairsCtesOver("dd")},
+         | edges AS (SELECT doc_a AS a, doc_b AS b FROM mhp
+         |           UNION SELECT doc_b, doc_a FROM mhp),
+         | reach(id, lbl) AS (
+         |   SELECT a, a FROM edges
+         |   UNION
+         |   SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.id),
+         | dropd AS (SELECT id FROM (
+         |   SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id)
+         |   WHERE cluster <> id),
+         | ded AS (SELECT doc_id, quality, $tokensSql AS n_tokens
+         |   FROM dd WHERE doc_id NOT IN (SELECT id FROM dropd)),
          | o AS (SELECT doc_id, quality, n_tokens,
          |   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset

@@ -34,7 +34,7 @@ DEFAULT = [
     "q81_bloom_semi", "q83_curriculum_shards", "q89_bigram_surprisal",
     "q102_repetition_profile", "q103_budget_select", "q106_incr_neardup",
     "q107_ivf_batch",
-    "q118_ivfpq", "q122_ivfpq_batch",
+    "q118_ivfpq", "q122_ivfpq_batch", "q123_corpus_prep",
 ]
 queries = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT
 
