@@ -94,7 +94,24 @@ object Bench {
       }.mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"iterations":$itersJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"iterations":$itersJson,"sf":"$sfDir"}"""
+    println(json)
+    // the canonical committed artifact (r15 ask): stdout captures have
+    // truncated mid-line on the driver side twice, so the FULL
+    // per-query/per-iteration evidence also lands in a file — the
+    // sf0.1 run refreshes BENCH_sf01_local.json in the repo; other SFs
+    // only write when SPARK_GRAFT_BENCH_OUT names a destination, so
+    // local iteration at sf0.01 doesn't litter the tree. Partial
+    // (SPARK_GRAFT_BENCH_ONLY-filtered) runs never overwrite the
+    // full-suite artifact.
+    val sfName = new java.io.File(sfDir).getName
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(
+      if (sfName == "sf0.1" && only.isEmpty) Some("BENCH_sf01_local.json")
+      else None)
+    outFile.foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -205,6 +205,80 @@ object Multimodal {
         case _: java.io.IOException                               => None
       }
     }
+
+    /** MPEG audio (MP3) FRAME-HEADER parse — pure JVM, from the public
+      * MPEG-1/2 frame-header layout: real container metadata (sample
+      * rate, frame-chain duration) without a PCM decode (`rms` is 0 —
+      * a header walk sees no samples; full MP3 synthesis stays out of
+      * scope, this shrinks the by-design codec gap to sample data
+      * only). Skips a leading ID3v2 tag (syncsafe size), then requires
+      * TWO chained valid Layer III frames before trusting a sync word
+      * (random bytes contain 0xFFE syncs constantly), then walks the
+      * whole frame chain: duration = Σ samples-per-frame / sample
+      * rate (1152 for MPEG-1 L3, 576 for MPEG-2/2.5). None when no
+      * chain is found — callers fall back to the stub.
+      */
+    def mp3Meta(data: Array[Byte]): Option[AudioMeta] = {
+      var off = 0
+      if (data.length >= 10 && data(0) == 'I' && data(1) == 'D' &&
+          data(2) == '3') {
+        val size = ((data(6) & 0x7f) << 21) | ((data(7) & 0x7f) << 14) |
+          ((data(8) & 0x7f) << 7) | (data(9) & 0x7f)
+        off = 10 + size
+      }
+      val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320, 0)
+      val brV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+        128, 144, 160, 0)
+      val srV1  = Array(44100, 48000, 32000, 0)
+      val srV2  = Array(22050, 24000, 16000, 0)
+      val srV25 = Array(11025, 12000, 8000, 0)
+      // (frameLen, sampleRate, samplesPerFrame) for a Layer III header
+      def frameAt(i: Int): Option[(Int, Int, Int)] = {
+        if (i < 0 || i + 4 > data.length) return None
+        val h = ((data(i) & 0xff) << 24) | ((data(i + 1) & 0xff) << 16) |
+          ((data(i + 2) & 0xff) << 8) | (data(i + 3) & 0xff)
+        if ((h & 0xffe00000) != 0xffe00000) return None
+        val ver   = (h >> 19) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        val layer = (h >> 17) & 3 // 1 = Layer III
+        if (ver == 1 || layer != 1) return None
+        val brIdx = (h >> 12) & 0xf
+        val srIdx = (h >> 10) & 3
+        val pad   = (h >> 9) & 1
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+        val v1  = ver == 3
+        val br  = (if (v1) brV1 else brV2)(brIdx) * 1000
+        val sr  = (if (v1) srV1 else if (ver == 2) srV2 else srV25)(srIdx)
+        val spf = if (v1) 1152 else 576
+        Some((spf / 8 * br / sr + pad, sr, spf))
+      }
+      var i     = off
+      val limit = math.min(data.length - 4, off + 4096)
+      var start = -1
+      while (start < 0 && i >= 0 && i <= limit) {
+        frameAt(i) match {
+          case Some((len, _, _)) if len >= 4 && frameAt(i + len).isDefined =>
+            start = i
+          case _ => i += 1
+        }
+      }
+      if (start < 0) None
+      else {
+        var frames  = 0L
+        var samples = 0L
+        var sr0     = 0
+        var p       = start
+        var ok      = true
+        while (ok) frameAt(p) match {
+          case Some((len, sr, spf)) if len >= 4 && p + len <= data.length =>
+            frames += 1; samples += spf; sr0 = sr; p += len
+          case _ => ok = false
+        }
+        if (frames == 0) None
+        else Some(AudioMeta(sr0,
+          math.max(1L, samples * 1000L / math.max(1, sr0)), 0.0))
+      }
+    }
   }
 
   // -------------------------------------------------------------------------
@@ -271,20 +345,22 @@ object Multimodal {
   }
 
   /** Decode with the real JDK audio stack where the blob is a
-    * recognized container (WAV/AIFF/AU via `javax.sound.sampled`),
-    * falling back to [[FakeCodec]] per row otherwise — the audio twin
+    * recognized container (WAV/AIFF/AU via `javax.sound.sampled`, MP3
+    * via the [[RealCodecs.mp3Meta]] frame-header walker), falling back
+    * to [[FakeCodec]] per row otherwise — the audio twin
     * of [[decodeImagesAuto]]: same mapPartitions batch shape and schema
     * as [[decodeAudio]], so swapping it in changes no plan. The
     * committed fixture's synthetic blobs exercise the fallback (q58 is
     * oracle-identical through either entry); MultimodalSpec drives a
-    * real generated WAV through the JDK path.
+    * real generated WAV and a synthesized MP3 frame chain through the
+    * real paths.
     */
   def decodeAudioAuto(media: DataFrame): Dataset[DecodedAudio] = {
     implicit val enc = Encoders.product[DecodedAudio]
     media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
       .mapPartitions { rows =>
         rows.filter(_.kind == "audio").map { r =>
-          RealCodecs.decodeAudio(r.data) match {
+          RealCodecs.decodeAudio(r.data).orElse(RealCodecs.mp3Meta(r.data)) match {
             case Some(m) =>
               DecodedAudio(r.media_id, m.sample_rate, m.duration_ms, m.rms)
             case None =>

@@ -27,9 +27,11 @@ class ContractSpec extends AnyFunSuite {
     assert(nums == (1 to names.size).toSet, "query numbering has gaps or duplicates")
   }
 
-  test("COVERAGE.md's headline query count matches SparkEntry.queries") {
+  test("COVERAGE.md's headline counts match SparkEntry.queries") {
     // the round-11 verdict caught this doc stale at 76 while the surface
-    // was 105 — pin the doc to the code so the number cannot drift again
+    // was 105; round 15 caught the SECOND number in the same sentence
+    // ("all 112 hash-checked" on a 124-query tree) slipping past the
+    // single-number guard — pin EVERY numeric claim in the headline
     val doc = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -38,5 +40,12 @@ class ContractSpec extends AnyFunSuite {
     assert(m.get.group(1).toInt == SparkEntry.queries.size,
       s"COVERAGE.md claims ${m.get.group(1)} queries but SparkEntry has " +
         s"${SparkEntry.queries.size} — update the doc headline")
+    val h = """(?s)all\s+(\d+)\s+DuckDB-oracle hash-checked""".r
+      .findFirstMatchIn(doc)
+    assert(h.isDefined,
+      "COVERAGE.md lost its 'all N DuckDB-oracle hash-checked' claim")
+    assert(h.get.group(1).toInt == SparkEntry.queries.size,
+      s"COVERAGE.md claims ${h.get.group(1)} hash-checked but SparkEntry " +
+        s"has ${SparkEntry.queries.size} queries — update the doc headline")
   }
 }

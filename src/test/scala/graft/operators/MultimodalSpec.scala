@@ -93,6 +93,53 @@ class MultimodalSpec extends SparkSpec {
     assert(viaAuto.sameElements(viaStub))
   }
 
+  test("mp3Meta: frame-header walk yields real rate/duration, garbage falls back") {
+    // synthesize a valid MPEG-1 Layer III frame chain: 160 kbps,
+    // 44100 Hz, no padding → frameLen = 144·160000/44100 = 522 bytes;
+    // 38 frames = 38·1152 samples → 43776·1000/44100 = 992 ms
+    def frame(): Array[Byte] = {
+      val f = new Array[Byte](522)
+      f(0) = 0xff.toByte
+      f(1) = 0xfb.toByte // MPEG-1 (11), Layer III (01), no CRC (1)
+      f(2) = 0xa0.toByte // bitrate idx 10 (160k), sr idx 0 (44100), pad 0
+      f(3) = 0x00
+      java.util.Arrays.fill(f, 4, 522, 0x55.toByte)
+      f
+    }
+    val chain = Array.concat(Seq.fill(38)(frame()): _*)
+    // with a leading ID3v2 tag (10-byte header + 100-byte syncsafe body)
+    val id3 = new Array[Byte](110)
+    id3(0) = 'I'; id3(1) = 'D'; id3(2) = '3'; id3(3) = 4; id3(9) = 100
+    val tagged = Array.concat(id3, chain)
+
+    for (blob <- Seq(chain, tagged)) {
+      val m = Multimodal.RealCodecs.mp3Meta(blob)
+      assert(m.isDefined, "valid frame chain must parse")
+      assert(m.get.sample_rate == 44100L)
+      assert(m.get.duration_ms == 38L * 1152 * 1000 / 44100)
+      assert(m.get.rms == 0.0, "header walk sees no samples")
+    }
+    // a truncated final frame is dropped, not miscounted
+    val truncated = chain.take(chain.length - 100)
+    assert(Multimodal.RealCodecs.mp3Meta(truncated).get.duration_ms ==
+      37L * 1152 * 1000 / 44100)
+    // a lone sync word in random bytes must NOT parse (two-frame chain
+    // requirement), and the auto path must fall back to the stub
+    val garbage = Array.tabulate[Byte](600)(i =>
+      if (i == 77) 0xff.toByte else if (i == 78) 0xfb.toByte else 33)
+    assert(Multimodal.RealCodecs.mp3Meta(garbage).isEmpty)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", tagged),
+      Multimodal.MediaRow(2L, "audio", garbage)).toDF()
+    val out = Multimodal.decodeAudioAuto(media).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(out(1L).sample_rate == 44100L &&
+      out(1L).duration_ms == 38L * 1152 * 1000 / 44100)
+    val stub = Multimodal.FakeCodec.audioMeta(garbage)
+    assert(out(2L).sample_rate == stub.sample_rate &&
+      out(2L).duration_ms == stub.duration_ms)
+  }
+
   test("decodeImagesAuto: real PNG through ImageIO, synthetic bytes fall back") {
     // build a deterministic 2x2 PNG with known pixel values via the JDK
     val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
