@@ -722,6 +722,16 @@ class SimilaritySpec extends SparkSpec {
         Seq((10L, qv10.toSeq)), k = 5, nProbe = 4, excludeSelf = false)
       .select("vec_id").as[Long].collect().toSet
     assert(!batched.contains(10L), "tombstoned id served by ivfProbeBatch")
+    // the tombstone anti-join must not cost the probe its partition
+    // pruning: the cent_id IN filter still reaches the cells scan
+    // (left-side predicate pushes below the LeftAnti broadcast join)
+    val probePlan = Similarity
+      .ivfProbe(spark, path, qv10.toSeq, k = 5, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: [cent_id"),
+      s"tombstoned probe lost partition pruning:\n$probePlan")
+    assert(probePlan.contains("LeftAnti"),
+      "tombstoned probe must carry the live-view anti-join")
     // replayed delete (marker path): no duplicate tombstone rows
     val tombRows = spark.read.parquet(s"$path/tombstones").count()
     Similarity.deleteFromIvfIndex(
