@@ -2163,6 +2163,32 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** q126's semantics through a REAL Structured Streaming query
+    * ([[graft.streaming.AnnIngestStream.drainDeletes]]): the takedown
+    * id set arrives as TWO micro-batches of a foreachBatch stream,
+    * each appending tombstones under a delTag keyed on the stream's
+    * real batchId. Tombstones are order-independent duplicate-safe
+    * rows, so the live view is identical to the one-shot delete — the
+    * SAME oracle as q126 gates stream ≡ batch for index deletion (the
+    * q111/q112 symmetry, takedown side). Shares q126's layout: both
+    * queries drive it to the same final state (the fold tag and the
+    * deleted id set coincide; duplicate tombstones are harmless), so
+    * either order, any interleave, and any replay converge.
+    */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val emb       = t(s, d, "embeddings")
+    val corpus    = emb.filter(col("vec_id") % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = s"$d#q126")
+    Similarity.foldIntoIvfIndex(emb.filter(col("vec_id") % 10 === 0),
+      path, batchTag = s"$d#db0")
+    val del = emb.filter(col("vec_id") % 20 === 10).select("vec_id")
+    graft.streaming.AnnIngestStream.drainDeletes(
+      Seq(del.filter(col("vec_id") % 40 === 10),
+          del.filter(col("vec_id") % 40 =!= 10)),
+      path, tagPrefix = s"$d#q128")
+    Similarity.ivfCellStats(s, path)
+  }
+
   /** Queries whose plans depend on BUCKET PRUNING of the search-index
     * tables (read only the query terms' buckets): Spark's
     * DisableUnnecessaryBucketedScan heuristic treats a lookup-shaped
@@ -2349,7 +2375,8 @@ object SparkEntry {
     "q124_polygon_clip"     -> (q124 _),
     "q125_band_delete"      -> (q125 _),
     "q126_ivf_delete"       -> (q126 _),
-    "q127_ivfpq_delete"     -> (q127 _)
+    "q127_ivfpq_delete"     -> (q127 _),
+    "q128_delete_stream"    -> (q128 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -3890,7 +3917,8 @@ object SparkEntry {
         |FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "q125_band_delete" -> q125OracleSql,
     "q126_ivf_delete" -> q126OracleSql,
-    "q127_ivfpq_delete" -> q127OracleSql
+    "q127_ivfpq_delete" -> q127OracleSql,
+    "q128_delete_stream" -> q126OracleSql
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):

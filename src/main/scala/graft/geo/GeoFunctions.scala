@@ -164,8 +164,8 @@ object GeoFunctions {
     * then the exact polygon clip runs on the survivors, then reproject.
     * Same plan shape as [[clipProject]] — only the exact kernel widens
     * from rectangle to polygon.
-    */
-  /** @param arealSubjects whether the layer may contain polygons.
+    *
+    * @param arealSubjects whether the layer may contain polygons.
     *   The polygon-clip kernel rejects holed AOI parts, so with the
     *   default (true — any real layer may carry polygons) a holed AOI
     *   is rejected HERE, at plan time, instead of throwing per row

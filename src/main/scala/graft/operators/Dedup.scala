@@ -536,9 +536,12 @@ object Dedup {
       Bucketing.isCurrent(rawSigs, sigsTable, buckets, Seq("doc_id"), fpTag)
     if (!current) {
       // a rebuild starts a NEW lineage: stale tombstones from the old
-      // one must not suppress freshly indexed docs
+      // one must not suppress freshly indexed docs — drop the catalog
+      // entry AND any orphaned warehouse dir a previous JVM left
       docs.sparkSession.sql(
         s"DROP TABLE IF EXISTS ${delsTableFor(bandsTable)}")
+      graft.pipeline.Cleanup.ensureWritable(
+        docs.sparkSession, "default", delsTableFor(bandsTable))
       // staged so the expensive minhash kernel runs ONCE for both writes
       val sigs = Checkpoints.stage(rawSigs,
         Checkpoints.configured(docs.sparkSession))
@@ -729,6 +732,13 @@ object Dedup {
       val dels = props.get("graft.dels")
         .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
       if (!dels.contains(delTag)) {
+        // first delete of a lineage CREATES the dels table — clear any
+        // orphaned same-name warehouse dir first (the recurring
+        // LOCATION_ALREADY_EXISTS class: a fresh JVM's empty catalog
+        // over a dir left by a previous process; the old lineage's
+        // band tables rebuild from scratch in this JVM anyway)
+        if (!spark.catalog.tableExists(delsTable))
+          graft.pipeline.Cleanup.ensureWritable(spark, "default", delsTable)
         delIds.select(col("doc_id").cast("long").as("doc_id"))
           .write.mode("append").format("parquet").saveAsTable(delsTable)
         val ledger = (dels + delTag).toSeq.sorted.mkString(",")
@@ -769,22 +779,30 @@ object Dedup {
     val delsTable  = s"${tablePrefix}_dels"
     foldLocks.computeIfAbsent(bandsTable, _ => new Object).synchronized {
       // tombstone PURGE rides the rewrite ([[deleteFromMinhashBandIndex]]):
-      // both tables drop the tombstoned docs, then the dels table goes.
-      // Crash windows stay safe at every point — until the dels drop,
-      // the live views still anti-join (against already-purged ids at
+      // both tables drop the tombstoned docs, then the CONSUMED tombstone
+      // files go. The snapshot is file-granular (the compactIvfCells
+      // contract): only the dels FILES read into this rewrite are
+      // deleted afterwards, so a cross-process delete landing
+      // mid-compaction keeps its tombstone (and its rows, purged by the
+      // next compaction) instead of being dropped unpurged. Crash
+      // windows stay safe at every point — until the file deletes, the
+      // live views still anti-join (against already-purged ids at
       // worst: a harmless no-op), and the `graft.dels` LEDGER lives in
       // the bands TBLPROPERTIES (preserved below), so a replayed delete
       // tag still no-ops after its tombstones are purged.
-      val hasDels = spark.catalog.tableExists(delsTable)
+      val delsFiles: Seq[String] =
+        if (spark.catalog.tableExists(delsTable))
+          spark.table(delsTable).inputFiles.toSeq
+        else Seq.empty
       Seq((bandsTable, "bk"), (s"${tablePrefix}_sigs", "doc_id"))
         .foreach { case (table, key) =>
           val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
             .map(r => r.getString(0) -> r.getString(1))
             .filter(_._1.startsWith("graft.")).toMap
           val live =
-            if (hasDels)
+            if (delsFiles.nonEmpty)
               spark.table(table).join(
-                broadcast(spark.table(delsTable).distinct()),
+                broadcast(spark.read.parquet(delsFiles: _*).distinct()),
                 Seq("doc_id"), "left_anti")
             else spark.table(table)
           val staged = Checkpoints.stageOwned(
@@ -802,7 +820,14 @@ object Dedup {
               s"ALTER TABLE $table SET TBLPROPERTIES('$ek'='$ev')")
           }
         }
-      if (hasDels) spark.sql(s"DROP TABLE IF EXISTS $delsTable")
+      if (delsFiles.nonEmpty) {
+        val conf = spark.sessionState.newHadoopConf()
+        delsFiles.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).delete(p, false)
+        }
+        spark.catalog.refreshTable(delsTable)
+      }
       ()
     }
   }

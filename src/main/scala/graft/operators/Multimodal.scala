@@ -269,8 +269,13 @@ object Multimodal {
         var sr0     = 0
         var p       = start
         var ok      = true
+        // a sample-rate CHANGE mid-chain ends the walk: real MP3 streams
+        // are constant-rate, so a different-rate "frame" is concatenated
+        // garbage — counting its samples against sr0 would corrupt the
+        // duration
         while (ok) frameAt(p) match {
-          case Some((len, sr, spf)) if len >= 4 && p + len <= data.length =>
+          case Some((len, sr, spf)) if len >= 4 && p + len <= data.length &&
+              (sr0 == 0 || sr == sr0) =>
             frames += 1; samples += spf; sr0 = sr; p += len
           case _ => ok = false
         }

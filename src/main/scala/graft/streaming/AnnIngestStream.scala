@@ -63,4 +63,25 @@ object AnnIngestStream {
     IncrementalSink.drainEach(vecBatches, (batch, id) =>
       Similarity.foldIntoIvfPqIndex(batch, path, batchTag = s"$tagPrefix#mb$id"))
   }
+
+  /** STREAMING deletion — the online form of
+    * [[Similarity.deleteFromIvfIndex]] (shared by the IVF and IVF-PQ
+    * layouts): takedown/refresh ids arrive as micro-batches (each
+    * `(vec_id LONG)`), and every micro-batch appends its tombstones
+    * under a delTag keyed on the REAL `batchId`. Tombstones are
+    * order-independent, duplicate-safe rows, so micro-batch boundaries
+    * are invisible in the served index — delete(b1); delete(b2) ≡
+    * delete(b1 ∪ b2), and at-least-once replays converge even without
+    * the ledger marker (which just skips the redundant append). The
+    * q111→q112 stream≡batch symmetry, deletion side.
+    */
+  def drainDeletes(
+      idBatches: Seq[DataFrame],
+      path: String,
+      tagPrefix: String): Unit = {
+    require(!tagPrefix.contains("#mb"),
+      s"tagPrefix must not contain the batch-tag separator '#mb': '$tagPrefix'")
+    IncrementalSink.drainEach(idBatches, (batch, id) =>
+      Similarity.deleteFromIvfIndex(batch, path, delTag = s"$tagPrefix#mb$id"))
+  }
 }

@@ -36,7 +36,11 @@ object CompactionBench {
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
     val (path, c) = Similarity.ensureIvfIndex(corpus,
       srcTag = s"$sfDir#compactbench${System.nanoTime()}")
-    // the held-out tenth arrives as nBatches separate ingestion folds
+    // the held-out tenth arrives as nBatches separate ingestion folds —
+    // with the AUTO-COMPACTION POLICY DISARMED: this leg measures the
+    // accumulated small-file shape, so the default threshold must not
+    // quietly compact it mid-measurement at larger nBatches
+    spark.conf.set("spark.graft.index.autoCompactFilesPerCell", "0")
     (0 until nBatches).foreach { i =>
       Similarity.foldIntoIvfIndex(
         emb.filter(col("vec_id") % 10 === 0 &&

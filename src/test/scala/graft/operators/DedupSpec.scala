@@ -435,8 +435,9 @@ class DedupSpec extends SparkSpec {
     // compaction purges both tables and drops the dels table; content
     // now BYTE-equals the remainder rebuild
     Dedup.compactMinhashBandIndex(spark, "graft_delspec")
-    assert(!spark.catalog.tableExists("graft_delspec_dels"),
-      "compaction must drop the consumed tombstone table")
+    assert(spark.table("graft_delspec_dels").count() == 0,
+      "compaction must purge the consumed tombstone files (file-granular " +
+        "snapshot — a cross-process delete landing mid-rewrite survives)")
     def bandsOf(t: String) =
       spark.table(t).select("doc_id", "bk").as[(Long, String)].collect().toSet
     def sigsOf(t: String) =
@@ -451,7 +452,7 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("graft.dels").contains("d1"), s"delete ledger lost: $props")
     Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "preburn")
-    assert(!spark.catalog.tableExists("graft_delspec_dels"),
+    assert(spark.table("graft_delspec_dels").count() == 0,
       "a replayed delete tag must not recreate tombstones after the purge")
     // after the purge the docs fold again as new — the replace recipe
     Dedup.foldIntoMinhashBandIndex(

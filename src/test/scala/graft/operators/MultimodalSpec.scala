@@ -123,6 +123,20 @@ class MultimodalSpec extends SparkSpec {
     val truncated = chain.take(chain.length - 100)
     assert(Multimodal.RealCodecs.mp3Meta(truncated).get.duration_ms ==
       37L * 1152 * 1000 / 44100)
+    // a sample-rate change mid-chain (concatenated streams / garbage)
+    // ends the walk instead of counting foreign samples against the
+    // first rate: MPEG-2 22050 Hz frames appended after the 44100 chain
+    // must not inflate the duration
+    val v2frame = new Array[Byte](417)
+    v2frame(0) = 0xff.toByte
+    v2frame(1) = 0xf3.toByte // MPEG-2 (10), Layer III (01), no CRC (1)
+    v2frame(2) = 0xc0.toByte // bitrate idx 12 (128k), sr idx 0 (22050)
+    java.util.Arrays.fill(v2frame, 4, 417, 0x55.toByte)
+    val mixed = Array.concat(chain, v2frame, v2frame, v2frame)
+    val mm = Multimodal.RealCodecs.mp3Meta(mixed).get
+    assert(mm.sample_rate == 44100 &&
+      mm.duration_ms == 38L * 1152 * 1000 / 44100,
+      s"mixed-rate chain must stop at the rate change, got $mm")
     // a lone sync word in random bytes must NOT parse (two-frame chain
     // requirement), and the auto path must fall back to the stub
     val garbage = Array.tabulate[Byte](600)(i =>

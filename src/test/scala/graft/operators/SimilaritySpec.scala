@@ -815,6 +815,37 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.liveCells(spark, path).count() == before)
   }
 
+  test("streaming deletion ≡ the one-shot delete (q128 shape)") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    val del    = emb.filter($"vec_id" % 20 === 10).select("vec_id")
+    def build(tag: String): String = {
+      val (p, _) = Similarity.ensureIvfIndex(corpus, srcTag = tag)
+      Similarity.foldIntoIvfIndex(batch, p, batchTag = "b1")
+      p
+    }
+    val salt = System.nanoTime()
+    // one-shot delete on one layout, two micro-batches on a twin
+    val p1 = build(s"sdel-one-$salt")
+    Similarity.deleteFromIvfIndex(del, p1, delTag = "d1")
+    val p2 = build(s"sdel-stream-$salt")
+    graft.streaming.AnnIngestStream.drainDeletes(
+      Seq(del.filter($"vec_id" % 40 === 10), del.filter($"vec_id" % 40 =!= 10)),
+      p2, tagPrefix = "sd")
+    def live(p: String) = Similarity.liveCells(spark, p)
+      .select($"vec_id", $"cent_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(live(p2) == live(p1),
+      "streamed deletes must serve the same live view as the one-shot")
+    // replaying the whole stream is a no-op (ledger markers per batchId)
+    val rows = spark.read.parquet(s"$p2/tombstones").count()
+    graft.streaming.AnnIngestStream.drainDeletes(
+      Seq(del.filter($"vec_id" % 40 === 10), del.filter($"vec_id" % 40 =!= 10)),
+      p2, tagPrefix = "sd")
+    assert(spark.read.parquet(s"$p2/tombstones").count() == rows)
+  }
+
   test("recoverCells: a crashed compaction window heals on the next maintenance entry") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
