@@ -94,23 +94,51 @@ object Bench {
       }.mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None, _) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"iterations":$itersJson,"sf":"$sfDir"}"""
-    println(json)
-    // the canonical committed artifact (r15 ask): stdout captures have
-    // truncated mid-line on the driver side twice, so the FULL
-    // per-query/per-iteration evidence also lands in a file — the
-    // sf0.1 run refreshes BENCH_sf01_local.json in the repo; other SFs
-    // only write when SPARK_GRAFT_BENCH_OUT names a destination, so
-    // local iteration at sf0.01 doesn't litter the tree. Partial
-    // (SPARK_GRAFT_BENCH_ONLY-filtered) runs never overwrite the
-    // full-suite artifact.
+    // stdout gets a COMPACT line — medians rounded to 0.1 ms, no
+    // per-iteration arrays. The driver's capture keeps only a tail
+    // window of stdout, and a 128-query line with iteration arrays is
+    // longer than that window, so the line START gets cut and the
+    // capture parses null (BENCH_r15/r16). ~3 KB always fits; the full
+    // per-iteration evidence lives in the file artifact below.
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qsShort = results.map {
+        case (k, _, Some(_), _) => s"${jstr(k)}:null"
+        case (k, v, None, _)    => s"${jstr(k)}:${r4(v)}"
+      }.mkString("{", ",", "}")
+    val stdoutJson = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"error_count":$nErr,"iters":$iters,"sf":"$sfDir"}"""
+    val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"iterations":$itersJson,"sf":"$sfDir"}"""
+    println(stdoutJson)
+    // the canonical committed artifact (r15 ask): the FULL per-query/
+    // per-iteration evidence lands in a file — the sf0.1 run refreshes
+    // BENCH_sf01_local.json in the repo; other SFs only write when
+    // SPARK_GRAFT_BENCH_OUT names a destination, so local iteration at
+    // sf0.01 doesn't litter the tree. Partial (SPARK_GRAFT_BENCH_ONLY-
+    // filtered) runs never overwrite the full-suite artifact. The
+    // default path resolves against the REPO ROOT (nearest ancestor of
+    // cwd holding build.sbt), not bare cwd — a bench launched from
+    // elsewhere must not scatter the committed evidence or fail on a
+    // read-only cwd; if no root is found the write is skipped loudly
+    // and SPARK_GRAFT_BENCH_OUT remains the explicit override.
     val sfName = new java.io.File(sfDir).getName
-    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(
-      if (sfName == "sf0.1" && only.isEmpty) Some("BENCH_sf01_local.json")
-      else None)
+    val outFile: Option[java.nio.file.Path] =
+      sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .orElse {
+          if (sfName == "sf0.1" && only.isEmpty) {
+            val root = Iterator.iterate(
+                java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+              .takeWhile(_ != null)
+              .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+            if (root.isEmpty) System.err.println(
+              "graft.Bench: no repo root (build.sbt) above cwd — " +
+                "skipping BENCH_sf01_local.json; set SPARK_GRAFT_BENCH_OUT")
+            root.map(_.resolve("BENCH_sf01_local.json"))
+          } else None
+        }
     outFile.foreach { f =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(f),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(f,
+        (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
   }

@@ -407,9 +407,13 @@ object Geometry {
     * construction) are unchanged.
     */
   def area(g: Geom): Double = {
+    // clamped per polygon: an INVALID input whose holes overlap or
+    // exceed the shell would otherwise go negative, and 0 is the
+    // documented floor for degenerate geometry (a mis-nested
+    // MultiPolygon part must not drag down its siblings' sum either)
     def poly(rings: Seq[Seq[Pt]]): Double =
-      math.abs(signedArea(rings.head)) -
-        rings.tail.map(r => math.abs(signedArea(r))).sum
+      math.max(0.0, math.abs(signedArea(rings.head)) -
+        rings.tail.map(r => math.abs(signedArea(r))).sum)
     g match {
       case Polygon(rings)      => poly(rings)
       case MultiPolygon(polys) => polys.map(poly).sum

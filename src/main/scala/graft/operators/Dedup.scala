@@ -654,16 +654,44 @@ object Dedup {
           def landed(table: String): Boolean = suspect && !spark.table(table)
             .join(broadcast(sigs.select("doc_id").distinct()), "doc_id")
             .isEmpty
+          // crash-replay REPAIR must not resurrect deleted docs:
+          // between the crash and the replay, batch docs may have been
+          // tombstoned and the index compacted (purging the dels
+          // table), so the landed sibling now holds only the
+          // SURVIVORS — re-appending the full batch to the missing
+          // table would diverge sigs from bands and bring deleted
+          // signatures back into verification joins. On the suspect
+          // path, the missing table gets only the doc_ids the landed
+          // sibling still holds (the batch-ids broadcast keeps the
+          // probe tiny; paid only on crash-replay). A batch deleted IN
+          // FULL and compacted away is indistinguishable from
+          // never-folded by then — both tables re-append consistently,
+          // and the standing-tombstone guard above covers the
+          // uncompacted case loudly.
+          def survivorsOf(sibling: String)(df: DataFrame): DataFrame =
+            if (!suspect) df
+            else df.join(
+              broadcast(spark.table(sibling)
+                .join(broadcast(sigs.select("doc_id").distinct()), "doc_id")
+                .select("doc_id").distinct()),
+              Seq("doc_id"), "left_semi")
+          val bandsLanded = landed(bandsTable)
+          val sigsLanded  = landed(sigsTable)
           // append resolves columns BY NAME and must match the table's
           // bucket spec exactly — same keys/counts as ensureMinhashBandIndex
-          if (!landed(bandsTable))
-            bandKeys(sigs, bands, rows).write.mode("append").format("parquet")
+          if (!bandsLanded) {
+            val out = if (sigsLanded) survivorsOf(sigsTable)(bandKeys(sigs, bands, rows))
+                      else bandKeys(sigs, bands, rows)
+            out.write.mode("append").format("parquet")
               .bucketBy(buckets, "bk").sortBy("bk")
               .saveAsTable(bandsTable)
-          if (!landed(sigsTable))
-            sigs.write.mode("append").format("parquet")
+          }
+          if (!sigsLanded) {
+            val out = if (bandsLanded) survivorsOf(bandsTable)(sigs) else sigs
+            out.write.mode("append").format("parquet")
               .bucketBy(buckets, "doc_id").sortBy("doc_id")
               .saveAsTable(sigsTable)
+          }
         } finally staged.release()
         val ledger = (folded + batchTag).toSeq.sorted.mkString(",")
           .replace("'", "''")
@@ -680,9 +708,10 @@ object Dedup {
         // check is one catalog file listing — driver metadata, bounded
         // BECAUSE the policy keeps the count low. Tombstone purge rides
         // along, so a delete-heavy tier is cleaned on the same cadence.
-        val threshold = spark.conf
-          .getOption("spark.graft.index.autoCompactFilesPerBucket")
-          .map(_.toInt).getOrElse(32)
+        // defensive parse (Similarity.confInt): a typo'd conf value
+        // must not abort the fold after its appends already landed
+        val threshold = Similarity.confInt(
+          spark, "spark.graft.index.autoCompactFilesPerBucket", 32)
         if (threshold > 0 &&
             spark.table(bandsTable).inputFiles.length >= threshold * buckets)
           compactMinhashBandIndex(spark, tablePrefix, buckets)

@@ -807,12 +807,22 @@ object Similarity {
     * itself is the one inherent shuffle of the index, amortized across
     * the threshold's worth of batches. Tombstone purge rides along,
     * so a delete-heavy tier is physically cleaned on the same cadence.
+    *
+    * Probe-race caveat (documented on the conf key): the compaction
+    * promote is two renames, so a LOCK-FREE probe concurrent with an
+    * auto-compacting fold can land in a window where cells/ is absent.
+    * [[liveCells]] retries across that window (~1 s budget, orders of
+    * magnitude wider than the rename gap), so concurrent probes see
+    * added latency, not failure; deployments that cannot tolerate even
+    * that set `spark.graft.index.autoCompactFilesPerCell=0` and run
+    * [[compactIvfCells]] in a maintenance window instead.
     */
   private def maybeAutoCompactCells(
       spark: SparkSession, path: String): Unit = {
-    val threshold = spark.conf
-      .getOption("spark.graft.index.autoCompactFilesPerCell")
-      .map(_.toInt).getOrElse(32)
+    // defensive parse: a malformed conf value must not abort an
+    // ingestion fold mid-batch — fall back to the default, loudly
+    val threshold = confInt(
+      spark, "spark.graft.index.autoCompactFilesPerCell", 32)
     if (threshold > 0) {
       val cellsDir = new org.apache.hadoop.fs.Path(path, "cells")
       val fs = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -834,6 +844,22 @@ object Similarity {
     }
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // conf ints parsed defensively for the maintenance policies: a typo'd
+  // value degrades to the default with a loud warning instead of
+  // throwing NumberFormatException inside a fold that already appended
+  private[operators] def confInt(
+      spark: SparkSession, key: String, default: Int): Int =
+    spark.conf.getOption(key) match {
+      case None => default
+      case Some(v) => v.trim.toIntOption.getOrElse {
+        log.warn(s"ignoring malformed $key='$v' (not an int); " +
+          s"using default $default")
+        default
+      }
+    }
+
   // ---- deletion: the tombstone tier of the maintained-index contract ----
 
   /** The LIVE view of a layout's cells: physical rows minus standing
@@ -847,14 +873,44 @@ object Similarity {
     * still pushes below the join to the scan (left-side predicate).
     */
   def liveCells(spark: SparkSession, path: String): DataFrame = {
-    val cells = spark.read.parquet(s"$path/cells")
-    val tp = new org.apache.hadoop.fs.Path(path, "tombstones")
-    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(tp))
+    // compaction's two-rename promote has a short window where cells/
+    // is absent (documented on [[compactIvfCells]]); a lock-free probe
+    // landing inside it retries briefly instead of failing at an
+    // operator-unchosen moment. A crash INSIDE the window exhausts the
+    // retries; the next locked entry point heals it via recoverCells.
+    var cells: DataFrame = null
+    var attempt = 0
+    while (cells == null) {
+      try cells = spark.read.parquet(s"$path/cells")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException if attempt < 8 =>
+          attempt += 1; Thread.sleep(125L)
+      }
+    }
+    val tomb = tombstoneDataFiles(spark, path)
+    if (tomb.nonEmpty)
       cells.join(
-        broadcast(spark.read.parquet(tp.toString).select("vec_id").distinct()),
+        broadcast(spark.read.parquet(tomb: _*).select("vec_id").distinct()),
         Seq("vec_id"), "left_anti")
     else cells
+  }
+
+  // a tombstones/ dir can exist with ZERO data files (crash between
+  // compaction's tombstone-file purge and its dir delete, line ~1100) —
+  // spark.read.parquet on it throws UNABLE_TO_INFER_SCHEMA, so every
+  // tombstone read goes through this listing and treats the empty dir
+  // as "no tombstones" (the same _/. filter compactIvfCells uses)
+  private def tombstoneDataFiles(
+      spark: SparkSession, path: String): Seq[String] = {
+    val tp = new org.apache.hadoop.fs.Path(path, "tombstones")
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tp)) Seq.empty
+    else fs.listStatus(tp).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.toString)
   }
 
   /** Tombstone DELETION from a maintained [[ensureIvfIndex]] /
@@ -920,10 +976,9 @@ object Similarity {
   // tombstone set exists at all.
   private def requireNotTombstoned(
       spark: SparkSession, path: String, ids: DataFrame): Unit = {
-    val tp = new org.apache.hadoop.fs.Path(path, "tombstones")
-    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(tp)) {
-      val hit = spark.read.parquet(tp.toString)
+    val tomb = tombstoneDataFiles(spark, path)
+    if (tomb.nonEmpty) {
+      val hit = spark.read.parquet(tomb: _*)
         .join(broadcast(ids.select("vec_id").distinct()), "vec_id")
         .limit(1).collect()
       require(hit.isEmpty,
@@ -1068,9 +1123,20 @@ object Similarity {
       // it makes progress; the dir's own mtime only reflects top-level
       // entry creation) with the window configurable for deployments
       // whose rewrites legitimately stall longer between files.
-      val staleHours = spark.conf
-        .getOption("spark.graft.index.gcStaleHours").map(_.toLong)
-        .getOrElse(24L)
+      // a tombstones/ dir left with no entries at all (crash between
+      // compaction's purge loop and its dir delete) is harmless to
+      // readers (tombstoneDataFiles treats it as empty) — collect it
+      // here so the layout doesn't carry the scar forever. Only a
+      // FULLY empty dir is deleted: a concurrent delete's in-flight
+      // parquet commit stages under tombstones/_temporary, which this
+      // check sees and leaves alone.
+      val tombDir = new org.apache.hadoop.fs.Path(path, "tombstones")
+      try {
+        if (fs.exists(tombDir) && fs.listStatus(tombDir).isEmpty)
+          fs.delete(tombDir, true)
+      } catch { case _: java.io.IOException => }
+      val staleHours = confInt(
+        spark, "spark.graft.index.gcStaleHours", 24).toLong
       val cutoff = System.currentTimeMillis() - staleHours * 3600 * 1000
       def newestMtime(p: org.apache.hadoop.fs.Path, own: Long): Long = {
         var m = own

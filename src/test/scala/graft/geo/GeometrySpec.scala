@@ -318,4 +318,20 @@ class GeometrySpec extends AnyFunSuite {
       Seq(Seq((20.0, 0.0), (21.0, 0.0), (21.0, 1.0), (20.0, 0.0)))))
     assert(math.abs(area(mp) - 96.5) < 1e-9, s"got ${area(mp)}")
   }
+
+  test("area clamps INVALID hole-exceeds-shell input to the 0 floor") {
+    // a hole larger than its shell (invalid WKT a caller may still
+    // feed us): 0 is the documented floor for degenerate geometry,
+    // never a negative area
+    val inverted = Polygon(Seq(
+      Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)),
+      Seq((-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (-5.0, 5.0), (-5.0, -5.0))))
+    assert(area(inverted) == 0.0, s"got ${area(inverted)}")
+    // the clamp is PER POLYGON: a mis-nested MultiPolygon part must
+    // not drag its valid siblings' sum below their true area
+    val mixed = MultiPolygon(Seq(
+      inverted.rings,
+      Seq(Seq((10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0), (10.0, 10.0)))))
+    assert(math.abs(area(mixed) - 4.0) < 1e-9, s"got ${area(mixed)}")
+  }
 }

@@ -489,4 +489,49 @@ class DedupSpec extends SparkSpec {
         s"corpus sides must stream against broadcast batch sides:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("crash-replay repair does not resurrect docs deleted+compacted in the window") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val a = docs.filter($"doc_id" % 10 =!= 0)
+    val b = docs.filter($"doc_id" % 10 === 0)
+    val deadIds = b.filter($"doc_id" % 20 === 0).select("doc_id")
+    val dead = deadIds.as[Long].collect().toSet
+    assert(dead.nonEmpty)
+    val tag = s"resurrect-${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(a, "graft_resspec", srcTag = tag)
+    // the crash window: intent standing, bands append landed, sigs
+    // append and ledger write lost (the crashed-fold spec's shape)
+    spark.sql(s"ALTER TABLE $bt SET TBLPROPERTIES('graft.folds.intent'='crashed')")
+    val sigs = Dedup.minhashSignaturesPortable(b, 3, 64, 7L)
+    sigs.select($"doc_id", explode(Dedup.bandKeyArray($"sig", 16, 4)).as("bk"))
+      .write.mode("append").format("parquet")
+      .bucketBy(8, "bk").sortBy("bk").saveAsTable(bt)
+    // BEFORE the replay arrives: a takedown tombstones part of the
+    // crashed batch, and compaction purges the tombstones physically
+    Dedup.deleteFromMinhashBandIndex(deadIds, "graft_resspec", delTag = "takedown")
+    Dedup.compactMinhashBandIndex(spark, "graft_resspec")
+    // replay of the crashed tag: the repair must append only the
+    // SURVIVORS to the sigs side — re-appending the full batch would
+    // resurrect the deleted docs in signature-verification joins
+    Dedup.foldIntoMinhashBandIndex(b, "graft_resspec", batchTag = "crashed")
+    val sigIds  = spark.table(st).select("doc_id").as[Long].collect().toSet
+    val bandIds = spark.table(bt).select("doc_id").as[Long].collect().toSet
+    assert(sigIds.intersect(dead).isEmpty,
+      s"deleted docs resurrected in sigs: ${sigIds.intersect(dead).take(5)}")
+    assert(sigIds == bandIds, "sigs and bands must converge on one doc set")
+    // repaired state ≡ rebuild over the remainder, row-for-row
+    val remainder = docs.join(broadcast(deadIds), Seq("doc_id"), "left_anti")
+    val (rbt, rst) = Dedup.ensureMinhashBandIndex(
+      remainder, "graft_resref", srcTag = tag)
+    def bandsOf(t: String) =
+      spark.table(t).select("doc_id", "bk").as[(Long, String)].collect().toSet
+    def sigsOf(t: String) =
+      spark.table(t).select("doc_id", "sig").as[(Long, Seq[Long])]
+        .collect().map { case (d, s) => (d, s.toList) }.toSet
+    assert(bandsOf(bt) == bandsOf(rbt),
+      "repaired bands must equal rebuild-from-remainder")
+    assert(sigsOf(st) == sigsOf(rst),
+      "repaired sigs must equal rebuild-from-remainder")
+  }
 }

@@ -1236,4 +1236,54 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected,
       s"distributed ranking diverged from the driver loop:\n$got\nvs\n$expected")
   }
+
+  test("a tombstones/ dir with no data files reads as no tombstones and heals") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"emptytomb-${System.nanoTime()}")
+    // the crash shape: compaction purged every tombstone FILE but died
+    // before deleting the dir — every reader must treat it as "no
+    // tombstones" instead of failing schema inference on an empty dir
+    val tombDir = new java.io.File(s"$path/tombstones")
+    assert(tombDir.mkdirs())
+    val n = Similarity.liveCells(spark, path).count()
+    assert(n == corpus.count(), "empty tombstones dir must not drop rows")
+    val qv = emb.filter($"vec_id" === 1L).select($"embedding")
+      .as[Array[Float]].head()
+    assert(Similarity.ivfProbe(spark, path, qv.toSeq, k = 5, nProbe = 4)
+      .count() == 5L)
+    assert(Similarity.ivfCellStats(spark, path)
+      .agg(sum($"n_vecs")).as[Long].head() == n)
+    // marker-only contents (_/. prefixed) read as empty too
+    assert(new java.io.File(tombDir, "_SUCCESS").createNewFile())
+    assert(Similarity.liveCells(spark, path).count() == n)
+    assert(new java.io.File(tombDir, "_SUCCESS").delete())
+    // the fold path's re-insert guard sees no tombstones, the fold
+    // lands, and the locked maintenance entry GCs the empty dir
+    Similarity.foldIntoIvfIndex(batch, path, batchTag = "b1")
+    assert(!tombDir.exists(),
+      "recoverCells must GC a fully-empty tombstones dir")
+    assert(Similarity.liveCells(spark, path).count() ==
+      corpus.count() + batch.count())
+  }
+
+  test("malformed auto-compaction conf degrades to the default, loudly not fatally") {
+    val key = "spark.graft.index.autoCompactFilesPerCell"
+    spark.conf.set(key, "thirty-two")
+    try {
+      assert(Similarity.confInt(spark, key, 32) == 32)
+      // and a fold under the malformed conf completes instead of
+      // aborting after its append already landed
+      val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      val (path, _) = Similarity.ensureIvfIndex(
+        emb.filter($"vec_id" % 10 =!= 0),
+        srcTag = s"badconf-${System.nanoTime()}")
+      Similarity.foldIntoIvfIndex(
+        emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding"),
+        path, batchTag = "b1")
+      assert(Similarity.liveCells(spark, path).count() == emb.count())
+    } finally spark.conf.unset(key)
+  }
 }
