@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+/** Property-style fuzz over the MAINTAINED-INDEX contract (the r15 #7
+  * ask): a seeded random sequence of fold / delete / compact /
+  * crash-and-replay ops against the band index and the IVF layout,
+  * driven to one invariant — the maintained index always equals a
+  * from-scratch rebuild over (folded − deleted). The singleton specs
+  * (crashed-fold repair, resurrection, compaction heal) each pin ONE
+  * interleaving; this spec walks many, because the bugs that slipped
+  * previous rounds (sig/band divergence, tombstone resurrection,
+  * compaction-crash leftovers) all lived in interleavings nobody wrote
+  * a named test for.
+  */
+class MaintenanceFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- band index (table-backed, intent-ledger repair) ----------
+
+  private def bandFuzz(seed: Int): Unit = {
+    val rnd  = new scala.util.Random(seed)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val run    = s"${seed}_${System.nanoTime()}"
+    val prefix = s"graft_fuzz$run"
+    val base    = docs.filter($"doc_id" % 6 === 0)
+    def batch(i: Int) = docs.filter($"doc_id" % 6 === i)
+    val batchIds: Map[Int, Set[Long]] =
+      (1 to 5).map(i => i -> batch(i).select("doc_id").as[Long].collect().toSet).toMap
+
+    val (bt, st) = Dedup.ensureMinhashBandIndex(base, prefix, srcTag = s"fuzz-$run")
+    // driver-side model of what the index must contain
+    var folded: Set[Long]  = base.select("doc_id").as[Long].collect().toSet
+    var deleted: Set[Long] = Set.empty
+    var nextBatch = 1
+    var delSeq    = 0
+    val ops = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def doDelete(scope: Set[Long], protect: Set[Long] = Set.empty): Unit = {
+      var pick = scope.toSeq.sorted.filter(_ => rnd.nextDouble() < 0.33).toSet
+      // stay inside the contract's DECIDABLE region (documented on the
+      // fold repair): a crashed batch deleted IN FULL and compacted
+      // away is indistinguishable from never-folded, so its replay
+      // re-appends it by design — the fuzz always leaves part of a
+      // crashed batch alive, the way the takedown trickle would
+      if (protect.nonEmpty && protect.subsetOf(pick))
+        pick --= protect.toSeq.sorted.take(protect.size / 2 + 1)
+      if (pick.nonEmpty && pick != scope) {
+        delSeq += 1
+        ops += s"delete(d$delSeq, ${pick.size} ids)"
+        Dedup.deleteFromMinhashBandIndex(
+          pick.toSeq.toDF("doc_id"), prefix, delTag = s"d$delSeq")
+        deleted ++= pick
+        // replayed delete tag: idempotent, exercised every time
+        Dedup.deleteFromMinhashBandIndex(
+          pick.toSeq.toDF("doc_id"), prefix, delTag = s"d$delSeq")
+      }
+    }
+
+    (1 to 12).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 if nextBatch <= 5 => // clean fold
+          ops += s"fold(b$nextBatch)"
+          Dedup.foldIntoMinhashBandIndex(batch(nextBatch), prefix,
+            batchTag = s"b$nextBatch")
+          folded ++= batchIds(nextBatch); nextBatch += 1
+        case 1 if nextBatch <= 5 => // crash mid-fold, interleave, replay
+          val i = nextBatch
+          ops += s"crashfold(b$i)"
+          spark.sql(s"ALTER TABLE $bt SET TBLPROPERTIES(" +
+            s"'graft.folds.intent'='b$i')")
+          val sigs = Dedup.minhashSignaturesPortable(batch(i), 3, 64, 7L)
+          sigs.select($"doc_id",
+              explode(Dedup.bandKeyArray($"sig", 16, 4)).as("bk"))
+            .write.mode("append").format("parquet")
+            .bucketBy(8, "bk").sortBy("bk").saveAsTable(bt)
+          // in the crash window: maybe a takedown touching the crashed
+          // batch, then ALWAYS compact (the repair contract requires
+          // purge before a replay that intersects tombstones)
+          if (rnd.nextBoolean())
+            doDelete((folded -- deleted) ++ batchIds(i), protect = batchIds(i))
+          ops += "compact"
+          Dedup.compactMinhashBandIndex(spark, prefix)
+          ops += s"replay(b$i)"
+          Dedup.foldIntoMinhashBandIndex(batch(i), prefix, batchTag = s"b$i")
+          folded ++= batchIds(i); nextBatch += 1
+        case 2 if (folded -- deleted).nonEmpty => // takedown trickle
+          doDelete(folded -- deleted)
+        case _ =>
+          ops += "compact"
+          Dedup.compactMinhashBandIndex(spark, prefix)
+      }
+    }
+
+    // final compact makes physical ≡ live, then the invariant:
+    // maintained ≡ rebuild-from-remainder, row-for-row on both tables
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    val want = folded -- deleted
+    val remainder = docs.filter($"doc_id".isin(want.toSeq: _*))
+    val (rbt, rst) = Dedup.ensureMinhashBandIndex(
+      remainder, s"graft_fuzzref$run", srcTag = s"fuzz-$run")
+    def bandsOf(t: String) =
+      spark.table(t).select("doc_id", "bk").as[(Long, String)].collect().toSet
+    def sigsOf(t: String) =
+      spark.table(t).select("doc_id", "sig").as[(Long, Seq[Long])]
+        .collect().map { case (d, s) => (d, s.toList) }.toSet
+    def diff[A](got: Set[(Long, A)], want: Set[(Long, A)]): String = {
+      val extra   = (got -- want).map(_._1).toSeq.sorted
+      val missing = (want -- got).map(_._1).toSeq.sorted
+      s"extra_docs=${extra.distinct.take(10)} missing_docs=${missing.distinct.take(10)} " +
+        s"(+${(got -- want).size}/-${(want -- got).size} rows) ops=${ops.mkString(" → ")}"
+    }
+    assert(bandsOf(bt) == bandsOf(rbt),
+      s"seed=$seed bands diverged: ${diff(bandsOf(bt), bandsOf(rbt))}")
+    assert(sigsOf(st) == sigsOf(rst),
+      s"seed=$seed sigs diverged: ${diff(sigsOf(st), sigsOf(rst))}")
+    // and the index still ANSWERS like the rebuild: same admitted/dup
+    // verdicts for a fresh probe batch through the public entry point
+    val probe = docs.filter($"doc_id" % 6 === 5).limit(40)
+    def pairs(b: String, s: String) =
+      Dedup.incrementalNearDupPairs(probe, b, s)
+        .select("new_doc", "dup_of", "n_match")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(pairs(bt, st) == pairs(rbt, rst),
+      s"seed=$seed: probe verdicts diverged from the rebuilt index")
+  }
+
+  test("band index: randomized fold/delete/compact/crash ≡ rebuild (seed 11)") {
+    bandFuzz(11)
+  }
+  test("band index: randomized fold/delete/compact/crash ≡ rebuild (seed 29)") {
+    bandFuzz(29)
+  }
+
+  // ---------- IVF layout (path-backed, rename-promote compaction) ----------
+
+  private def ivfFuzz(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val run = s"${seed}_${System.nanoTime()}"
+    val base = emb.filter($"vec_id" % 6 === 0)
+    def batch(i: Int) = emb.filter($"vec_id" % 6 === i)
+      .select("vec_id", "embedding")
+    val batchIds: Map[Int, Set[Long]] =
+      (1 to 5).map(i => i -> batch(i).select("vec_id").as[Long].collect().toSet).toMap
+
+    val (path, _) = Similarity.ensureIvfIndex(base, srcTag = s"ivffuzz-$run")
+    var folded: Set[Long]  = base.select("vec_id").as[Long].collect().toSet
+    var deleted: Set[Long] = Set.empty
+    var tombstoned: Set[Long] = Set.empty // standing (un-compacted) tombstones
+    var nextBatch = 1
+    var delSeq    = 0
+
+    (1 to 10).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 if nextBatch <= 5 => // fold a new batch
+          Similarity.foldIntoIvfIndex(batch(nextBatch), path,
+            batchTag = s"b$nextBatch")
+          folded ++= batchIds(nextBatch); nextBatch += 1
+        case 1 if (folded -- deleted).nonEmpty => // takedown trickle
+          val pick = (folded -- deleted).toSeq.sorted
+            .filter(_ => rnd.nextDouble() < 0.33).toSet
+          if (pick.nonEmpty) {
+            delSeq += 1
+            Similarity.deleteFromIvfIndex(
+              pick.toSeq.toDF("vec_id"), path, delTag = s"d$delSeq")
+            // replayed delete: idempotent (marker + anti-join semantics)
+            Similarity.deleteFromIvfIndex(
+              pick.toSeq.toDF("vec_id"), path, delTag = s"d$delSeq")
+            deleted ++= pick; tombstoned ++= pick
+          }
+        case 2 => // compaction (purges standing tombstones)
+          Similarity.compactIvfCells(spark, path)
+          tombstoned = Set.empty
+        case 3 => // compaction CRASH inside the promote window: cells/
+          // renamed away, the staged original left as cells.old* — the
+          // next locked maintenance entry must heal it via recoverCells
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val cells = new org.apache.hadoop.fs.Path(path, "cells")
+          val old = new org.apache.hadoop.fs.Path(
+            path, s"cells.old${System.nanoTime()}")
+          assert(fs.rename(cells, old), "crash-sim rename failed")
+          Similarity.compactIvfCells(spark, path) // locked entry heals + compacts
+          tombstoned = Set.empty
+          assert(fs.exists(cells), "recoverCells did not heal the layout")
+        case _ => // probe under whatever state stands: k results, no
+          // tombstoned id served (the live view is immediate)
+          val qv = emb.filter($"vec_id" === 0L).select($"embedding")
+            .as[Array[Float]].head()
+          val got = Similarity.ivfProbe(spark, path, qv.toSeq, k = 5, nProbe = 4)
+            .select("vec_id").as[Long].collect()
+          assert(got.length == 5)
+          assert(!got.exists(deleted), s"seed=$seed: probe served a deleted id")
+      }
+    }
+
+    // the invariant: live cells ≡ assignment of (folded − deleted) to
+    // the STANDING centroids (folds never move centroids), and after a
+    // final compact the physical cells match too, tombstones cleared
+    Similarity.compactIvfCells(spark, path)
+    val want = folded -- deleted
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cent_id", "cvec", "cnrm")
+    val expected = Similarity.assignToCentroids(
+        emb.filter($"vec_id".isin(want.toSeq: _*))
+          .select($"vec_id", VectorFunctions.quantize($"embedding").as("q"))
+          .withColumn("nrm", VectorFunctions.qdot($"q", $"q")), cents)
+      .select($"vec_id", $"cent_id", $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSet
+    val physical = spark.read.parquet(s"$path/cells")
+      .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
+      .as[(Long, Long, Seq[Long], Long)].collect().toSet
+    assert(physical == expected,
+      s"seed=$seed: maintained IVF cells diverged from remainder assignment")
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      s"seed=$seed: compaction left tombstones standing")
+  }
+
+  test("IVF layout: randomized fold/delete/compact/crash ≡ remainder assignment (seed 13)") {
+    ivfFuzz(13)
+  }
+  test("IVF layout: randomized fold/delete/compact/crash ≡ remainder assignment (seed 37)") {
+    ivfFuzz(37)
+  }
+}
