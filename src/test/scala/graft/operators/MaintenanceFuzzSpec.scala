@@ -228,4 +228,72 @@ class MaintenanceFuzzSpec extends SparkSpec {
   test("IVF layout: randomized fold/delete/compact/crash ≡ remainder assignment (seed 37)") {
     ivfFuzz(37)
   }
+
+  // ---------- IVF-PQ layout (code cells, standing-book encode) ----------
+
+  private def pqFuzz(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val run = s"${seed}_${System.nanoTime()}"
+    val base = emb.filter($"vec_id" % 6 === 0)
+    def batch(i: Int) = emb.filter($"vec_id" % 6 === i)
+    val (path, _) = Similarity.ensureIvfPqIndex(base, srcTag = s"pqfuzz-$run")
+    // codes are assigned ONCE (standing books, folds never re-encode):
+    // snapshot each row's codes the first time it lands, and require
+    // the survivors' codes bit-identical at the end — deletion and
+    // compaction must never re-quantize a surviving row
+    def snapshot(): Map[Long, Seq[Long]] =
+      spark.read.parquet(s"$path/cells").select($"vec_id", $"codes")
+        .as[(Long, Seq[Long])].collect().map { case (v, c) => v -> c.toList }
+        .toMap
+    var expected: Map[Long, Seq[Long]] = snapshot()
+    var deleted: Set[Long] = Set.empty
+    var nextBatch = 1
+    var delSeq    = 0
+
+    (1 to 10).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 if nextBatch <= 5 =>
+          Similarity.foldIntoIvfPqIndex(batch(nextBatch), path,
+            batchTag = s"b$nextBatch")
+          // replayed fold tag: no-op (no double rows)
+          Similarity.foldIntoIvfPqIndex(batch(nextBatch), path,
+            batchTag = s"b$nextBatch")
+          expected = snapshot() ++ expected // first-landing codes win
+          nextBatch += 1
+        case 1 if (expected.keySet -- deleted).nonEmpty =>
+          val pick = (expected.keySet -- deleted).toSeq.sorted
+            .filter(_ => rnd.nextDouble() < 0.33).toSet
+          if (pick.nonEmpty) {
+            delSeq += 1
+            Similarity.deleteFromIvfIndex(
+              pick.toSeq.toDF("vec_id"), path, delTag = s"pd$delSeq")
+            deleted ++= pick
+          }
+        case 2 =>
+          Similarity.compactIvfCells(spark, path)
+        case _ => // ADC probe under whatever state stands
+          val qv = emb.filter($"vec_id" === 0L).select($"embedding")
+            .as[Array[Float]].head()
+          val got = Similarity.ivfPqProbe(spark, path, qv.toSeq, k = 5, nProbe = 4)
+            .select("vec_id").as[Long].collect()
+          assert(got.length == 5)
+          assert(!got.exists(deleted), s"seed=$seed: ADC probe served a deleted id")
+      }
+    }
+
+    Similarity.compactIvfCells(spark, path)
+    val want = expected.view.filterKeys(k => !deleted(k)).toMap
+    val physical = snapshot()
+    assert(physical == want,
+      s"seed=$seed: surviving PQ codes diverged (rows ${physical.size} vs ${want.size})")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+  }
+
+  test("IVF-PQ layout: randomized fold/delete/compact keeps survivor codes bit-stable (seed 17)") {
+    pqFuzz(17)
+  }
+  test("IVF-PQ layout: randomized fold/delete/compact keeps survivor codes bit-stable (seed 43)") {
+    pqFuzz(43)
+  }
 }

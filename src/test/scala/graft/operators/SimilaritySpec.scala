@@ -1269,6 +1269,34 @@ class SimilaritySpec extends SparkSpec {
       corpus.count() + batch.count())
   }
 
+  test("liveCells rides out a transient cells/ absence (the compaction rename window)") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (path, _) = Similarity.ensureIvfIndex(emb,
+      srcTag = s"renamewin-${System.nanoTime()}")
+    val n = Similarity.liveCells(spark, path).count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cells = new org.apache.hadoop.fs.Path(path, "cells")
+    val aside = new org.apache.hadoop.fs.Path(path, "cells.aside")
+    // open the window deterministically: cells/ renamed away, restored
+    // 400 ms later from another thread — inside liveCells' ~1 s retry
+    // budget, far wider than the real two-rename gap
+    assert(fs.rename(cells, aside))
+    val restorer = new Thread(() => {
+      Thread.sleep(400L)
+      fs.rename(aside, cells)
+      ()
+    })
+    restorer.start()
+    try {
+      val got = Similarity.liveCells(spark, path).count()
+      assert(got == n, "probe through the rename window lost rows")
+    } finally {
+      restorer.join()
+      if (fs.exists(aside)) fs.rename(aside, cells) // restore on failure
+    }
+  }
+
   test("malformed auto-compaction conf degrades to the default, loudly not fatally") {
     val key = "spark.graft.index.autoCompactFilesPerCell"
     spark.conf.set(key, "thirty-two")
