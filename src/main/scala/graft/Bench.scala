@@ -94,21 +94,35 @@ object Bench {
       }.mkString("{", ",", "}")
     val nErr = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None, _) => v }.sum
-    // stdout gets a COMPACT line — medians rounded to 0.1 ms, no
-    // per-iteration arrays. The driver's capture keeps only a tail
-    // window of stdout, and a 128-query line with iteration arrays is
-    // longer than that window, so the line START gets cut and the
-    // capture parses null (BENCH_r15/r16). ~3 KB always fits; the full
-    // per-iteration evidence lives in the file artifact below.
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"iterations":$itersJson,"sf":"$sfDir"}"""
+    // stdout, two lines: first the medians-only line (humans + logs),
+    // LAST a ≤400-char summary. The driver's capture keeps only the
+    // final 2000 chars of stdout (measured: BENCH_r14/r15/r16 all
+    // carry a tail of exactly 2000 and parsed:null) — the 128-query
+    // names alone are >2000 chars, so NO per-query line can survive
+    // the window; the summary line always does, and the full
+    // per-query/per-iteration evidence lives in the file artifact.
     val qsShort = results.map {
         case (k, _, Some(_), _) => s"${jstr(k)}:null"
         case (k, v, None, _)    => s"${jstr(k)}:${r4(v)}"
       }.mkString("{", ",", "}")
-    val stdoutJson = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"error_count":$nErr,"iters":$iters,"sf":"$sfDir"}"""
-    val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"iterations":$itersJson,"sf":"$sfDir"}"""
-    println(stdoutJson)
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"error_count":$nErr,"iters":$iters,"sf":"$sfDir"}""")
+    // summary "queries" = the 5 slowest medians (the ones worth
+    // watching), count of the omitted rest alongside so the line reads
+    // honestly. Errors are CAPPED too (names + 40-char messages, first
+    // 5): an error-heavy run would otherwise blow the very window this
+    // line exists to fit, exactly when visibility matters most.
+    val slowestPairs = results.collect { case (k, v, None, _) => (k, v) }
+      .sortBy(-_._2).take(5)
+    val slowest = slowestPairs
+      .map { case (k, v) => s"${jstr(k)}:${r4(v)}" }
+      .mkString("{", ",", "}")
+    val errsShort = results.collect { case (k, _, Some(e), _) => (k, e) }
+      .take(5)
+      .map { case (k, e) => s"${jstr(k)}:${jstr(e.take(40))}" }
+      .mkString("{", ",", "}")
     // the canonical committed artifact (r15 ask): the FULL per-query/
     // per-iteration evidence lands in a file — the sf0.1 run refreshes
     // BENCH_sf01_local.json in the repo; other SFs only write when
@@ -140,6 +154,12 @@ object Bench {
       java.nio.file.Files.write(f,
         (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    // "detail" names the artifact THIS run actually wrote (absent when
+    // no file was written) — a hardcoded name would point readers at a
+    // stale artifact from some other run/SF
+    val detail = outFile
+      .map(f => s""","detail":${jstr(f.toString)}""").getOrElse("")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$slowest,"queries_omitted":${results.size - slowestPairs.size},"n_queries":${results.size},"errors":$errsShort,"errors_omitted":${math.max(0, nErr - 5)},"error_count":$nErr,"iters":$iters,"sf":"$sfDir"$detail}""")
     spark.stop()
   }
 }

@@ -810,11 +810,14 @@ object Similarity {
     *
     * Probe-race caveat (documented on the conf key): the compaction
     * promote is two renames, so a LOCK-FREE probe concurrent with an
-    * auto-compacting fold can land in a window where cells/ is absent.
-    * [[liveCells]] retries across that window (~1 s budget, orders of
-    * magnitude wider than the rename gap), so concurrent probes see
-    * added latency, not failure; deployments that cannot tolerate even
-    * that set `spark.graft.index.autoCompactFilesPerCell=0` and run
+    * auto-compacting fold can race it two ways. A probe CONSTRUCTED
+    * inside the rename gap is covered — [[liveCells]] retries across
+    * it (~1 s budget, orders of magnitude wider than the gap) and sees
+    * added latency, not failure. A scan already IN FLIGHT when the
+    * promote lands is not: it holds the pre-promote file listing and
+    * can fail when those files move. Deployments serving lock-free
+    * probes that cannot tolerate a transient scan failure set
+    * `spark.graft.index.autoCompactFilesPerCell=0` and run
     * [[compactIvfCells]] in a maintenance window instead.
     */
   private def maybeAutoCompactCells(
@@ -860,6 +863,27 @@ object Similarity {
       }
     }
 
+  // Long variant for hour/size-scale knobs, so a deployment that
+  // effectively disabled a policy with a beyond-Int value keeps it
+  // disabled rather than silently degrading to the default
+  private[operators] def confLong(
+      spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key) match {
+      case None => default
+      case Some(v) => v.trim.toLongOption.getOrElse {
+        log.warn(s"ignoring malformed $key='$v' (not a long); " +
+          s"using default $default")
+        default
+      }
+    }
+
+  // the one definition of "tombstone/cell DATA file" shared by every
+  // reader and the compaction purge — two drifting copies of this
+  // predicate would make readers and the purge disagree on which ids
+  // are tombstoned
+  private[operators] def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
   // ---- deletion: the tombstone tier of the maintained-index contract ----
 
   /** The LIVE view of a layout's cells: physical rows minus standing
@@ -875,15 +899,24 @@ object Similarity {
   def liveCells(spark: SparkSession, path: String): DataFrame = {
     // compaction's two-rename promote has a short window where cells/
     // is absent (documented on [[compactIvfCells]]); a lock-free probe
-    // landing inside it retries briefly instead of failing at an
-    // operator-unchosen moment. A crash INSIDE the window exhausts the
-    // retries; the next locked entry point heals it via recoverCells.
+    // CONSTRUCTED inside it retries briefly instead of failing at an
+    // operator-unchosen moment. Only path-absence retries — any other
+    // analysis error (corrupt layout, bad schema) must fail fast, and
+    // a genuinely missing layout costs at most the ~1 s budget once.
+    // A crash inside the window exhausts the retries; the next locked
+    // entry point heals it via recoverCells. NOTE this covers the
+    // read-CONSTRUCTION window only: a scan already in flight when the
+    // promote lands still holds the old file listing and can fail —
+    // see the maintenance-window caveat on [[compactIvfCells]].
     var cells: DataFrame = null
     var attempt = 0
     while (cells == null) {
       try cells = spark.read.parquet(s"$path/cells")
       catch {
-        case e: org.apache.spark.sql.AnalysisException if attempt < 8 =>
+        case e: org.apache.spark.sql.AnalysisException
+            if attempt < 8 &&
+              (e.getCondition == "PATH_NOT_FOUND" ||
+                String.valueOf(e.getMessage).contains("Path does not exist")) =>
           attempt += 1; Thread.sleep(125L)
       }
     }
@@ -906,10 +939,7 @@ object Similarity {
     val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(tp)) Seq.empty
     else fs.listStatus(tp).toSeq.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
+      .filter(p => isDataFile(p.getName))
       .map(_.toString)
   }
 
@@ -1040,9 +1070,10 @@ object Similarity {
         if (fs.exists(tombDir))
           fs.listStatus(tombDir).toSeq.map(_.getPath)
         else Seq.empty
-      val tombData = tombFiles.map(_.toString)
-        .filter(p => { val n = p.split('/').last
-          !n.startsWith("_") && !n.startsWith(".") })
+      // same SNAPSHOT as the post-promote deletes (one listing), same
+      // data-file predicate as every reader (isDataFile)
+      val tombData = tombFiles
+        .filter(p => isDataFile(p.getName)).map(_.toString)
       val raw = spark.read.parquet(cellsDir.toString)
       val cells =
         if (tombData.isEmpty) raw
@@ -1123,20 +1154,29 @@ object Similarity {
       // it makes progress; the dir's own mtime only reflects top-level
       // entry creation) with the window configurable for deployments
       // whose rewrites legitimately stall longer between files.
+      val staleHours = confLong(
+        spark, "spark.graft.index.gcStaleHours", 24L)
       // a tombstones/ dir left with no entries at all (crash between
       // compaction's purge loop and its dir delete) is harmless to
       // readers (tombstoneDataFiles treats it as empty) — collect it
-      // here so the layout doesn't carry the scar forever. Only a
-      // FULLY empty dir is deleted: a concurrent delete's in-flight
-      // parquet commit stages under tombstones/_temporary, which this
-      // check sees and leaves alone.
+      // here so the layout doesn't carry the scar forever. Guarded two
+      // ways against a CROSS-PROCESS delete racing this GC (lockFor is
+      // JVM-local): only a dir with no entries at all qualifies (an
+      // in-flight parquet commit stages under tombstones/_temporary,
+      // which the listing sees), AND only past the same staleness age
+      // gate the cells.compact* GC uses — a freshly-created dir whose
+      // commit hasn't staged yet is younger than any sane gate, while
+      // a crash leftover is long stale by the next maintenance entry.
       val tombDir = new org.apache.hadoop.fs.Path(path, "tombstones")
       try {
-        if (fs.exists(tombDir) && fs.listStatus(tombDir).isEmpty)
-          fs.delete(tombDir, true)
+        if (fs.exists(tombDir)) {
+          val st = fs.getFileStatus(tombDir)
+          if (fs.listStatus(tombDir).isEmpty &&
+              st.getModificationTime <
+                System.currentTimeMillis() - staleHours * 3600 * 1000)
+            fs.delete(tombDir, true)
+        }
       } catch { case _: java.io.IOException => }
-      val staleHours = confInt(
-        spark, "spark.graft.index.gcStaleHours", 24).toLong
       val cutoff = System.currentTimeMillis() - staleHours * 3600 * 1000
       def newestMtime(p: org.apache.hadoop.fs.Path, own: Long): Long = {
         var m = own

@@ -1260,11 +1260,19 @@ class SimilaritySpec extends SparkSpec {
     assert(new java.io.File(tombDir, "_SUCCESS").createNewFile())
     assert(Similarity.liveCells(spark, path).count() == n)
     assert(new java.io.File(tombDir, "_SUCCESS").delete())
-    // the fold path's re-insert guard sees no tombstones, the fold
-    // lands, and the locked maintenance entry GCs the empty dir
+    // the fold path's re-insert guard sees no tombstones and the fold
+    // lands; a FRESH empty dir survives the GC (the age gate protects
+    // a cross-process delete whose commit hasn't staged yet) ...
     Similarity.foldIntoIvfIndex(batch, path, batchTag = "b1")
+    assert(tombDir.exists(),
+      "a fresh empty tombstones dir must NOT be GC'd (age gate)")
+    // ... while a STALE one (the real crash leftover, old by the next
+    // maintenance entry) is collected
+    assert(tombDir.setLastModified(
+      System.currentTimeMillis() - 48L * 3600 * 1000))
+    Similarity.compactIvfCells(spark, path) // any locked maintenance entry
     assert(!tombDir.exists(),
-      "recoverCells must GC a fully-empty tombstones dir")
+      "recoverCells must GC a stale fully-empty tombstones dir")
     assert(Similarity.liveCells(spark, path).count() ==
       corpus.count() + batch.count())
   }
