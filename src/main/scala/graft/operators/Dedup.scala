@@ -774,6 +774,18 @@ object Dedup {
           .replace("'", "''")
         spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES(" +
           s"'graft.dels'='$ledger')")
+        // TOMBSTONE-DEBT bound (the [[graft.operators.Similarity
+        // .deleteFromIvfIndex]] contract for the table-backed index):
+        // every live read broadcast-anti-joins the dels table, so its
+        // row count must stay broadcast-sized — the delete path counts
+        // it (one job over the small dels files) and compacts under
+        // the lock it already holds once standing tombstones cross
+        // `spark.graft.index.autoCompactTombstoneRows` (default 1M;
+        // ≤0 disables).
+        val debtCap = Similarity.confInt(
+          spark, "spark.graft.index.autoCompactTombstoneRows", 1 << 20)
+        if (debtCap > 0 && spark.table(delsTable).count() >= debtCap.toLong)
+          compactMinhashBandIndex(spark, tablePrefix)
       }
       foldMemo.add(memoKey)
       ()

@@ -890,9 +890,10 @@ object Similarity {
     * tombstones ([[deleteFromIvfIndex]]). Every probe/stats/rebuild
     * path reads through this, so a delete is SERVED the moment its
     * tombstone lands — no rewrite on the delete path. The tombstone
-    * set is bounded between compactions (deletes are takedown/refresh
-    * trickle, purged wholesale by [[compactIvfCells]]), so the
-    * anti-join build side is an explicit BROADCAST — the cells scan
+    * set is bounded between compactions — ENFORCED, not assumed:
+    * [[deleteFromIvfIndex]] auto-compacts once the standing set
+    * crosses `spark.graft.index.autoCompactTombstoneRows` (default
+    * 1M) — so the anti-join build side is an explicit BROADCAST — the cells scan
     * never reshuffles, and the caller's cent_id partition-prune filter
     * still pushes below the join to the scan (left-side predicate).
     */
@@ -992,6 +993,25 @@ object Similarity {
         try out.write(delTag.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        // TOMBSTONE-DEBT bound, enforced not assumed: every read pays
+        // a BROADCAST anti-join against the standing tombstones, so
+        // their count must stay broadcast-sized. The docs used to
+        // assume "deletes are takedown/refresh trickle"; a mass
+        // takedown would quietly grow the build side until executors
+        // OOM at 100 TB. Now the delete path itself counts the
+        // standing set (one job over the small tombstone files, paid
+        // only on deletes) and compacts under the already-held lock
+        // once it crosses `spark.graft.index.autoCompactTombstoneRows`
+        // (default 1M ids ≈ 8 MB of longs broadcast — comfortable;
+        // ≤0 disables, restoring the trickle assumption).
+        val debtCap = confInt(
+          spark, "spark.graft.index.autoCompactTombstoneRows", 1 << 20)
+        if (debtCap > 0) {
+          val tomb = tombstoneDataFiles(spark, path)
+          if (tomb.nonEmpty &&
+              spark.read.parquet(tomb: _*).count() >= debtCap.toLong)
+            compactIvfCells(spark, path)
+        }
       }
       ivfFoldMemo.add(memoKey)
       ()

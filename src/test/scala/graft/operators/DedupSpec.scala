@@ -490,6 +490,34 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("tombstone-debt cap: a mass doc delete triggers band-index compaction") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val prefix = s"graft_debtcap${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(docs, prefix,
+      srcTag = s"debtcap-${System.nanoTime()}")
+    val key = "spark.graft.index.autoCompactTombstoneRows"
+    spark.conf.set(key, "10")
+    try {
+      val delsTable = s"${prefix}_dels"
+      Dedup.deleteFromMinhashBandIndex(
+        docs.filter($"doc_id" % 60 === 0).select("doc_id"), prefix, "small")
+      assert(spark.table(delsTable).count() > 0,
+        "a sub-cap delete must leave its tombstones standing")
+      Dedup.deleteFromMinhashBandIndex(
+        docs.filter($"doc_id" % 4 === 1).select("doc_id"), prefix, "mass")
+      // over the cap: the delete path compacts — dels table drained,
+      // both physical tables hold the remainder only
+      assert(spark.table(delsTable).count() == 0,
+        "an over-cap delete must trigger the physical purge")
+      val gone = spark.table(bt)
+        .filter($"doc_id" % 4 === 1 || $"doc_id" % 60 === 0).count() +
+        spark.table(st)
+          .filter($"doc_id" % 4 === 1 || $"doc_id" % 60 === 0).count()
+      assert(gone == 0, "purge must drop the tombstoned docs physically")
+    } finally spark.conf.unset(key)
+  }
+
   test("crash-replay repair does not resurrect docs deleted+compacted in the window") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")

@@ -1305,6 +1305,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("tombstone-debt cap: a mass delete triggers compaction, bounding the broadcast side") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (path, _) = Similarity.ensureIvfIndex(emb,
+      srcTag = s"debtcap-${System.nanoTime()}")
+    val key = "spark.graft.index.autoCompactTombstoneRows"
+    spark.conf.set(key, "10")
+    try {
+      // under the cap (3 ids vs cap 10): tombstones stand
+      Similarity.deleteFromIvfIndex(
+        emb.filter($"vec_id" % 200 === 0).select("vec_id"), path, "small")
+      assert(new java.io.File(s"$path/tombstones").exists(),
+        "a sub-cap delete must not compact")
+      // over the cap: the delete path itself compacts — tombstones
+      // purged physically, live view unchanged
+      val live = Similarity.liveCells(spark, path).count()
+      Similarity.deleteFromIvfIndex(
+        emb.filter($"vec_id" % 4 === 1).select("vec_id"), path, "mass")
+      assert(!new java.io.File(s"$path/tombstones").exists(),
+        "an over-cap delete must trigger the physical purge")
+      val nMass = emb.filter($"vec_id" % 4 === 1).count()
+      assert(Similarity.liveCells(spark, path).count() == live - nMass)
+      assert(spark.read.parquet(s"$path/cells").count() == live - nMass,
+        "the purge must be physical, not just the live view")
+    } finally spark.conf.unset(key)
+  }
+
   test("malformed auto-compaction conf degrades to the default, loudly not fatally") {
     val key = "spark.graft.index.autoCompactFilesPerCell"
     spark.conf.set(key, "thirty-two")
