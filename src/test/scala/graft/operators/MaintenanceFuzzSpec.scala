@@ -296,4 +296,17 @@ class MaintenanceFuzzSpec extends SparkSpec {
   test("IVF-PQ layout: randomized fold/delete/compact keeps survivor codes bit-stable (seed 43)") {
     pqFuzz(43)
   }
+
+  // with the tombstone-debt cap ARMED at a tiny threshold, the delete
+  // ops inside the random sequences trigger implicit physical purges at
+  // fuzz-chosen moments — the rebuild-equality invariants must hold
+  // regardless of when the auto-purge fires
+  test("fuzz invariants hold with the tombstone-debt auto-purge armed (seed 53)") {
+    spark.conf.set("spark.graft.index.autoCompactTombstoneRows", "5")
+    try {
+      bandFuzz(53)
+      ivfFuzz(53)
+      pqFuzz(53)
+    } finally spark.conf.unset("spark.graft.index.autoCompactTombstoneRows")
+  }
 }
