@@ -59,7 +59,12 @@ object Explain {
     // batched IVF-PQ serving: ONE pruned code scan + broadcast probe
     // map + broadcast per-query LUT join + map-side-combined adist agg
     // + query-partitioned top-k window
-    "q122_ivfpq_batch")
+    "q122_ivfpq_batch",
+    // the deletion tier (batch legs; q128 is a streaming drain): the
+    // takedown path exchanges O(|delete|) — tombstone ids broadcast
+    // into the live-view anti-join, the bounded debt count — never
+    // O(index); the cells/band scans keep their pruning under it
+    "q125_band_delete", "q126_ivf_delete", "q127_ivfpq_delete")
 
   /** Strip run-dependent counters so committed dumps diff cleanly:
     * expression ids, codegen stage ids, plan ids, temp-view uuids.

@@ -35,6 +35,11 @@ DEFAULT = [
     "q102_repetition_profile", "q103_budget_select", "q106_incr_neardup",
     "q107_ivf_batch",
     "q118_ivfpq", "q122_ivfpq_batch", "q123_corpus_prep",
+    # the deletion tier (batch legs only — q128 is a streaming drain,
+    # excluded like q64/q71/q72): the takedown path must exchange
+    # O(|delete|) (tombstone ids + the bounded debt count), never
+    # O(index)
+    "q125_band_delete", "q126_ivf_delete", "q127_ivfpq_delete",
 ]
 queries = sys.argv[3].split(",") if len(sys.argv) > 3 else DEFAULT
 
