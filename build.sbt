@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON; two pieces of
+// sbt decoration kept BENCH_r14..r17 at parsed:null and both go here:
+// (a) the "[success] Total time: ..." banner printed after the forked
+// JVM exits (exit codes still carry pass/fail; failures still print),
+// (b) the "[info] " prefix sbt's logger stamps on every forked-process
+// stdout line — StdoutOutput pipes the fork's stdout through verbatim.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy,
+  Compile / run / outputStrategy, Compile / runMain / outputStrategy)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The JUnit XML listener dies (MalformedInputException) when a failure
 // message contains a lone UTF-16 surrogate, aborting the whole forked
 // harness mid-run. ScalaTest console output is the source of truth here;

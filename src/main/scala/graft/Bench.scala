@@ -159,7 +159,11 @@ object Bench {
     // stale artifact from some other run/SF
     val detail = outFile
       .map(f => s""","detail":${jstr(f.toString)}""").getOrElse("")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$slowest,"queries_omitted":${results.size - slowestPairs.size},"n_queries":${results.size},"errors":$errsShort,"errors_omitted":${math.max(0, nErr - 5)},"error_count":$nErr,"iters":$iters,"sf":"$sfDir"$detail}""")
+    // stop BEFORE the final println: the driver parses the LAST stdout
+    // line as JSON, so nothing — not even a stray shutdown log line —
+    // may print after the summary (build.sbt's showSuccess:=false
+    // removes sbt's own trailer for the same reason)
     spark.stop()
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$slowest,"queries_omitted":${results.size - slowestPairs.size},"n_queries":${results.size},"errors":$errsShort,"errors_omitted":${math.max(0, nErr - 5)},"error_count":$nErr,"iters":$iters,"sf":"$sfDir"$detail}""")
   }
 }

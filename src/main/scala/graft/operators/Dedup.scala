@@ -462,6 +462,25 @@ object Dedup {
   private[graft] def delsTableFor(bandsTable: String): String =
     bandsTable.stripSuffix("_bands") + "_dels"
 
+  /** The bucket count a lineage was actually built with, read from the
+    * catalog's bucket spec — the source of truth every append is
+    * validated against, so maintenance rewrites derive from it instead
+    * of trusting a default that may not match the build.
+    */
+  private[graft] def bucketCountOf(
+      spark: SparkSession, table: String): Option[Int] = {
+    val Array(db, tbl) =
+      if (table.contains(".")) table.split("\\.", 2)
+      else Array("default", table)
+    try {
+      if (!spark.catalog.tableExists(s"$db.$tbl")) None
+      else spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db)))
+        .bucketSpec.map(_.numBuckets)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
   /** The LIVE view of a persisted index table (`_bands` or `_sigs`):
     * physical rows minus the lineage's standing tombstones. The
     * tombstone set is bounded between compactions, so the anti-join
@@ -782,9 +801,18 @@ object Dedup {
         // the lock it already holds once standing tombstones cross
         // `spark.graft.index.autoCompactTombstoneRows` (default 1M;
         // ≤0 disables).
+        // distinct ids, not rows (the IVF debt check's contract):
+        // replayed deletes append duplicate tombstone rows, and the
+        // broadcast build side every read pays is deduped anyway.
+        // compactMinhashBandIndex derives the bucket count from the
+        // standing table's bucket spec (buckets=0 sentinel), so a
+        // lineage built with a non-default count is NOT silently
+        // re-bucketed — a later fold's append would fail on the
+        // bucket-spec mismatch otherwise.
         val debtCap = Similarity.confInt(
           spark, "spark.graft.index.autoCompactTombstoneRows", 1 << 20)
-        if (debtCap > 0 && spark.table(delsTable).count() >= debtCap.toLong)
+        if (debtCap > 0 && spark.table(delsTable)
+              .select("doc_id").distinct().count() >= debtCap.toLong)
           compactMinhashBandIndex(spark, tablePrefix)
       }
       foldMemo.add(memoKey)
@@ -815,10 +843,19 @@ object Dedup {
   def compactMinhashBandIndex(
       spark: SparkSession,
       tablePrefix: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
     val bandsTable = s"${tablePrefix}_bands"
     val delsTable  = s"${tablePrefix}_dels"
     foldLocks.computeIfAbsent(bandsTable, _ => new Object).synchronized {
+      // buckets=0 (the default) derives the count from the standing
+      // table's own bucket spec — the rewrite must preserve the layout
+      // contract every fold append relies on (append fails loudly on a
+      // bucket-spec mismatch), so a caller-free compaction (the
+      // tombstone-debt auto-purge path) can never re-bucket a lineage
+      // built with a non-default count
+      val bk =
+        if (buckets > 0) buckets
+        else bucketCountOf(spark, bandsTable).getOrElse(8)
       // tombstone PURGE rides the rewrite ([[deleteFromMinhashBandIndex]]):
       // both tables drop the tombstoned docs, then the CONSUMED tombstone
       // files go. The snapshot is file-granular (the compactIvfCells
@@ -847,12 +884,12 @@ object Dedup {
                 Seq("doc_id"), "left_anti")
             else spark.table(table)
           val staged = Checkpoints.stageOwned(
-            live.repartition(buckets, col(key)),
+            live.repartition(bk, col(key)),
             Checkpoints.configured(spark))
           try {
             spark.sql(s"DROP TABLE $table")
             staged.df.write.format("parquet")
-              .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+              .bucketBy(bk, key).sortBy(key).saveAsTable(table)
           } finally staged.release()
           props.foreach { case (k, v) =>
             val ek = k.replace("'", "''")

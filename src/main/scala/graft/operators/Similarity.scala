@@ -1008,8 +1008,13 @@ object Similarity {
           spark, "spark.graft.index.autoCompactTombstoneRows", 1 << 20)
         if (debtCap > 0) {
           val tomb = tombstoneDataFiles(spark, path)
+          // distinct ids, not rows: replayed/overlapping deletes append
+          // duplicate tombstone rows (harmless by design), and the
+          // broadcast build side every read actually pays is deduped —
+          // counting rows would trigger premature full-index rewrites
           if (tomb.nonEmpty &&
-              spark.read.parquet(tomb: _*).count() >= debtCap.toLong)
+              spark.read.parquet(tomb: _*)
+                .select("vec_id").distinct().count() >= debtCap.toLong)
             compactIvfCells(spark, path)
         }
       }
@@ -1179,14 +1184,16 @@ object Similarity {
       // a tombstones/ dir left with no entries at all (crash between
       // compaction's purge loop and its dir delete) is harmless to
       // readers (tombstoneDataFiles treats it as empty) — collect it
-      // here so the layout doesn't carry the scar forever. Guarded two
-      // ways against a CROSS-PROCESS delete racing this GC (lockFor is
-      // JVM-local): only a dir with no entries at all qualifies (an
-      // in-flight parquet commit stages under tombstones/_temporary,
-      // which the listing sees), AND only past the same staleness age
-      // gate the cells.compact* GC uses — a freshly-created dir whose
-      // commit hasn't staged yet is younger than any sane gate, while
-      // a crash leftover is long stale by the next maintenance entry.
+      // here so the layout doesn't carry the scar forever. Guarded
+      // three ways against a CROSS-PROCESS delete racing this GC
+      // (lockFor is JVM-local): only a dir with no entries at all
+      // qualifies (an in-flight parquet commit stages under
+      // tombstones/_temporary, which the listing sees); only past the
+      // same staleness age gate the cells.compact* GC uses; and the
+      // delete itself is NON-recursive, so it fails closed if a
+      // tombstone file committed between the emptiness check and the
+      // delete — a recursive delete here would silently drop a fresh
+      // takedown and serve the deleted ids again.
       val tombDir = new org.apache.hadoop.fs.Path(path, "tombstones")
       try {
         if (fs.exists(tombDir)) {
@@ -1194,7 +1201,7 @@ object Similarity {
           if (fs.listStatus(tombDir).isEmpty &&
               st.getModificationTime <
                 System.currentTimeMillis() - staleHours * 3600 * 1000)
-            fs.delete(tombDir, true)
+            fs.delete(tombDir, false)
         }
       } catch { case _: java.io.IOException => }
       val cutoff = System.currentTimeMillis() - staleHours * 3600 * 1000
