@@ -2112,7 +2112,12 @@ object SparkEntry {
         .select("doc_id"),
       "graft_q125", delTag = s"$d#del0")
     graft.operators.Dedup.compactMinhashBandIndex(s, "graft_q125")
-    s.table(bt).orderBy("doc_id", "bk")
+    // compaction PROMOTES a new generation pair — re-resolve rather
+    // than reading the superseded (pre-purge) tables the ensure call
+    // returned
+    val (curBands, _) =
+      graft.operators.Dedup.currentIndexTables(s, "graft_q125")
+    s.table(curBands).orderBy("doc_id", "bk")
   }
 
   /** DELETION from the maintained IVF index

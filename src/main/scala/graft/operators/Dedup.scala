@@ -460,7 +460,66 @@ object Dedup {
   // `doc_id` column, appended by [[deleteFromMinhashBandIndex]] and
   // purged+dropped by [[compactMinhashBandIndex]]
   private[graft] def delsTableFor(bandsTable: String): String =
-    bandsTable.stripSuffix("_bands") + "_dels"
+    prefixOf(bandsTable) + "_dels"
+
+  /** The lineage prefix of any band/sig index table name — base
+    * (`<prefix>_bands`) or generation (`<prefix>_bands_g<nano>`).
+    */
+  private[graft] def prefixOf(table: String): String =
+    table.replaceAll("_(bands|sigs)(_g\\d+)?$", "")
+
+  /** Resolve a lineage's CURRENT physical tables — the generation
+    * manifest of the table-backed index family (the band-index analog
+    * of [[Similarity.activeCellsDir]]). Generation 0 is the unsuffixed
+    * pair [[ensureMinhashBandIndex]] writes; each
+    * [[compactMinhashBandIndex]] promotes a fresh `_g<nano>` pair and
+    * the PROMOTE EVENT is the catalog creation of the new bands table
+    * (the last of the pair to land, with its ledger props attached in
+    * the same CTAS) — one atomic catalog op, so there is no window
+    * where the lineage is headless, and the superseded generation
+    * stays readable for scans already in flight (retired one
+    * compaction later). Callers may hold any generation's names across
+    * maintenance; every read path re-resolves through this.
+    */
+  def currentIndexTables(
+      spark: SparkSession, tablePrefix: String): (String, String) = {
+    val cat  = spark.sessionState.catalog
+    val base = s"${tablePrefix}_bands"
+    val sfxs = generationSuffixes(spark, tablePrefix)
+    sfxs
+      .find(sfx => cat.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          s"${tablePrefix}_sigs$sfx", Some("default"))))
+      .map(sfx => (s"$base$sfx", s"${tablePrefix}_sigs$sfx"))
+      .getOrElse((base, s"${tablePrefix}_sigs"))
+  }
+
+  // every standing generation suffix of a lineage, newest first ("" =
+  // the unsuffixed gen-0 pair, always last): nanoTime suffixes are
+  // fixed-width for the next two centuries, so string order = age order
+  private def generationSuffixes(
+      spark: SparkSession, tablePrefix: String): Seq[String] = {
+    val gens = spark.sessionState.catalog
+      .listTables("default", s"${tablePrefix}_bands*")
+      .map(_.table)
+      .collect {
+        case n if n == s"${tablePrefix}_bands" => ""
+        case n if n.startsWith(s"${tablePrefix}_bands_g") &&
+            n.stripPrefix(s"${tablePrefix}_bands_g").forall(_.isDigit) =>
+          n.stripPrefix(s"${tablePrefix}_bands")
+      }
+    gens.filter(_.nonEmpty).sorted.reverse ++ gens.filter(_.isEmpty)
+  }
+
+  // drop every generation pair of a lineage EXCEPT `keep` — the
+  // retirement half of the promote contract (retain the superseded
+  // generation one cycle for in-flight scans; a rebuild keeps nothing)
+  private def dropGenerationsExcept(
+      spark: SparkSession, tablePrefix: String, keep: Set[String]): Unit =
+    generationSuffixes(spark, tablePrefix).filterNot(keep).foreach { sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_bands$sfx")
+      spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_sigs$sfx")
+    }
 
   /** The bucket count a lineage was actually built with, read from the
     * catalog's bucket spec — the source of truth every append is
@@ -492,7 +551,16 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       bandsTable: String): DataFrame = {
-    val t = spark.table(table)
+    // re-resolve the lineage's CURRENT generation: the caller may hold
+    // names from before a compaction promote, and the superseded pair
+    // is retained (then retired) rather than rewritten in place
+    val prefix = prefixOf(bandsTable)
+    val (curBands, curSigs) = currentIndexTables(spark, prefix)
+    val resolved =
+      if (prefixOf(table) != prefix) table
+      else if (table.startsWith(s"${prefix}_sigs")) curSigs
+      else curBands
+    val t = spark.table(resolved)
     val delsTable = delsTableFor(bandsTable)
     if (spark.catalog.tableExists(delsTable))
       t.join(broadcast(spark.table(delsTable).distinct()),
@@ -533,6 +601,12 @@ object Dedup {
       seed: Long = 7L): (String, String) = {
     val bandsTable = s"${tablePrefix}_bands"
     val sigsTable  = s"${tablePrefix}_sigs"
+    // validity is checked against the lineage's CURRENT generation
+    // (compaction copies the graft.src key forward, so a compacted
+    // lineage still reads as current and repeated ensure calls stay
+    // zero-cost); a rebuild retires EVERY generation and starts gen 0
+    val (curBands, curSigs) =
+      currentIndexTables(docs.sparkSession, tablePrefix)
     // fold the DATA FINGERPRINT into the validity key (the
     // Similarity.inputFingerprint contract): a corpus regenerated at
     // the same path with the same schema — the wiped-and-rebuilt /tmp
@@ -550,9 +624,9 @@ object Dedup {
     // the same layout keys the probe checked.
     val rawSigs = minhashSignaturesPortable(docs, shingleN, bands * rows, seed)
     val current =
-      Bucketing.isCurrent(bandKeys(rawSigs, bands, rows), bandsTable,
+      Bucketing.isCurrent(bandKeys(rawSigs, bands, rows), curBands,
         buckets, Seq("bk"), fpTag) &&
-      Bucketing.isCurrent(rawSigs, sigsTable, buckets, Seq("doc_id"), fpTag)
+      Bucketing.isCurrent(rawSigs, curSigs, buckets, Seq("doc_id"), fpTag)
     if (!current) {
       // a rebuild starts a NEW lineage: stale tombstones from the old
       // one must not suppress freshly indexed docs — drop the catalog
@@ -561,14 +635,16 @@ object Dedup {
         s"DROP TABLE IF EXISTS ${delsTableFor(bandsTable)}")
       graft.pipeline.Cleanup.ensureWritable(
         docs.sparkSession, "default", delsTableFor(bandsTable))
+      // every generation of the stale lineage goes — gen 0 restarts it
+      dropGenerationsExcept(docs.sparkSession, tablePrefix, Set.empty)
       // staged so the expensive minhash kernel runs ONCE for both writes
       val sigs = Checkpoints.stage(rawSigs,
         Checkpoints.configured(docs.sparkSession))
       Bucketing.ensureBucketed(bandKeys(sigs, bands, rows),
         bandsTable, buckets, Seq("bk"), fpTag)
       Bucketing.ensureBucketed(sigs, sigsTable, buckets, Seq("doc_id"), fpTag)
-    }
-    (bandsTable, sigsTable)
+      (bandsTable, sigsTable)
+    } else (curBands, curSigs)
   }
 
   // fold ledgers already validated THIS application (appId|table|tag):
@@ -620,12 +696,14 @@ object Dedup {
     require(!batchTag.contains(","),
       s"batchTag must not contain ',' (the fold-ledger separator): '$batchTag'")
     val spark      = admitted.sparkSession
-    val bandsTable = s"${tablePrefix}_bands"
-    val sigsTable  = s"${tablePrefix}_sigs"
-    val memoKey    = s"${spark.sparkContext.applicationId}|$bandsTable|$batchTag"
+    val memoKey    = s"${spark.sparkContext.applicationId}|$tablePrefix|fold|$batchTag"
     if (foldMemo.contains(memoKey)) return
-    foldLocks.computeIfAbsent(bandsTable, _ => new Object).synchronized {
+    // locks key on the PREFIX (stable across generation promotes), and
+    // the physical pair resolves UNDER the lock so a fold never appends
+    // to a generation a concurrent compaction is retiring
+    foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
       if (foldMemo.contains(memoKey)) return
+      val (bandsTable, sigsTable) = currentIndexTables(spark, tablePrefix)
       val props = spark.sql(s"SHOW TBLPROPERTIES $bandsTable").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       val folded = props.get("graft.folds")
@@ -640,6 +718,11 @@ object Dedup {
         val intents = props.get("graft.folds.intent")
           .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
         val suspect = intents.contains(batchTag)
+        // tags whose crash window CONTAINED a tombstone purge
+        // (recorded by compactMinhashBandIndex) — for these, "no batch
+        // doc present" no longer means "append never landed"
+        val purgewin = props.get("graft.folds.purgewin")
+          .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
         // the re-insert guard (see [[deleteFromMinhashBandIndex]]): a
         // batch that intersects standing tombstones must fail loudly —
         // its old rows are still physical, so the tombstone would kill
@@ -683,10 +766,11 @@ object Dedup {
           // path, the missing table gets only the doc_ids the landed
           // sibling still holds (the batch-ids broadcast keeps the
           // probe tiny; paid only on crash-replay). A batch deleted IN
-          // FULL and compacted away is indistinguishable from
-          // never-folded by then — both tables re-append consistently,
-          // and the standing-tombstone guard above covers the
-          // uncompacted case loudly.
+          // FULL and compacted away leaves no survivors at all — that
+          // replay is refused above via the purge-window ledger (the
+          // standing-tombstone guard covers the uncompacted case
+          // loudly), so no silent re-append can resurrect a completed
+          // takedown.
           def survivorsOf(sibling: String)(df: DataFrame): DataFrame =
             if (!suspect) df
             else df.join(
@@ -696,6 +780,24 @@ object Dedup {
               Seq("doc_id"), "left_semi")
           val bandsLanded = landed(bandsTable)
           val sigsLanded  = landed(sigsTable)
+          // the UNDECIDABLE region, now fenced (it used to be merely
+          // documented): when a purge ran inside this tag's crash
+          // window and NEITHER side holds any batch doc, a batch
+          // deleted in full and physically purged is indistinguishable
+          // from one whose appends never landed — silently re-appending
+          // would resurrect a completed takedown, silently skipping
+          // would drop a never-indexed batch. Refuse loudly and demand
+          // an explicit operator decision under a fresh tag (the tag
+          // stays poisoned in the intent + purge ledgers).
+          if (suspect && purgewin.contains(batchTag) &&
+              !bandsLanded && !sigsLanded)
+            throw new IllegalStateException(
+              s"fold replay of crashed tag '$batchTag' is undecidable: " +
+                "a tombstone purge ran while its intent was standing, " +
+                "so a batch deleted in full and compacted away is " +
+                "indistinguishable from one whose appends never " +
+                "landed. Re-submit under a NEW batchTag if the batch " +
+                "should (re-)enter the index.")
           // append resolves columns BY NAME and must match the table's
           // bucket spec exactly — same keys/counts as ensureMinhashBandIndex
           if (!bandsLanded) {
@@ -716,8 +818,13 @@ object Dedup {
           .replace("'", "''")
         val remaining = (intents -- folded - batchTag).toSeq.sorted
           .mkString(",").replace("'", "''")
+        // a tag resolved decidably (something landed → survivors
+        // repair) leaves the purge-window ledger
+        val remainingPurge = (purgewin - batchTag).toSeq.sorted
+          .mkString(",").replace("'", "''")
         spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES(" +
-          s"'graft.folds'='$ledger','graft.folds.intent'='$remaining')")
+          s"'graft.folds'='$ledger','graft.folds.intent'='$remaining'," +
+          s"'graft.folds.purgewin'='$remainingPurge')")
         // files-per-bucket AUTO-COMPACTION policy (the IVF
         // maybeAutoCompactCells contract for the table-backed index):
         // every fold appends one file set per bucket, so when the bands
@@ -769,12 +876,12 @@ object Dedup {
     require(!delTag.contains(","),
       s"delTag must not contain ',' (the ledger separator): '$delTag'")
     val spark      = delIds.sparkSession
-    val bandsTable = s"${tablePrefix}_bands"
     val delsTable  = s"${tablePrefix}_dels"
     val memoKey = s"${spark.sparkContext.applicationId}|$delsTable|$delTag"
     if (foldMemo.contains(memoKey)) return
-    foldLocks.computeIfAbsent(bandsTable, _ => new Object).synchronized {
+    foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
       if (foldMemo.contains(memoKey)) return
+      val (bandsTable, _) = currentIndexTables(spark, tablePrefix)
       val props = spark.sql(s"SHOW TBLPROPERTIES $bandsTable").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       val dels = props.get("graft.dels")
@@ -833,20 +940,26 @@ object Dedup {
     * a replayed batch tag still no-ops. Rows are unchanged (DedupSpec
     * pins row equality and pair-output parity).
     *
-    * Caveat vs the path-layout compactor: a MANAGED bucketed table has
-    * no atomic directory rename, so the rewrite is stage (reliable
-    * checkpoint) → drop → re-save under the per-index lock. A crash
-    * between drop and re-save loses the index — acceptable for DERIVED
-    * data (the next ensure rebuilds from source); at 100 TB prefer
-    * rebuilding under a fresh tag, which compacts for free.
+    * Promote contract (the path-layout compactor's manifest flip,
+    * expressed in catalog terms): the rewrite lands as a NEW
+    * generation pair (`<prefix>_{bands,sigs}_g<nano>`), each created
+    * by ONE CTAS that attaches the copied `graft.*` ledger props in
+    * the same catalog op — the bands creation, last of the pair, IS
+    * the promote [[currentIndexTables]] resolves. No drop window:
+    * a crash at any point leaves either the old generation active
+    * (new one retired as an orphan by the next maintenance entry) or
+    * the new one fully promoted, ledger attached. The superseded
+    * generation is retained one compaction cycle for scans already in
+    * flight, then retired.
     */
   def compactMinhashBandIndex(
       spark: SparkSession,
       tablePrefix: String,
       buckets: Int = 0): Unit = {
-    val bandsTable = s"${tablePrefix}_bands"
-    val delsTable  = s"${tablePrefix}_dels"
-    foldLocks.computeIfAbsent(bandsTable, _ => new Object).synchronized {
+    val delsTable = s"${tablePrefix}_dels"
+    foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
+      val (curBands, curSigs) = currentIndexTables(spark, tablePrefix)
+      if (!spark.catalog.tableExists(curBands)) return
       // buckets=0 (the default) derives the count from the standing
       // table's own bucket spec — the rewrite must preserve the layout
       // contract every fold append relies on (append fails loudly on a
@@ -855,7 +968,7 @@ object Dedup {
       // built with a non-default count
       val bk =
         if (buckets > 0) buckets
-        else bucketCountOf(spark, bandsTable).getOrElse(8)
+        else bucketCountOf(spark, curBands).getOrElse(8)
       // tombstone PURGE rides the rewrite ([[deleteFromMinhashBandIndex]]):
       // both tables drop the tombstoned docs, then the CONSUMED tombstone
       // files go. The snapshot is file-granular (the compactIvfCells
@@ -866,38 +979,69 @@ object Dedup {
       // windows stay safe at every point — until the file deletes, the
       // live views still anti-join (against already-purged ids at
       // worst: a harmless no-op), and the `graft.dels` LEDGER lives in
-      // the bands TBLPROPERTIES (preserved below), so a replayed delete
-      // tag still no-ops after its tombstones are purged.
+      // the bands TBLPROPERTIES (copied into the new generation's CTAS
+      // below), so a replayed delete tag still no-ops after its
+      // tombstones are purged.
       val delsFiles: Seq[String] =
         if (spark.catalog.tableExists(delsTable))
           spark.table(delsTable).inputFiles.toSeq
         else Seq.empty
-      Seq((bandsTable, "bk"), (s"${tablePrefix}_sigs", "doc_id"))
-        .foreach { case (table, key) =>
-          val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      // the purge-window ledger (names only, O(crashed tags)): a purge
+      // that runs while a crashed fold's intent is STANDING makes that
+      // tag's eventual replay undecidable when nothing of the batch
+      // survived — record those tags so the replay refuses the silent
+      // re-append (see foldIntoMinhashBandIndex)
+      val bandProps = spark.sql(s"SHOW TBLPROPERTIES $curBands").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      def tagSet(k: String): Set[String] = bandProps.get(k)
+        .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      val purgewin =
+        if (delsFiles.isEmpty) tagSet("graft.folds.purgewin")
+        else tagSet("graft.folds.purgewin") ++
+          (tagSet("graft.folds.intent") -- tagSet("graft.folds"))
+      val newSfx = s"_g${System.nanoTime()}"
+      val curSfx = curBands.stripPrefix(s"${tablePrefix}_bands")
+      // sigs first, bands LAST: resolution requires the sigs twin, so
+      // the bands CTAS is the single catalog event that promotes the
+      // generation — ledger props attached in the same op
+      Seq((curSigs, s"${tablePrefix}_sigs$newSfx", "doc_id"),
+          (curBands, s"${tablePrefix}_bands$newSfx", "bk"))
+        .foreach { case (src, destTable, key) =>
+          val copied = spark.sql(s"SHOW TBLPROPERTIES $src").collect()
             .map(r => r.getString(0) -> r.getString(1))
             .filter(_._1.startsWith("graft.")).toMap
+          val props =
+            if (src == curBands && purgewin.nonEmpty)
+              copied + ("graft.folds.purgewin" ->
+                purgewin.toSeq.sorted.mkString(","))
+            else copied
           val live =
             if (delsFiles.nonEmpty)
-              spark.table(table).join(
+              spark.table(src).join(
                 broadcast(spark.read.parquet(delsFiles: _*).distinct()),
                 Seq("doc_id"), "left_anti")
-            else spark.table(table)
+            else spark.table(src)
           val staged = Checkpoints.stageOwned(
             live.repartition(bk, col(key)),
             Checkpoints.configured(spark))
           try {
-            spark.sql(s"DROP TABLE $table")
-            staged.df.write.format("parquet")
-              .bucketBy(bk, key).sortBy(key).saveAsTable(table)
-          } finally staged.release()
-          props.foreach { case (k, v) =>
-            val ek = k.replace("'", "''")
-            val ev = v.replace("'", "''")
+            val view = s"${destTable}_ctas_src"
+            staged.df.createOrReplaceTempView(view)
+            val propsSql =
+              if (props.isEmpty) ""
+              else props.toSeq.sorted.map { case (k, v) =>
+                s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+              }.mkString(" TBLPROPERTIES(", ",", ")")
             spark.sql(
-              s"ALTER TABLE $table SET TBLPROPERTIES('$ek'='$ev')")
-          }
+              s"CREATE TABLE $destTable USING parquet " +
+                s"CLUSTERED BY ($key) SORTED BY ($key) INTO $bk BUCKETS" +
+                s"$propsSql AS SELECT * FROM $view")
+            spark.catalog.dropTempView(view)
+          } finally staged.release()
         }
+      // retire everything but the new generation and the one it just
+      // superseded (kept one cycle for scans still reading it)
+      dropGenerationsExcept(spark, tablePrefix, Set(newSfx, curSfx))
       if (delsFiles.nonEmpty) {
         val conf = spark.sessionState.newHadoopConf()
         delsFiles.foreach { f =>

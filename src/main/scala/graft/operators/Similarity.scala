@@ -684,7 +684,10 @@ object Similarity {
       lockFor(path).synchronized {
         recoverCells(spark, path)
         val dest   = new org.apache.hadoop.fs.Path(path)
-        val marker = new org.apache.hadoop.fs.Path(path, "cells/_SUCCESS")
+        // marker = _SUCCESS of the ACTIVE generation (a compacted
+        // layout keeps its completeness witness across promotes)
+        def marker = new org.apache.hadoop.fs.Path(
+          activeCellsDir(spark, path), "_SUCCESS")
         val fs     = dest.getFileSystem(spark.sessionState.newHadoopConf())
         if (!fs.exists(marker)) {
           val tmp = new org.apache.hadoop.fs.Path(
@@ -774,7 +777,7 @@ object Similarity {
         requireNotTombstoned(spark, path, newVecs.select("vec_id"))
         foldAssignment(newVecs, path)
           .write.mode("append").partitionBy("cent_id")
-          .parquet(s"$path/cells")
+          .parquet(activeCellsDir(spark, path))
         // marker AFTER the append lands (same ordering as the MinHash
         // fold ledger): a crash in between replays the batch — callers
         // needing exactly-once must rebuild, as with any append sink
@@ -808,17 +811,13 @@ object Similarity {
     * the threshold's worth of batches. Tombstone purge rides along,
     * so a delete-heavy tier is physically cleaned on the same cadence.
     *
-    * Probe-race caveat (documented on the conf key): the compaction
-    * promote is two renames, so a LOCK-FREE probe concurrent with an
-    * auto-compacting fold can race it two ways. A probe CONSTRUCTED
-    * inside the rename gap is covered — [[liveCells]] retries across
-    * it (~1 s budget, orders of magnitude wider than the gap) and sees
-    * added latency, not failure. A scan already IN FLIGHT when the
-    * promote lands is not: it holds the pre-promote file listing and
-    * can fail when those files move. Deployments serving lock-free
-    * probes that cannot tolerate a transient scan failure set
-    * `spark.graft.index.autoCompactFilesPerCell=0` and run
-    * [[compactIvfCells]] in a maintenance window instead.
+    * Concurrent probes are SAFE across the promote: compaction writes
+    * a new generation and flips the `cells.MANIFEST` pointer in one
+    * atomic rename, so a probe constructed during the rewrite resolves
+    * the old generation and a scan already in flight keeps its (still
+    * physical) old-generation file listing until the age-gated GC —
+    * no maintenance window needed (ConcurrentMaintenanceSpec drives a
+    * slow probe through an auto-compacting fold to pin this).
     */
   private def maybeAutoCompactCells(
       spark: SparkSession, path: String): Unit = {
@@ -827,7 +826,8 @@ object Similarity {
     val threshold = confInt(
       spark, "spark.graft.index.autoCompactFilesPerCell", 32)
     if (threshold > 0) {
-      val cellsDir = new org.apache.hadoop.fs.Path(path, "cells")
+      val cellsDir =
+        new org.apache.hadoop.fs.Path(activeCellsDir(spark, path))
       val fs = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
       var files = 0L
       val cells = scala.collection.mutable.HashSet.empty[String]
@@ -884,6 +884,84 @@ object Similarity {
   private[operators] def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
 
+  // ---- generation manifest: the atomic cells promote ----
+  // A maintained layout's row data lives in a GENERATION directory;
+  // `cells.MANIFEST` (one line: the directory's name) is the pointer
+  // readers resolve. A layout that has never been compacted has no
+  // manifest and resolves to the original `cells/` — so a fresh build
+  // costs no extra I/O and old layouts read unchanged. Compaction
+  // writes the rewrite to a NEW generation dir and promotes it with
+  // ONE atomic pointer flip (create-then-rename-overwrite, POSIX/HDFS
+  // atomic), so there is no window where the layout is headless and a
+  // scan already in flight keeps reading the old generation's files
+  // until the age-gated GC collects them (reference analog: the
+  // delete+recreate visibility hole of the replace strategy,
+  // etl/pipeline.py:698-716 — which the reference leaves open).
+
+  private val CellsManifest = "cells.MANIFEST"
+
+  // manifest I/O goes through the RAW filesystem: on a local
+  // ChecksumFileSystem the hidden .crc sidecar is a SECOND file, so a
+  // rename-overwrite of the manifest alone leaves readers verifying new
+  // bytes against the stale sidecar (observed as ChecksumException
+  // under concurrent probes). HDFS checksums internally per block and
+  // passes through unchanged; the manifest is one short line, so the
+  // lost crc protection is irrelevant.
+  private def manifestFs(
+      fs: org.apache.hadoop.fs.FileSystem): org.apache.hadoop.fs.FileSystem =
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+
+  /** The ACTIVE generation directory of a maintained layout — the one
+    * named by `cells.MANIFEST`, or the original `cells/` for a layout
+    * that has never been compacted. Every reader and every fold append
+    * resolves through this; benches and specs inspecting physical
+    * layout state should too.
+    */
+  def activeCellsDir(spark: SparkSession, path: String): String = {
+    val mf = new org.apache.hadoop.fs.Path(path, CellsManifest)
+    val fs = manifestFs(mf.getFileSystem(spark.sessionState.newHadoopConf()))
+    val name =
+      if (!fs.exists(mf)) "cells"
+      else {
+        val in  = fs.open(mf)
+        val raw = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          buf.toString("UTF-8").trim
+        } finally in.close()
+        // a manifest naming anything but an engine-written generation
+        // is corruption — fail fast, never silently read a stale dir
+        require(raw == "cells" || raw.matches("cells\\.g\\d+"),
+          s"corrupt $CellsManifest under $path: '$raw'")
+        raw
+      }
+    new org.apache.hadoop.fs.Path(path, name).toString
+  }
+
+  /** Promote generation dir `gen` (a name under `path`) as the layout's
+    * active cells: write the pointer to a temp sibling, then one
+    * rename-with-overwrite — atomic on POSIX and HDFS, so readers see
+    * either the old pointer or the new one, never a torn write.
+    */
+  private def flipCellsManifest(
+      spark: SparkSession, path: String, gen: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mf   = new org.apache.hadoop.fs.Path(path, CellsManifest)
+    val tmp  = new org.apache.hadoop.fs.Path(
+      path, s"$CellsManifest.tmp${System.nanoTime()}")
+    val fs  = manifestFs(mf.getFileSystem(conf))
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      mf.toUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(mf),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   // ---- deletion: the tombstone tier of the maintained-index contract ----
 
   /** The LIVE view of a layout's cells: physical rows minus standing
@@ -898,21 +976,19 @@ object Similarity {
     * still pushes below the join to the scan (left-side predicate).
     */
   def liveCells(spark: SparkSession, path: String): DataFrame = {
-    // compaction's two-rename promote has a short window where cells/
-    // is absent (documented on [[compactIvfCells]]); a lock-free probe
-    // CONSTRUCTED inside it retries briefly instead of failing at an
-    // operator-unchosen moment. Only path-absence retries — any other
+    // the manifest promote ([[compactIvfCells]]) leaves no headless
+    // window — a reader resolves either the old generation or the new
+    // one, both complete. The retry below covers one residual race:
+    // resolving a generation whose directory the age-gated GC collects
+    // between the manifest read and the parquet listing (a scan that
+    // outlived `spark.graft.index.gcStaleHours` re-resolves and reads
+    // the current generation). Only path-absence retries — any other
     // analysis error (corrupt layout, bad schema) must fail fast, and
     // a genuinely missing layout costs at most the ~1 s budget once.
-    // A crash inside the window exhausts the retries; the next locked
-    // entry point heals it via recoverCells. NOTE this covers the
-    // read-CONSTRUCTION window only: a scan already in flight when the
-    // promote lands still holds the old file listing and can fail —
-    // see the maintenance-window caveat on [[compactIvfCells]].
     var cells: DataFrame = null
     var attempt = 0
     while (cells == null) {
-      try cells = spark.read.parquet(s"$path/cells")
+      try cells = spark.read.parquet(activeCellsDir(spark, path))
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if attempt < 8 &&
@@ -1066,9 +1142,11 @@ object Similarity {
     * long-lived ingestion tier accumulates O(batches) files per cell —
     * this rewrites the cells to ~one file per cell (ONE shuffle of the
     * index, the inherent compaction cost; at 100 TB run it per-cell or
-    * accept the rebuild, which compacts for free) and promotes the
-    * rewrite with the same temp-dir atomic-rename used by
-    * [[ensureIvfIndex]]. Rows, centroids and the fold ledger are
+    * accept the rebuild, which compacts for free) into a NEW
+    * generation dir and promotes it with one atomic `cells.MANIFEST`
+    * pointer flip ([[activeCellsDir]]) — concurrent probes keep
+    * working through the promote, reading whichever generation they
+    * resolved. Rows, centroids and the fold ledger are
     * untouched — a replayed old batch tag still no-ops after
     * compaction, and probes see identical data (SimilaritySpec pins
     * row equality and probe parity). Schema-agnostic over the cells
@@ -1079,10 +1157,11 @@ object Similarity {
   def compactIvfCells(spark: SparkSession, path: String): Unit =
     lockFor(path).synchronized {
       recoverCells(spark, path)
-      val cellsDir = new org.apache.hadoop.fs.Path(path, "cells")
+      val cellsDir =
+        new org.apache.hadoop.fs.Path(activeCellsDir(spark, path))
       val fs  = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
-      val tmp = new org.apache.hadoop.fs.Path(
-        path, s"cells.compact${System.nanoTime()}")
+      val gen = new org.apache.hadoop.fs.Path(
+        path, s"cells.g${System.nanoTime()}")
       // tombstone PURGE rides the compaction rewrite: snapshot the
       // tombstone FILES first, drop their ids from the rewrite, and
       // delete exactly those files after the promote — a delete
@@ -1111,89 +1190,74 @@ object Similarity {
       val c = spark.read.parquet(s"$path/centroids").count().toInt
       cells
         .repartition(math.max(c, 1), col("cent_id"))
-        .write.partitionBy("cent_id").parquet(tmp.toString)
-      // two renames, NOT atomic: a probe taking no lock can observe the
-      // gap, and a crash inside it leaves the layout headless — so (a)
-      // a failed second rename ROLLS THE ORIGINAL BACK rather than
-      // leaving no cells/, and (b) every locked entry point first runs
-      // [[recoverCells]], which restores the newest cells.old* after a
-      // crash instead of letting ensure* rebuild and silently discard
-      // the fold ledger. Run compaction in a maintenance window if
-      // concurrent probes cannot tolerate a transient read failure.
-      val old = new org.apache.hadoop.fs.Path(
-        path, s"cells.old${System.nanoTime()}")
-      if (!fs.rename(cellsDir, old))
-        throw new java.io.IOException(
-          s"could not stage current cells aside: $cellsDir -> $old")
-      if (!fs.rename(tmp, cellsDir)) {
-        if (!fs.rename(old, cellsDir))
-          throw new java.io.IOException(
-            s"could not promote $tmp AND rollback failed — restore $old manually")
-        fs.delete(tmp, true)
-        throw new java.io.IOException(
-          s"could not promote compacted cells $tmp -> $cellsDir (rolled back)")
-      }
-      fs.delete(old, true)
+        .write.partitionBy("cent_id").parquet(gen.toString)
+      // ONE atomic pointer flip: the rewrite landed complete in a new
+      // generation dir, and the manifest rename promotes it without a
+      // headless window. A crash before the flip leaves the old
+      // generation active and the new one an age-gated GC candidate; a
+      // crash after it leaves the OLD generation the candidate — no
+      // state needs repair, and a scan already in flight keeps reading
+      // the old generation's files until [[recoverCells]]' GC collects
+      // them (`spark.graft.index.gcStaleHours`, default 24 h).
+      flipCellsManifest(spark, path, gen.getName)
       // purge the consumed tombstone files (snapshot only — see above)
       tombFiles.foreach(fs.delete(_, false))
+      // non-recursive: fails closed if a cross-process delete committed
+      // a tombstone between the listing and here
       if (tombFiles.nonEmpty && fs.exists(tombDir) &&
           fs.listStatus(tombDir).isEmpty)
-        fs.delete(tombDir, true)
+        fs.delete(tombDir, false)
       ()
     }
 
-  /** Heal a layout whose `cells/` vanished in a compaction crash
-    * window: restore the newest `cells.old*` sibling (the pre-compact
-    * data staged aside by [[compactIvfCells]]). Called under the layout
-    * lock by every maintenance entry point, so a crashed compaction
-    * costs one retry instead of a silent ledger-discarding rebuild.
+  /** Housekeeping under the layout lock, run by every maintenance
+    * entry point. With the manifest promote ([[compactIvfCells]])
+    * there is no crash state to REPAIR — a crash on either side of the
+    * atomic pointer flip leaves a complete active generation — so this
+    * is (a) garbage collection of superseded generation dirs, crashed
+    * rewrite leftovers and legacy `cells.old*`/`cells.compact*`
+    * siblings, all age-gated so an in-flight scan (or a live
+    * cross-process rewrite) keeps its files, and (b) the one legacy
+    * heal kept for layouts written by the pre-manifest binary: a
+    * headless layout (no manifest, no `cells/`) restores its newest
+    * `cells.old*` sibling instead of letting ensure* rebuild and
+    * silently discard the fold ledger.
     */
   private def recoverCells(spark: SparkSession, path: String): Unit = {
-    val cellsDir = new org.apache.hadoop.fs.Path(path, "cells")
-    val fs = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val active = new org.apache.hadoop.fs.Path(
+      try activeCellsDir(spark, path)
+      catch { case _: java.io.IOException => return })
     val exists =
-      try fs.exists(cellsDir) catch { case _: java.io.IOException => return }
+      try fs.exists(active) catch { case _: java.io.IOException => return }
     val candidates =
       try fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
       catch { case _: java.io.IOException => Seq.empty }
+    // GC candidates: every cells* sibling that is not the active
+    // generation and not the manifest pointer itself — superseded
+    // generations, crashed rewrites, manifest temp files, legacy
+    // cells.old*/cells.compact* leftovers
     val stale = candidates.filter { s =>
       val n = s.getPath.getName
-      n.startsWith("cells.old") || n.startsWith("cells.compact")
+      n.startsWith("cells") && n != CellsManifest &&
+        fs.makeQualified(s.getPath) != fs.makeQualified(active)
     }
     if (!exists)
       stale.map(_.getPath).filter(_.getName.startsWith("cells.old"))
         .sortBy(_.getName).lastOption
-        .foreach(old => fs.rename(old, cellsDir))
+        .foreach(old => fs.rename(old, active))
     else {
-      // a promoted cells/ makes cells.old* siblings crash leftovers
-      // (cells.old only ever exists after cells/ was renamed away, so
-      // the two coexisting means the promote landed and only the
-      // success-path delete was lost) — garbage-collect them, or a
-      // long-lived fold+compact tier leaks one full index copy per
-      // crashed run. cells.compact* is different: a compaction in
-      // ANOTHER process stages its rewrite there while cells/ still
-      // stands (lockFor is JVM-local), so a fresh compact dir may be a
-      // LIVE build — only age-gated leftovers are collected, liveness
-      // keyed on the NEWEST FILE inside the dir (a very large rewrite
-      // keeps writing part files, refreshing its lease for as long as
-      // it makes progress; the dir's own mtime only reflects top-level
-      // entry creation) with the window configurable for deployments
-      // whose rewrites legitimately stall longer between files.
+      // age-gated: a superseded generation may still be under an
+      // in-flight scan, and a fresh cells.g*/cells.compact* dir may be
+      // a LIVE rewrite in another process (lockFor is JVM-local) —
+      // liveness keyed on the NEWEST FILE inside the dir (a very large
+      // rewrite keeps writing part files, refreshing its lease for as
+      // long as it makes progress; the dir's own mtime only reflects
+      // top-level entry creation), window configurable for deployments
+      // whose scans or rewrites legitimately run longer.
       val staleHours = confLong(
         spark, "spark.graft.index.gcStaleHours", 24L)
-      // a tombstones/ dir left with no entries at all (crash between
-      // compaction's purge loop and its dir delete) is harmless to
-      // readers (tombstoneDataFiles treats it as empty) — collect it
-      // here so the layout doesn't carry the scar forever. Guarded
-      // three ways against a CROSS-PROCESS delete racing this GC
-      // (lockFor is JVM-local): only a dir with no entries at all
-      // qualifies (an in-flight parquet commit stages under
-      // tombstones/_temporary, which the listing sees); only past the
-      // same staleness age gate the cells.compact* GC uses; and the
-      // delete itself is NON-recursive, so it fails closed if a
-      // tombstone file committed between the emptiness check and the
-      // delete — a recursive delete here would silently drop a fresh
-      // takedown and serve the deleted ids again.
       val tombDir = new org.apache.hadoop.fs.Path(path, "tombstones")
       try {
         if (fs.exists(tombDir)) {
@@ -1214,9 +1278,8 @@ object Similarity {
         m
       }
       stale.foreach { s =>
-        val live = s.getPath.getName.startsWith("cells.compact") &&
-          newestMtime(s.getPath, s.getModificationTime) >= cutoff
-        if (!live) fs.delete(s.getPath, true)
+        if (newestMtime(s.getPath, s.getModificationTime) < cutoff)
+          fs.delete(s.getPath, true)
       }
     }
   }
@@ -1279,7 +1342,8 @@ object Similarity {
     lockFor(dest).synchronized {
       recoverCells(spark, path)
       val destP  = new org.apache.hadoop.fs.Path(dest)
-      val marker = new org.apache.hadoop.fs.Path(dest, "cells/_SUCCESS")
+      def marker = new org.apache.hadoop.fs.Path(
+        activeCellsDir(spark, dest), "_SUCCESS")
       val fs     = destP.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(marker)) {
         // rebuild from the LIVE rows: tombstoned ids drop out here, so
@@ -1472,7 +1536,10 @@ object Similarity {
       lockFor(path).synchronized {
         recoverCells(spark, path)
         val dest   = new org.apache.hadoop.fs.Path(path)
-        val marker = new org.apache.hadoop.fs.Path(path, "cells/_SUCCESS")
+        // marker = _SUCCESS of the ACTIVE generation (a compacted
+        // layout keeps its completeness witness across promotes)
+        def marker = new org.apache.hadoop.fs.Path(
+          activeCellsDir(spark, path), "_SUCCESS")
         val fs     = dest.getFileSystem(spark.sessionState.newHadoopConf())
         if (!fs.exists(marker)) {
           val tmp = new org.apache.hadoop.fs.Path(
@@ -1608,7 +1675,7 @@ object Similarity {
           .select("vec_id", "cent_id")
           .join(codes, Seq("vec_id"))
           .write.mode("append").partitionBy("cent_id")
-          .parquet(s"$path/cells")
+          .parquet(activeCellsDir(spark, path))
         fs.mkdirs(marker.getParent)
         val out = fs.create(marker, true)
         try out.write(batchTag.getBytes(

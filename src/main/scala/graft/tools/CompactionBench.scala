@@ -47,7 +47,7 @@ object CompactionBench {
           col("vec_id") % (10L * nBatches) === 10L * i),
         path, batchTag = s"cb$i")
     }
-    def cellFiles: Int = graft.util.LocalFs.parquetFileCount(s"$path/cells")
+    def cellFiles: Int = graft.util.LocalFs.parquetFileCount(Similarity.activeCellsDir(spark, path))
     val qv = emb.filter(col("vec_id") === 1L).select("embedding")
       .collect().head.getSeq[Float](0).toSeq
     def probeMedian(): Double = {
@@ -88,7 +88,7 @@ object CompactionBench {
     }
     val policyFoldSec = (System.nanoTime() - tp0) / 1e9
     spark.conf.unset("spark.graft.index.autoCompactFilesPerCell")
-    def cellFiles2: Int = graft.util.LocalFs.parquetFileCount(s"$path2/cells")
+    def cellFiles2: Int = graft.util.LocalFs.parquetFileCount(Similarity.activeCellsDir(spark, path2))
     def probeMedian2(): Double = {
       Similarity.ivfProbe(spark, path2, qv, 10, 4, Some(1L)).count() // warm
       val ts = (1 to 9).map { _ =>

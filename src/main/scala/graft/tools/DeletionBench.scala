@@ -97,6 +97,34 @@ object DeletionBench {
       docs.filter(col("doc_id") % 10 =!= 0),
       s"${prefix}r", srcTag = s"$sfDir#dbr"))
 
+    // ---- post-takedown recall gate (the r17 ask): RECALL_GATE.json
+    // covers the PQ default point on an INTACT index; a takedown tier
+    // must also hold it on the layout a 10% delete + physical purge
+    // leaves behind. Same defaults as the standing gate (ks=256,
+    // kAdc=1000, nProbe=4, recall@10), ground truth = brute-force
+    // quantized cosine over the REMAINDER. Fails the run (exit != 0)
+    // below the floor so a regressed post-purge layout can't ship
+    // silently; floor tunable via SPARK_GRAFT_DELBENCH_MIN_RECALL.
+    val remainder = emb.filter(col("vec_id") % 10 =!= 0)
+    val (pq, _) = Similarity.ensureIvfPqIndex(emb,
+      srcTag = s"$sfDir#delpq${System.nanoTime()}")
+    Similarity.deleteFromIvfIndex(delIds, pq, delTag = "takedown")
+    Similarity.compactIvfCells(spark, pq)
+    val recallQs = remainder.filter(col("vec_id") % 10 === 1)
+      .limit(20).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+    val recalls = recallQs.map { case (qid, qvec) =>
+      val exact = Similarity.bruteForceTopKPortable(remainder, qid, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = Similarity.ivfPqProbeRerank(spark, pq, remainder, qvec,
+          k = 10, kAdc = 1000, nProbe = 4, exclude = Some(qid))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      got.count(exact.contains).toDouble / exact.size
+    }
+    val recallAfterPurge = recalls.sum / recalls.size
+    val minRecall = sys.env.get("SPARK_GRAFT_DELBENCH_MIN_RECALL")
+      .flatMap(_.toDoubleOption).getOrElse(0.95)
+
     println(
       s"""{"sf_dir":"$sfDir","ivf":{"n_vecs":$nVecs,"n_deleted":$nDel,""" +
       s""""delete_sec":${f(ivfDeleteSec)},"compact_sec":${f(ivfCompactSec)},""" +
@@ -107,7 +135,13 @@ object DeletionBench {
       s""""compact_sec":${f(bandCompactSec)},"rebuild_sec":${f(bandRebuildSec)},""" +
       s""""probe_sec_intact":${f(bandProbeIntact)},""" +
       s""""probe_sec_tombstoned":${f(bandProbeTomb)},""" +
-      s""""probe_sec_purged":${f(bandProbePurged)}}}""")
+      s""""probe_sec_purged":${f(bandProbePurged)}},""" +
+      s""""pq_recall_after_purge":${f(recallAfterPurge)},""" +
+      s""""pq_recall_min":$minRecall,""" +
+      s""""pq_recall_pass":${recallAfterPurge >= minRecall}}""")
     spark.stop()
+    require(recallAfterPurge >= minRecall,
+      f"post-takedown rerank recall@10 $recallAfterPurge%.3f < $minRecall " +
+        "on the compacted layout")
   }
 }

@@ -47,8 +47,8 @@ object IvfPqBench {
     val (ivfPath, c)  = Similarity.ensureIvfIndex(emb, srcTag = sfDir)
     val (pqPath, _)   = Similarity.ensureIvfPqIndex(emb, srcTag = sfDir, ks = ks)
 
-    val ivfBytes = graft.util.LocalFs.dirBytes(s"$ivfPath/cells")
-    val pqBytes  = graft.util.LocalFs.dirBytes(s"$pqPath/cells")
+    val ivfBytes = graft.util.LocalFs.dirBytes(Similarity.activeCellsDir(spark, ivfPath))
+    val pqBytes  = graft.util.LocalFs.dirBytes(Similarity.activeCellsDir(spark, pqPath))
 
     val queries = emb.filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding").collect()

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The atomic-promote contract, pinned under real concurrency: a
+  * maintained layout's compaction promotes a new generation with one
+  * `cells.MANIFEST` pointer flip, so BOTH races that used to need a
+  * maintenance window are now safe:
+  *
+  *   1. a scan already IN FLIGHT when the promote lands keeps reading
+  *      the old generation's (still physical) files to completion, and
+  *   2. probes CONSTRUCTED at any moment around the promote resolve a
+  *      complete generation — old or new, never headless.
+  *
+  * Under the previous two-rename promote, (1) failed with
+  * FileNotFoundException (the files moved under the scan) and (2) had
+  * a retry-papered absence window; these tests would have caught both.
+  */
+class ConcurrentMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a scan in flight across a compaction promote completes on its generation") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"inflight-${System.nanoTime()}")
+    // pile up fold files so the compaction genuinely rewrites the layout
+    Similarity.foldIntoIvfIndex(
+      emb.filter($"vec_id" % 20 === 0).select("vec_id", "embedding"), path, "b1")
+    Similarity.foldIntoIvfIndex(
+      emb.filter($"vec_id" % 20 === 10).select("vec_id", "embedding"), path, "b2")
+    val wantIds = emb.select("vec_id").as[Long].collect().toSet
+
+    val gen0 = Similarity.activeCellsDir(spark, path)
+    // plan + START the scan: pulling the first rows forces the file
+    // listing, so the iterator now holds the pre-promote generation
+    val it = Similarity.liveCells(spark, path)
+      .select($"vec_id").as[Long].toLocalIterator()
+    val pulled = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to 3).foreach(_ => if (it.hasNext) pulled += it.next())
+    assert(pulled.size == 3, "test setup: scan must be mid-flight")
+
+    // the promote lands UNDER the in-flight scan
+    Similarity.compactIvfCells(spark, path)
+    val gen1 = Similarity.activeCellsDir(spark, path)
+    assert(gen1 != gen0, "compaction must promote a new generation")
+    assert(new java.io.File(new java.net.URI(
+        if (gen0.contains(":")) gen0 else s"file:$gen0").getPath).isDirectory
+        || new java.io.File(gen0).isDirectory,
+      "the superseded generation must remain for the in-flight scan")
+
+    // the scan drains without error and saw exactly its generation's rows
+    while (it.hasNext) pulled += it.next()
+    assert(pulled.toSet == wantIds,
+      s"in-flight scan lost rows: got ${pulled.size}, want ${wantIds.size}")
+
+    // and a probe constructed AFTER the promote reads the new generation
+    val fresh = Similarity.liveCells(spark, path)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(fresh == wantIds)
+  }
+
+  test("band index: a probe planned before a compaction promote still answers") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val prefix = s"graft_conc${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(
+      docs.filter($"doc_id" % 10 =!= 0), prefix,
+      srcTag = s"conc-${System.nanoTime()}")
+    Dedup.foldIntoMinhashBandIndex(
+      docs.filter($"doc_id" % 10 === 0), prefix, batchTag = "b1")
+    val probe = docs.filter($"doc_id" < 50)
+    def pairsDf = Dedup.incrementalNearDupPairs(probe, bt, st)
+      .select($"new_doc", $"dup_of")
+    val want = pairsDf.as[(Long, Long)].collect().toSet
+    // plan + START a scan over the pre-promote generation
+    val it = pairsDf.as[(Long, Long)].toLocalIterator()
+    val pulled = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    if (it.hasNext) pulled += it.next()
+    // the promote lands UNDER the in-flight scan: a new generation pair
+    // is created and the old one retained (retired one cycle later) —
+    // under the old drop-and-recreate rewrite this drain failed with
+    // FileNotFoundException
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    val (cb, cs) = Dedup.currentIndexTables(spark, prefix)
+    assert(cb != bt && cs != st, "compaction must promote a new generation")
+    assert(spark.catalog.tableExists(bt) && spark.catalog.tableExists(st),
+      "the superseded generation must survive for the in-flight scan")
+    while (it.hasNext) pulled += it.next()
+    assert(pulled.toSet == want, "in-flight probe lost or changed rows")
+    // a probe planned AFTER the promote resolves the new generation and
+    // answers identically (no deletes happened — pure rewrite)
+    assert(pairsDf.as[(Long, Long)].collect().toSet == want)
+  }
+
+  test("probe threads hammer through auto-compacting folds without error") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"hammer-${System.nanoTime()}")
+    val qv = emb.filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val err  = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val n    = new java.util.concurrent.atomic.AtomicInteger(0)
+    val probers = (1 to 3).map { i =>
+      val t = new Thread(() => {
+        try while (!stop.get()) {
+          val got = Similarity.ivfProbe(spark, path, qv.toSeq, k = 5,
+            nProbe = 4).select("vec_id").as[Long].collect()
+          assert(got.nonEmpty, "probe returned no rows")
+          n.incrementAndGet()
+        } catch { case t: Throwable => err.set(t) }
+      }, s"hammer-prober-$i")
+      t.setDaemon(true); t.start(); t
+    }
+    // every fold crosses the armed threshold, so each one compacts and
+    // PROMOTES while the probers run — the contract under test
+    spark.conf.set("spark.graft.index.autoCompactFilesPerCell", "1")
+    try {
+      (0 to 3).foreach { i =>
+        Similarity.foldIntoIvfIndex(
+          emb.filter($"vec_id" % 40 === 10L * i).select("vec_id", "embedding"),
+          path, batchTag = s"h$i")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.index.autoCompactFilesPerCell")
+      stop.set(true)
+    }
+    probers.foreach(_.join(60000))
+    assert(err.get() == null, s"concurrent probe failed: ${err.get()}")
+    assert(n.get() > 0, "probers never ran")
+    // the folds really did compact+promote: the active generation moved
+    assert(Similarity.activeCellsDir(spark, path) != s"$path/cells" &&
+      !Similarity.activeCellsDir(spark, path).endsWith("/cells"),
+      "auto-compaction under the armed threshold must have promoted")
+  }
+}

@@ -325,10 +325,13 @@ class DedupSpec extends SparkSpec {
     val (bt, st) = Dedup.ensureMinhashBandIndex(a, "graft_compactspec", srcTag = tag)
     Dedup.foldIntoMinhashBandIndex(b, "graft_compactspec", batchTag = "b1")
     Dedup.foldIntoMinhashBandIndex(c, "graft_compactspec", batchTag = "b2")
+    // compaction PROMOTES a new generation pair — physical reads
+    // re-resolve instead of pinning the names ensure returned
+    def cur = Dedup.currentIndexTables(spark, "graft_compactspec")
     def files(t: String) = spark.table(t).inputFiles.length
-    def bandsOf = spark.table(bt).select("doc_id", "bk")
+    def bandsOf = spark.table(cur._1).select("doc_id", "bk")
       .as[(Long, String)].collect().toSet
-    def sigsOf = spark.table(st).select("doc_id", "sig")
+    def sigsOf = spark.table(cur._2).select("doc_id", "sig")
       .as[(Long, Seq[Long])].collect().map { case (d, s) => (d, s.toList) }.toSet
     val probe = docs.filter($"doc_id" < 50)
     def pairs = Dedup.incrementalNearDupPairs(probe, bt, st)
@@ -338,21 +341,27 @@ class DedupSpec extends SparkSpec {
     val (rb, rs)    = (bandsOf, sigsOf)
     val pairsBefore = pairs
     Dedup.compactMinhashBandIndex(spark, "graft_compactspec")
-    assert(files(bt) < fb && files(st) < fs,
-      s"compaction must shrink files: bands $fb->${files(bt)}, sigs $fs->${files(st)}")
+    assert(cur._1 != bt && cur._2 != st,
+      "compaction must promote a new generation pair")
+    assert(spark.catalog.tableExists(bt),
+      "the superseded generation must survive one cycle for in-flight scans")
+    assert(files(cur._1) < fb && files(cur._2) < fs,
+      s"compaction must shrink files: bands $fb->${files(cur._1)}, sigs $fs->${files(cur._2)}")
     assert(bandsOf == rb && sigsOf == rs,
       "compaction must not change a single row")
     // the Bucketing validity key survives: a repeated ensure is a no-op
     // (would DROP and rebuild the tables if the contract were lost)
-    val n1 = spark.table(bt).count()
-    Dedup.ensureMinhashBandIndex(a, "graft_compactspec", srcTag = tag)
-    assert(spark.table(bt).count() == n1, "ensure must still see the layout current")
+    val n1 = spark.table(cur._1).count()
+    assert(Dedup.ensureMinhashBandIndex(a, "graft_compactspec", srcTag = tag)
+        ._1 == cur._1,
+      "ensure must resolve (not rebuild) the compacted generation")
+    assert(spark.table(cur._1).count() == n1, "ensure must still see the layout current")
     // the fold ledger survives: a replayed tag is still a no-op
-    val ledger = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+    val ledger = spark.sql(s"SHOW TBLPROPERTIES ${cur._1}").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(ledger("graft.folds") == "b1,b2", s"ledger lost: $ledger")
     Dedup.foldIntoMinhashBandIndex(b, "graft_compactspec", batchTag = "b1")
-    assert(spark.table(bt).count() == n1)
+    assert(spark.table(cur._1).count() == n1)
     // and the index still answers: incremental pairs over the compacted
     // tables equal the pre-compaction output
     assert(pairs == pairsBefore,
@@ -365,8 +374,10 @@ class DedupSpec extends SparkSpec {
     val a = docs.filter($"doc_id" % 10 =!= 0)
     val tag = s"autocband-${System.nanoTime()}"
     val (bt, st) = Dedup.ensureMinhashBandIndex(a, "graft_autocband", srcTag = tag)
-    def files = spark.table(bt).inputFiles.length
-    def bandsOf = spark.table(bt).select("doc_id", "bk")
+    // the policy's compaction PROMOTES a generation — resolve at use time
+    def cur = Dedup.currentIndexTables(spark, "graft_autocband")._1
+    def files = spark.table(cur).inputFiles.length
+    def bandsOf = spark.table(cur).select("doc_id", "bk")
       .as[(Long, String)].collect().toSet
     spark.conf.set("spark.graft.index.autoCompactFilesPerBucket", "0")
     try {
@@ -386,10 +397,10 @@ class DedupSpec extends SparkSpec {
       assert(bandsOf == expect,
         "auto-compaction must preserve every row incl. the triggering fold")
       // ledger intact: a replayed pre-compact tag still no-ops
-      val n = spark.table(bt).count()
+      val n = spark.table(cur).count()
       Dedup.foldIntoMinhashBandIndex(
         docs.filter($"doc_id" % 20 === 0), "graft_autocband", "a1")
-      assert(spark.table(bt).count() == n)
+      assert(spark.table(cur).count() == n)
     } finally spark.conf.unset("spark.graft.index.autoCompactFilesPerBucket")
   }
 
@@ -402,6 +413,7 @@ class DedupSpec extends SparkSpec {
       .select("doc_id")
     val tag = s"delspec-${System.nanoTime()}"
     val (bt, st) = Dedup.ensureMinhashBandIndex(a, "graft_delspec", srcTag = tag)
+    def cur = Dedup.currentIndexTables(spark, "graft_delspec")
     Dedup.foldIntoMinhashBandIndex(b, "graft_delspec", batchTag = "b1")
     Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "d1")
     // live probe ≡ probing a from-scratch index over the REMAINDER
@@ -417,7 +429,7 @@ class DedupSpec extends SparkSpec {
     // replayed delete: ledger no-op (memo path and preburned-ledger path)
     val delsN = spark.table("graft_delspec_dels").count()
     Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "d1")
-    spark.sql(s"ALTER TABLE $bt SET TBLPROPERTIES('graft.dels'='d1,preburn')")
+    spark.sql(s"ALTER TABLE ${cur._1} SET TBLPROPERTIES('graft.dels'='d1,preburn')")
     Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "preburn")
     assert(spark.table("graft_delspec_dels").count() == delsN,
       "a tag already in the delete ledger must not re-append")
@@ -428,7 +440,7 @@ class DedupSpec extends SparkSpec {
         docs.filter($"doc_id" % 20 === 0), "graft_delspec", batchTag = "bad")
     }
     assert(e.getMessage.contains("compact"))
-    val props0 = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+    val props0 = spark.sql(s"SHOW TBLPROPERTIES ${cur._1}").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(!props0.get("graft.folds.intent").exists(_.contains("bad")),
       "a rejected fold must not leave a standing intent")
@@ -443,12 +455,12 @@ class DedupSpec extends SparkSpec {
     def sigsOf(t: String) =
       spark.table(t).select("doc_id", "sig").as[(Long, Seq[Long])]
         .collect().map { case (d, s) => (d, s.toList) }.toSet
-    assert(bandsOf(bt) == bandsOf(rbt),
+    assert(bandsOf(cur._1) == bandsOf(rbt),
       "purged bands must equal rebuild-from-remainder")
-    assert(sigsOf(st) == sigsOf(rst),
+    assert(sigsOf(cur._2) == sigsOf(rst),
       "purged sigs must equal rebuild-from-remainder")
     // the delete ledger survives the purge: a replayed tag still no-ops
-    val props = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${cur._1}").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("graft.dels").contains("d1"), s"delete ledger lost: $props")
     Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "preburn")
@@ -459,7 +471,7 @@ class DedupSpec extends SparkSpec {
       docs.filter($"doc_id" % 20 === 0), "graft_delspec", batchTag = "b2")
     val (r2bt, r2st) = Dedup.ensureMinhashBandIndex(
       docs.filter($"doc_id" % 20 =!= 3), "graft_delref2", srcTag = tag)
-    assert(bandsOf(bt) == bandsOf(r2bt) && sigsOf(st) == sigsOf(r2st),
+    assert(bandsOf(cur._1) == bandsOf(r2bt) && sigsOf(cur._2) == sigsOf(r2st),
       "re-folded index must equal a rebuild over remainder ∪ re-inserts")
   }
 
@@ -510,9 +522,10 @@ class DedupSpec extends SparkSpec {
       // both physical tables hold the remainder only
       assert(spark.table(delsTable).count() == 0,
         "an over-cap delete must trigger the physical purge")
-      val gone = spark.table(bt)
+      val (cb, cs) = Dedup.currentIndexTables(spark, prefix)
+      val gone = spark.table(cb)
         .filter($"doc_id" % 4 === 1 || $"doc_id" % 60 === 0).count() +
-        spark.table(st)
+        spark.table(cs)
           .filter($"doc_id" % 4 === 1 || $"doc_id" % 60 === 0).count()
       assert(gone == 0, "purge must drop the tombstoned docs physically")
     } finally spark.conf.unset(key)
@@ -543,8 +556,9 @@ class DedupSpec extends SparkSpec {
     // SURVIVORS to the sigs side — re-appending the full batch would
     // resurrect the deleted docs in signature-verification joins
     Dedup.foldIntoMinhashBandIndex(b, "graft_resspec", batchTag = "crashed")
-    val sigIds  = spark.table(st).select("doc_id").as[Long].collect().toSet
-    val bandIds = spark.table(bt).select("doc_id").as[Long].collect().toSet
+    val (cb, cs) = Dedup.currentIndexTables(spark, "graft_resspec")
+    val sigIds  = spark.table(cs).select("doc_id").as[Long].collect().toSet
+    val bandIds = spark.table(cb).select("doc_id").as[Long].collect().toSet
     assert(sigIds.intersect(dead).isEmpty,
       s"deleted docs resurrected in sigs: ${sigIds.intersect(dead).take(5)}")
     assert(sigIds == bandIds, "sigs and bands must converge on one doc set")
@@ -557,9 +571,9 @@ class DedupSpec extends SparkSpec {
     def sigsOf(t: String) =
       spark.table(t).select("doc_id", "sig").as[(Long, Seq[Long])]
         .collect().map { case (d, s) => (d, s.toList) }.toSet
-    assert(bandsOf(bt) == bandsOf(rbt),
+    assert(bandsOf(cb) == bandsOf(rbt),
       "repaired bands must equal rebuild-from-remainder")
-    assert(sigsOf(st) == sigsOf(rst),
+    assert(sigsOf(cs) == sigsOf(rst),
       "repaired sigs must equal rebuild-from-remainder")
   }
 }

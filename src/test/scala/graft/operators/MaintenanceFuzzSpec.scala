@@ -33,7 +33,12 @@ class MaintenanceFuzzSpec extends SparkSpec {
     val batchIds: Map[Int, Set[Long]] =
       (1 to 5).map(i => i -> batch(i).select("doc_id").as[Long].collect().toSet).toMap
 
-    val (bt, st) = Dedup.ensureMinhashBandIndex(base, prefix, srcTag = s"fuzz-$run")
+    val (bt0, st0) = Dedup.ensureMinhashBandIndex(base, prefix, srcTag = s"fuzz-$run")
+    // compaction promotes generation pairs — every physical access
+    // resolves the lineage's CURRENT tables at use time
+    def bt = Dedup.currentIndexTables(spark, prefix)._1
+    def st = Dedup.currentIndexTables(spark, prefix)._2
+    assert((bt, st) == ((bt0, st0)), "fresh lineage must resolve to gen 0")
     // driver-side model of what the index must contain
     var folded: Set[Long]  = base.select("doc_id").as[Long].collect().toSet
     var deleted: Set[Long] = Set.empty
@@ -41,15 +46,8 @@ class MaintenanceFuzzSpec extends SparkSpec {
     var delSeq    = 0
     val ops = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    def doDelete(scope: Set[Long], protect: Set[Long] = Set.empty): Unit = {
-      var pick = scope.toSeq.sorted.filter(_ => rnd.nextDouble() < 0.33).toSet
-      // stay inside the contract's DECIDABLE region (documented on the
-      // fold repair): a crashed batch deleted IN FULL and compacted
-      // away is indistinguishable from never-folded, so its replay
-      // re-appends it by design — the fuzz always leaves part of a
-      // crashed batch alive, the way the takedown trickle would
-      if (protect.nonEmpty && protect.subsetOf(pick))
-        pick --= protect.toSeq.sorted.take(protect.size / 2 + 1)
+    def doDelete(scope: Set[Long]): Unit = {
+      val pick = scope.toSeq.sorted.filter(_ => rnd.nextDouble() < 0.33).toSet
       if (pick.nonEmpty && pick != scope) {
         delSeq += 1
         ops += s"delete(d$delSeq, ${pick.size} ids)"
@@ -79,15 +77,43 @@ class MaintenanceFuzzSpec extends SparkSpec {
               explode(Dedup.bandKeyArray($"sig", 16, 4)).as("bk"))
             .write.mode("append").format("parquet")
             .bucketBy(8, "bk").sortBy("bk").saveAsTable(bt)
-          // in the crash window: maybe a takedown touching the crashed
-          // batch, then ALWAYS compact (the repair contract requires
-          // purge before a replay that intersects tombstones)
-          if (rnd.nextBoolean())
-            doDelete((folded -- deleted) ++ batchIds(i), protect = batchIds(i))
+          // in the crash window: maybe a takedown — sometimes wiping
+          // the ENTIRE crashed batch, which drives the replay into the
+          // once-undecidable region — then ALWAYS compact (the repair
+          // contract requires purge before a replay that intersects
+          // tombstones)
+          val fullWipe = rnd.nextBoolean()
+          if (fullWipe) {
+            delSeq += 1
+            ops += s"delete(d$delSeq, FULL batch b$i)"
+            Dedup.deleteFromMinhashBandIndex(
+              batchIds(i).toSeq.toDF("doc_id"), prefix, delTag = s"d$delSeq")
+            deleted ++= batchIds(i)
+          } else if (rnd.nextBoolean())
+            doDelete((folded -- deleted) ++ batchIds(i))
           ops += "compact"
           Dedup.compactMinhashBandIndex(spark, prefix)
           ops += s"replay(b$i)"
-          Dedup.foldIntoMinhashBandIndex(batch(i), prefix, batchTag = s"b$i")
+          if (fullWipe) {
+            // the purge ran inside the tag's crash window and nothing
+            // of the batch survived: the replay must REFUSE the silent
+            // re-append (this used to be the fuzz's excluded region —
+            // now it is fenced and exercised)
+            val e = intercept[IllegalStateException] {
+              Dedup.foldIntoMinhashBandIndex(batch(i), prefix,
+                batchTag = s"b$i")
+            }
+            assert(e.getMessage.contains("undecidable"),
+              s"wrong refusal: ${e.getMessage}")
+            ops += s"refused(b$i) → refold(b${i}r)"
+            // the operator decides explicitly under a fresh tag —
+            // here: the batch re-enters the index
+            Dedup.foldIntoMinhashBandIndex(batch(i), prefix,
+              batchTag = s"b${i}r")
+            deleted --= batchIds(i)
+          } else
+            Dedup.foldIntoMinhashBandIndex(batch(i), prefix,
+              batchTag = s"b$i")
           folded ++= batchIds(i); nextBatch += 1
         case 2 if (folded -- deleted).nonEmpty => // takedown trickle
           doDelete(folded -- deleted)
@@ -156,6 +182,30 @@ class MaintenanceFuzzSpec extends SparkSpec {
     var nextBatch = 1
     var delSeq    = 0
 
+    // CONCURRENT probe pressure (the r17 ask): a thread probes the
+    // layout continuously while the op sequence folds/deletes/compacts
+    // under it — the manifest promote means every probe must succeed,
+    // whatever maintenance lands mid-flight. The one excluded window is
+    // the LEGACY crash-sim (case 3), which deliberately makes the
+    // layout headless the way only the pre-manifest binary could; the
+    // `legacyGate` serializes probes against that injected state.
+    val legacyGate = new Object
+    val stopProbes = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val probeErr   = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val probeCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val qvFuzz = emb.filter($"vec_id" === 0L).select($"embedding")
+      .as[Array[Float]].head()
+    val prober = new Thread(() => {
+      try while (!stopProbes.get()) legacyGate.synchronized {
+        val got = Similarity.ivfProbe(spark, path, qvFuzz.toSeq, k = 5,
+          nProbe = 4).select("vec_id").as[Long].collect()
+        assert(got.nonEmpty, "concurrent probe returned no rows")
+        probeCount.incrementAndGet()
+      } catch { case t: Throwable => probeErr.set(t) }
+    }, s"fuzz-prober-$seed")
+    prober.setDaemon(true)
+    prober.start()
+
     (1 to 10).foreach { _ =>
       rnd.nextInt(5) match {
         case 0 if nextBatch <= 5 => // fold a new batch
@@ -177,18 +227,24 @@ class MaintenanceFuzzSpec extends SparkSpec {
         case 2 => // compaction (purges standing tombstones)
           Similarity.compactIvfCells(spark, path)
           tombstoned = Set.empty
-        case 3 => // compaction CRASH inside the promote window: cells/
-          // renamed away, the staged original left as cells.old* — the
-          // next locked maintenance entry must heal it via recoverCells
+        case 3 => legacyGate.synchronized {
+          // LEGACY headless crash (the pre-manifest binary's
+          // two-rename gap): the ACTIVE generation renamed away, the
+          // copy left as cells.old* — the next locked maintenance
+          // entry must heal it via recoverCells. The manifest promote
+          // itself can no longer produce this state, so probes are
+          // gated out of this one injected window.
           val fs = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(spark.sessionState.newHadoopConf())
-          val cells = new org.apache.hadoop.fs.Path(path, "cells")
+          val cells = new org.apache.hadoop.fs.Path(
+            Similarity.activeCellsDir(spark, path))
           val old = new org.apache.hadoop.fs.Path(
             path, s"cells.old${System.nanoTime()}")
           assert(fs.rename(cells, old), "crash-sim rename failed")
           Similarity.compactIvfCells(spark, path) // locked entry heals + compacts
           tombstoned = Set.empty
           assert(fs.exists(cells), "recoverCells did not heal the layout")
+        }
         case _ => // probe under whatever state stands: k results, no
           // tombstoned id served (the live view is immediate)
           val qv = emb.filter($"vec_id" === 0L).select($"embedding")
@@ -199,6 +255,12 @@ class MaintenanceFuzzSpec extends SparkSpec {
           assert(!got.exists(deleted), s"seed=$seed: probe served a deleted id")
       }
     }
+
+    stopProbes.set(true)
+    prober.join(60000)
+    assert(probeErr.get() == null,
+      s"seed=$seed: concurrent probe failed: ${probeErr.get()}")
+    assert(probeCount.get() > 0, s"seed=$seed: prober never ran")
 
     // the invariant: live cells ≡ assignment of (folded − deleted) to
     // the STANDING centroids (folds never move centroids), and after a
@@ -213,7 +275,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
           .withColumn("nrm", VectorFunctions.qdot($"q", $"q")), cents)
       .select($"vec_id", $"cent_id", $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSet
-    val physical = spark.read.parquet(s"$path/cells")
+    val physical = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSet
     assert(physical == expected,
@@ -243,7 +305,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     // the survivors' codes bit-identical at the end — deletion and
     // compaction must never re-quantize a surviving row
     def snapshot(): Map[Long, Seq[Long]] =
-      spark.read.parquet(s"$path/cells").select($"vec_id", $"codes")
+      spark.read.parquet(Similarity.activeCellsDir(spark, path)).select($"vec_id", $"codes")
         .as[(Long, Seq[Long])].collect().map { case (v, c) => v -> c.toList }
         .toMap
     var expected: Map[Long, Seq[Long]] = snapshot()

@@ -26,8 +26,9 @@ class MaintenanceStressSpec extends SparkSpec {
     val baseIds = allIds.filter(_ % 10 < 5)
     val pool = (5 to 9).map(m => allIds.filter(_ % 10 == m)).filter(_.nonEmpty)
     val prefix = "graft_stress_band"
-    val bt = s"${prefix}_bands"
-    val st = s"${prefix}_sigs"
+    // compaction promotes generation pairs — resolve at use time
+    def bt = Dedup.currentIndexTables(spark, prefix)._1
+    def st = Dedup.currentIndexTables(spark, prefix)._2
     Dedup.ensureMinhashBandIndex(
       docs.filter($"doc_id" % 10 < 5), prefix,
       srcTag = s"stress-${System.nanoTime()}")
@@ -192,9 +193,10 @@ class MaintenanceStressSpec extends SparkSpec {
     }
 
     def crashCompact(): Unit = {
-      // the compaction crash window: layout headless (cells staged
-      // aside) — the next maintenance entry must heal THEN purge
-      val cells = new java.io.File(s"$path/cells")
+      // LEGACY headless crash (pre-manifest two-rename gap): the
+      // ACTIVE generation staged aside — the next maintenance entry
+      // must heal THEN purge
+      val cells = new java.io.File(Similarity.activeCellsDir(spark, path))
       val old   = new java.io.File(s"$path/cells.old${System.nanoTime()}")
       assert(cells.renameTo(old), s"op $opN: test setup rename failed")
       compact()

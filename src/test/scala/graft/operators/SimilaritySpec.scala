@@ -566,7 +566,7 @@ class SimilaritySpec extends SparkSpec {
     val tag    = s"ivffold-${System.nanoTime()}"
     val (path, _) = Similarity.ensureIvfIndex(corpus, srcTag = tag)
     def cellFiles: Set[String] =
-      graft.util.LocalFs.walkFiles(new java.io.File(s"$path/cells"))
+      graft.util.LocalFs.walkFiles(new java.io.File(Similarity.activeCellsDir(spark, path)))
         .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
     val before = cellFiles
     Similarity.foldIntoIvfIndex(batch, path, batchTag = "b1")
@@ -583,7 +583,7 @@ class SimilaritySpec extends SparkSpec {
     val want = Similarity.assignToCentroids(all, cents)
       .select($"vec_id", $"cent_id", $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
-    val got = spark.read.parquet(s"$path/cells")
+    val got = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
     assert(got == want, "folded cells must equal the union assignment")
@@ -615,8 +615,8 @@ class SimilaritySpec extends SparkSpec {
       srcTag = s"compact-${System.nanoTime()}")
     Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 20 === 0), path, "b1")
     Similarity.foldIntoIvfIndex(batch.filter($"vec_id" % 20 =!= 0), path, "b2")
-    def cellFiles: Int = graft.util.LocalFs.parquetFileCount(s"$path/cells")
-    def rows = spark.read.parquet(s"$path/cells")
+    def cellFiles: Int = graft.util.LocalFs.parquetFileCount(Similarity.activeCellsDir(spark, path))
+    def rows = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
     val qv = emb.filter($"vec_id" === 0L).select($"embedding")
@@ -648,8 +648,8 @@ class SimilaritySpec extends SparkSpec {
     val batch  = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
     val (path, _) = Similarity.ensureIvfIndex(corpus,
       srcTag = s"autocompact-${System.nanoTime()}")
-    def cellFiles: Int = graft.util.LocalFs.parquetFileCount(s"$path/cells")
-    def rows = spark.read.parquet(s"$path/cells")
+    def cellFiles: Int = graft.util.LocalFs.parquetFileCount(Similarity.activeCellsDir(spark, path))
+    def rows = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
     val qv = emb.filter($"vec_id" === 0L).select($"embedding")
@@ -748,7 +748,7 @@ class SimilaritySpec extends SparkSpec {
     Similarity.compactIvfCells(spark, path)
     assert(!new java.io.File(s"$path/tombstones").exists(),
       "compaction must clear consumed tombstones")
-    val physical = spark.read.parquet(s"$path/cells")
+    val physical = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
     assert(physical == want, "compaction must purge exactly the tombstoned rows")
@@ -765,7 +765,7 @@ class SimilaritySpec extends SparkSpec {
     Similarity.deleteFromIvfIndex(
       emb.filter($"vec_id" % 20 === 10).select("vec_id"), path, delTag = "d2")
     val rebuilt = Similarity.rebuildIvfIndex(spark, path, s"$path-delrebuilt")
-    val rebuiltIds = spark.read.parquet(s"$rebuilt/cells")
+    val rebuiltIds = spark.read.parquet(Similarity.activeCellsDir(spark, rebuilt))
       .select("vec_id").as[Long].collect().toSet
     assert(!rebuiltIds.exists(_ % 20 == 10),
       "rebuild must exclude tombstoned ids")
@@ -807,7 +807,7 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSeq.sorted
     Similarity.compactIvfCells(spark, path)
     assert(!new java.io.File(s"$path/tombstones").exists())
-    val phys = spark.read.parquet(s"$path/cells")
+    val phys = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id").as[Long].collect().toSeq.sorted
     assert(phys == liveBefore, "PQ compaction must purge exactly the tombstoned rows")
     Similarity.foldIntoIvfPqIndex(
@@ -853,11 +853,13 @@ class SimilaritySpec extends SparkSpec {
       srcTag = s"recover-${System.nanoTime()}")
     Similarity.foldIntoIvfIndex(
       emb.filter($"vec_id" % 10 === 0), path, "b1")
-    def rows = spark.read.parquet(s"$path/cells")
+    def rows = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id").as[Long].collect().toSeq.sorted
     val before = rows
-    // simulate the compaction crash window: cells staged aside, layout
-    // headless (exactly the state between compactIvfCells' two renames)
+    // simulate a LEGACY pre-manifest crash state: cells staged aside,
+    // layout headless (the old two-rename promote's gap; the manifest
+    // promote can no longer produce this, but layouts written by the
+    // old binary can still carry it)
     val cells = new java.io.File(s"$path/cells")
     val old   = new java.io.File(s"$path/cells.old12345")
     assert(cells.renameTo(old), "test setup: stage cells aside")
@@ -872,39 +874,48 @@ class SimilaritySpec extends SparkSpec {
       "the fold ledger must survive the heal")
   }
 
-  test("recoverCells: stale cells.old*/cells.compact* leftovers are GC'd once cells/ stands") {
+  test("recoverCells: aged superseded generations and legacy leftovers are GC'd, fresh ones kept") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
     val (path, _) = Similarity.ensureIvfIndex(corpus,
       srcTag = s"gc-${System.nanoTime()}")
-    def rows = spark.read.parquet(s"$path/cells")
+    def rows = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id").as[Long].collect().toSeq.sorted
     val before = rows
-    // simulate a compaction that crashed AFTER the tmp→cells promote but
-    // before the old-copy delete: cells/ stands, a full pre-compaction
-    // copy (cells.old*) and staging dirs (cells.compact*) linger —
-    // without GC a long-lived fold+compact tier leaks one full index
-    // copy per crashed run. A FRESH compact dir may be a LIVE build in
-    // another process (lockFor is JVM-local), so only aged ones go.
-    val old   = new java.io.File(s"$path/cells.old99999")
+    // a REAL compaction supersedes the original cells/ generation: the
+    // manifest flips, the old dir stays for in-flight scans — it must
+    // survive while fresh and go once aged past gcStaleHours
+    Similarity.compactIvfCells(spark, path)
+    val gen0 = new java.io.File(s"$path/cells")
+    assert(gen0.isDirectory,
+      "the superseded generation must survive its own promote (in-flight scans)")
+    assert(Similarity.activeCellsDir(spark, path).endsWith(".MANIFEST") == false &&
+      !Similarity.activeCellsDir(spark, path).endsWith("/cells"),
+      "after compaction the manifest must name a new generation")
+    // plant legacy leftovers from the pre-manifest binary alongside:
+    // everything is age-gated — a fresh dir may be an in-flight scan's
+    // generation or a LIVE cross-process rewrite (lockFor is JVM-local)
+    val oldA  = new java.io.File(s"$path/cells.old99999")    // aged legacy copy
     val cmpL  = new java.io.File(s"$path/cells.compact88888") // live (fresh)
-    val cmpC  = new java.io.File(s"$path/cells.compact99999") // crashed (aged)
-    assert(old.mkdir() && cmpL.mkdir() && cmpC.mkdir(),
-      "test setup: plant stale siblings")
-    java.nio.file.Files.write(old.toPath.resolve("leftover.parquet"),
+    assert(oldA.mkdir() && cmpL.mkdir(), "test setup: plant stale siblings")
+    java.nio.file.Files.write(oldA.toPath.resolve("leftover.parquet"),
       Array[Byte](1, 2, 3))
-    java.nio.file.Files.setLastModifiedTime(cmpC.toPath,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 25L * 3600 * 1000))
-    // the next locked maintenance entry garbage-collects the leftovers
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 25L * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(oldA.toPath.resolve("leftover.parquet"), aged)
+    java.nio.file.Files.setLastModifiedTime(oldA.toPath, aged)
+    // age the superseded generation too (newest-file liveness key)
+    java.nio.file.Files.walk(gen0.toPath).forEach(f =>
+      java.nio.file.Files.setLastModifiedTime(f, aged))
+    // the next locked maintenance entry garbage-collects the aged ones
     Similarity.foldIntoIvfIndex(
       emb.filter($"vec_id" % 10 === 0), path, "gc1")
-    assert(!old.exists() && !cmpC.exists(),
-      "cells.old* and AGED cells.compact* must be deleted once cells/ stands")
+    assert(!oldA.exists() && !gen0.exists(),
+      "AGED legacy copies and superseded generations must be deleted")
     assert(cmpL.exists(),
-      "a FRESH cells.compact* (possibly a live cross-process build) must survive")
+      "a FRESH sibling (possibly a live cross-process rewrite) must survive")
     cmpL.delete()
-    assert(rows.toSet.subsetOf(spark.read.parquet(s"$path/cells")
+    assert(rows.toSet.subsetOf(spark.read.parquet(Similarity.activeCellsDir(spark, path))
         .select($"vec_id").as[Long].collect().toSet),
       s"GC must not touch the live layout (pre-fold rows: ${before.size})")
   }
@@ -923,7 +934,7 @@ class SimilaritySpec extends SparkSpec {
     def cents(p: String) = spark.read.parquet(s"$p/centroids")
       .select($"cent_id", $"cvec", $"cnrm")
       .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
-    def cells(p: String) = spark.read.parquet(s"$p/cells")
+    def cells(p: String) = spark.read.parquet(Similarity.activeCellsDir(spark, p))
       .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
     assert(cents(rebuilt) == cents(fresh),
@@ -1066,9 +1077,9 @@ class SimilaritySpec extends SparkSpec {
     val batch  = emb.filter($"vec_id" % 10 === 0)
     val (path, _) = Similarity.ensureIvfPqIndex(corpus,
       srcTag = s"pqfold-${System.nanoTime()}")
-    val corpusRows = spark.read.parquet(s"$path/cells").count()
+    val corpusRows = spark.read.parquet(Similarity.activeCellsDir(spark, path)).count()
     Similarity.foldIntoIvfPqIndex(batch, path, "b0")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = spark.read.parquet(Similarity.activeCellsDir(spark, path))
     assert(cells.count() == emb.count(), "every union vector indexed once")
     // folded rows carry codes from the STANDING corpus books: every
     // code must be a corpus-seeded code_id (vec_id < 256, not %10==0)
@@ -1088,15 +1099,15 @@ class SimilaritySpec extends SparkSpec {
       s"folded vec must be its own ADC-nearest, got $top")
     // replayed batch tag is a no-op
     Similarity.foldIntoIvfPqIndex(batch, path, "b0")
-    assert(spark.read.parquet(s"$path/cells").count() == emb.count())
+    assert(spark.read.parquet(Similarity.activeCellsDir(spark, path)).count() == emb.count())
     assert(corpusRows < emb.count())
     // the shared compactor serves the CODE cells too: fewer files,
     // identical probe
     val before = Similarity.ivfPqProbe(spark, path, qv.toSeq, k = 10, nProbe = 4)
       .as[(Long, Long)].collect().toSeq
-    val filesBefore = graft.util.LocalFs.parquetFileCount(s"$path/cells")
+    val filesBefore = graft.util.LocalFs.parquetFileCount(Similarity.activeCellsDir(spark, path))
     Similarity.compactIvfCells(spark, path)
-    assert(graft.util.LocalFs.parquetFileCount(s"$path/cells") < filesBefore)
+    assert(graft.util.LocalFs.parquetFileCount(Similarity.activeCellsDir(spark, path)) < filesBefore)
     val after = Similarity.ivfPqProbe(spark, path, qv.toSeq, k = 10, nProbe = 4)
       .as[(Long, Long)].collect().toSeq
     assert(after == before, "PQ probes must be identical after compaction")
@@ -1138,7 +1149,7 @@ class SimilaritySpec extends SparkSpec {
     graft.streaming.AnnIngestStream.drainIngest(
       Seq(batch.filter($"vec_id" % 20 === 0), batch.filter($"vec_id" % 20 =!= 0)),
       pathB, tagPrefix = "t")
-    def cells(p: String) = spark.read.parquet(s"$p/cells")
+    def cells(p: String) = spark.read.parquet(Similarity.activeCellsDir(spark, p))
       .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
     assert(cells(pathA) == cells(pathB),
@@ -1326,7 +1337,7 @@ class SimilaritySpec extends SparkSpec {
         "an over-cap delete must trigger the physical purge")
       val nMass = emb.filter($"vec_id" % 4 === 1).count()
       assert(Similarity.liveCells(spark, path).count() == live - nMass)
-      assert(spark.read.parquet(s"$path/cells").count() == live - nMass,
+      assert(spark.read.parquet(Similarity.activeCellsDir(spark, path)).count() == live - nMass,
         "the purge must be physical, not just the live view")
     } finally spark.conf.unset(key)
   }

@@ -61,8 +61,31 @@ result = {
     "pass": recall >= min_recall,
     "full_measurement": m,
 }
+# POST-TAKEDOWN leg (the r17 ask): DeletionBench measures rerank
+# recall@10 at the same defaults on a layout left by a 10% takedown +
+# physical purge, and emits it into BENCH_delete.json — merge that row
+# into the gate so a round close asserts BOTH operating points.
+try:
+    with open("/root/repo/BENCH_delete.json") as f:
+        db = json.load(f)
+    if "pq_recall_after_purge" in db:
+        result["post_takedown"] = {
+            "sf_dir": db.get("sf_dir"),
+            "rerank_recall_at_10": db["pq_recall_after_purge"],
+            "min_recall": db.get("pq_recall_min", min_recall),
+            "pass": bool(db.get("pq_recall_pass",
+                                db["pq_recall_after_purge"] >= min_recall)),
+        }
+except (FileNotFoundError, json.JSONDecodeError):
+    pass
+
+ok = result["pass"] and result.get("post_takedown", {}).get("pass", True)
 with open("/root/repo/RECALL_GATE.json", "w") as f:
     json.dump(result, f, indent=1)
 print(f"recall@10 = {recall} at {sf} "
       f"({'PASS' if result['pass'] else 'FAIL'}, floor {min_recall})")
-sys.exit(0 if result["pass"] else 1)
+if "post_takedown" in result:
+    pt = result["post_takedown"]
+    print(f"post-takedown recall@10 = {pt['rerank_recall_at_10']} at "
+          f"{pt['sf_dir']} ({'PASS' if pt['pass'] else 'FAIL'})")
+sys.exit(0 if ok else 1)
