@@ -284,6 +284,38 @@ object Multimodal {
           math.max(1L, samples * 1000L / math.max(1, sr0)), 0.0))
       }
     }
+
+    /** FLAC STREAMINFO parse — pure JVM, from the public FLAC container
+      * spec (the `mp3Meta` contract for the other ubiquitous audio
+      * container): `fLaC` magic, then the mandatory first metadata
+      * block (type 0 = STREAMINFO, 34 bytes) carries the sample rate
+      * (20 bits) and total inter-channel samples (36 bits) — real
+      * rate + duration without a frame decode (`rms` 0, as with the
+      * MP3 header walk). None on anything that is not a well-formed
+      * FLAC prologue — callers fall back to the stub.
+      */
+    def flacMeta(data: Array[Byte]): Option[AudioMeta] = {
+      if (data.length < 4 + 4 + 34 ||
+          data(0) != 'f' || data(1) != 'L' || data(2) != 'a' ||
+          data(3) != 'C') return None
+      // first metadata block header: 1 bit last-flag, 7 bits type,
+      // 24-bit big-endian length — STREAMINFO is mandatory and first
+      val blockType = data(4) & 0x7f
+      val blockLen = ((data(5) & 0xff) << 16) | ((data(6) & 0xff) << 8) |
+        (data(7) & 0xff)
+      if (blockType != 0 || blockLen != 34) return None
+      val b = 8 // STREAMINFO payload offset
+      // bytes 10-17 of the payload: 20-bit sample rate, 3-bit
+      // channels-1, 5-bit bps-1, 36-bit total samples
+      val sr = ((data(b + 10) & 0xff) << 12) | ((data(b + 11) & 0xff) << 4) |
+        ((data(b + 12) & 0xff) >> 4)
+      val totalSamples = (((data(b + 13) & 0x0fL) << 32) |
+        ((data(b + 14) & 0xffL) << 24) | ((data(b + 15) & 0xffL) << 16) |
+        ((data(b + 16) & 0xffL) << 8) | (data(b + 17) & 0xffL))
+      if (sr <= 0) None
+      else Some(AudioMeta(sr,
+        math.max(1L, totalSamples * 1000L / sr), 0.0))
+    }
   }
 
   // -------------------------------------------------------------------------
@@ -365,7 +397,9 @@ object Multimodal {
     media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
       .mapPartitions { rows =>
         rows.filter(_.kind == "audio").map { r =>
-          RealCodecs.decodeAudio(r.data).orElse(RealCodecs.mp3Meta(r.data)) match {
+          RealCodecs.decodeAudio(r.data)
+            .orElse(RealCodecs.mp3Meta(r.data))
+            .orElse(RealCodecs.flacMeta(r.data)) match {
             case Some(m) =>
               DecodedAudio(r.media_id, m.sample_rate, m.duration_ms, m.rms)
             case None =>

@@ -29,6 +29,22 @@ class ClustersSpec extends SparkSpec {
     assert(truncated(6L) != 1L, "one round cannot propagate 5 hops")
   }
 
+  test("an adversarial 200-hop chain converges in O(log n) rounds, not O(diameter)") {
+    // the boilerplate-spam shape that put a 50-round (maxIter) ceiling
+    // on min-label propagation: a single long chain. Star contraction
+    // halves the structure every round — 200 hops must fully collapse
+    // well inside the default round budget, where label propagation
+    // would have needed 199 rounds and silently truncated at 50.
+    val chain = (1L to 199L).map(i => (i, i + 1)).toDF("a", "b")
+    var rounds = 0
+    val labels = Clusters.connectedComponents(chain,
+        onRound = r => rounds = r)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 200 && labels.values.toSet == Set(1L),
+      s"chain must collapse to one component: ${labels.values.toSet}")
+    assert(rounds <= 14, s"expected O(log n) rounds, took $rounds")
+  }
+
   test("connectedComponents on an empty edge set returns no labels") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Clusters.connectedComponents(empty).count() == 0L)

@@ -154,6 +154,39 @@ class MultimodalSpec extends SparkSpec {
       out(2L).duration_ms == stub.duration_ms)
   }
 
+  test("flacMeta: STREAMINFO yields real rate/duration, garbage falls back") {
+    // synthesize the FLAC prologue from the public spec: "fLaC" magic,
+    // STREAMINFO block header (type 0, length 34), and the 34-byte
+    // payload carrying a 20-bit sample rate and 36-bit total samples
+    def flac(sr: Int, totalSamples: Long): Array[Byte] = {
+      val out = Array.fill[Byte](4 + 4 + 34)(0)
+      out(0) = 'f'; out(1) = 'L'; out(2) = 'a'; out(3) = 'C'
+      out(4) = 0x00; out(5) = 0; out(6) = 0; out(7) = 34
+      val b = 8
+      out(b + 10) = ((sr >> 12) & 0xff).toByte
+      out(b + 11) = ((sr >> 4) & 0xff).toByte
+      out(b + 12) = (((sr & 0xf) << 4) | 0x2).toByte // low bits: channels junk
+      out(b + 13) = ((totalSamples >> 32) & 0xf).toByte // top nibble: bps junk=0
+      out(b + 14) = ((totalSamples >> 24) & 0xff).toByte
+      out(b + 15) = ((totalSamples >> 16) & 0xff).toByte
+      out(b + 16) = ((totalSamples >> 8) & 0xff).toByte
+      out(b + 17) = (totalSamples & 0xff).toByte
+      out
+    }
+    val m = Multimodal.RealCodecs.flacMeta(flac(44100, 441000L)).get
+    assert(m.sample_rate == 44100 && m.duration_ms == 10000 && m.rms == 0.0)
+    // a 36-bit-wide sample count (an hour at 96 kHz) survives the parse
+    val m2 = Multimodal.RealCodecs.flacMeta(flac(96000, 96000L * 3600)).get
+    assert(m2.sample_rate == 96000 && m2.duration_ms == 3600L * 1000)
+    // magic without a STREAMINFO block, and non-FLAC bytes: fall back
+    assert(Multimodal.RealCodecs.flacMeta("fLaCxxxxyyyy".getBytes).isEmpty)
+    assert(Multimodal.RealCodecs.flacMeta(Array.fill[Byte](64)(0x55)).isEmpty)
+    // the auto decode path routes a FLAC blob through the real parser
+    val media = Seq(Multimodal.MediaRow(1L, "audio", flac(48000, 96000L))).toDF()
+    val got = Multimodal.decodeAudioAuto(media).collect().head
+    assert(got.sample_rate == 48000 && got.duration_ms == 2000)
+  }
+
   test("decodeImagesAuto: real PNG through ImageIO, synthetic bytes fall back") {
     // build a deterministic 2x2 PNG with known pixel values via the JDK
     val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
