@@ -7,30 +7,36 @@ import org.apache.spark.sql.functions._
   * "near-dup pairs" (MinHash/SimHash/winnowing output) and "keep one
   * document per duplicate cluster".
   *
-  * Algorithm: alternating two-rule STAR CONTRACTION (large-star /
+  * Algorithm: STAGED ESCALATION. Phase 1 is plain min-label
+  * propagation (each node takes the minimum label in its closed
+  * neighborhood) for a few cheap rounds — near-dup components are
+  * clique-ish with diameter 2-3, so the common case converges here at
+  * one join+agg per round. If propagation has not converged by the
+  * escalation bound, phase 2 CONTRACTS the graph by the partial labels
+  * (a component-preserving quotient — every label is a reachable id)
+  * and runs alternating two-rule STAR CONTRACTION (large-star /
   * small-star — Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14). Each round rewires every node toward the minimum
-  * of its neighborhood: large-star hangs every neighbor LARGER than the
-  * center onto the neighborhood minimum, small-star re-roots each
-  * node's smaller neighbors (and itself) onto that minimum. The edge
-  * set contracts toward one star per component (every node → component
-  * minimum) in O(log n) rounds — vs O(component diameter) for plain
-  * min-label propagation, which put a ~50-round ceiling on one
-  * adversarial boilerplate chain. Near-dup graphs are clique-ish
-  * (2-3 rounds); the log bound is insurance for the pathological tail.
+  * Beyond", SoCC'14) on the much smaller quotient: O(log n) rounds vs
+  * the O(component diameter) that put a ~50-round ceiling on one
+  * adversarial boilerplate chain. The composed label (node → partial
+  * label → quotient star root) is the component minimum, because the
+  * minimum id of a component is always its own label and hence a
+  * quotient node.
   *
   * Scale design (100 TB):
-  *  - each round is two join+agg passes over the CURRENT edge set,
-  *    which only shrinks (distinct-bounded) as components contract —
-  *    no label table riding along, the edges ARE the state;
+  *  - a phase-1 round is ONE shuffle (neighbor-min join + map-side
+  *    combinable min agg); a phase-2 round is two join+agg passes over
+  *    the quotient edge set, which only shrinks as components
+  *    contract;
   *  - lineage is truncated each round ([[graft.util.Checkpoints.stage]])
   *    so the plan doesn't grow exponentially with iterations; pass
   *    `checkpointDir` (or set `spark.graft.checkpointDir`) to use a
   *    reliable DFS checkpoint that survives executor loss — mandatory
   *    on a real cluster, where `localCheckpoint` blocks die with the
   *    executor and would kill a 100 TB run mid-iteration;
-  *  - convergence = the round's edge set equals its input (count match
-  *    + one anti-join probe over already-checkpointed blocks);
+  *  - phase-2 convergence = the round's edge set IS a star forest,
+  *    detected by shape in one fused role-count job over the
+  *    just-checkpointed round — no extra confirm round;
   *  - the output is O(|nodes in any edge|), not O(|corpus|):
   *    singleton documents never enter the graph and need no label.
   */
@@ -66,67 +72,115 @@ object Clusters {
       graft.util.Checkpoints.configured(edges.sparkSession))
     val in = edges.select(col(src).cast("long").as("a"),
       col(dst).cast("long").as("b"))
-    // self-loops carry membership but no connectivity: peel their nodes
-    // off (self-labeled singletons unless an edge also reaches them)
-    val selfIds = in.filter(col("a") === col("b")).select("a").distinct()
+    // ONE evaluation of the (possibly expensive) edge pipeline: sym is
+    // the persisted universe every phase reads — self-loops ride along
+    // harmlessly (their nodes enter the label table; they add no
+    // connectivity and the phase-2 quotient filters them)
+    val sym = in.union(in.select(col("b").as("a"), col("a").as("b")))
+      .persist()
 
-    // large-star: hang every neighbor LARGER than the center onto the
-    // neighborhood minimum (center included) — strictly decreasing
-    // attachment, halves long chains
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      val mins = sym.groupBy("a").agg(min(col("b")).as("mb"))
-        .select(col("a"), least(col("a"), col("mb")).as("m"))
-      sym.join(mins, "a").filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .distinct()
-    }
-    // small-star: re-root each center's smaller neighbors (and the
-    // center itself) onto its minimum
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest(col("a"), col("b")).as("a"),
-          least(col("a"), col("b")).as("b"))
-        .filter(col("a") =!= col("b"))
-      val mins = dir.groupBy("a").agg(min(col("b")).as("m"))
-      dir.join(mins, "a")
-        .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b"))
-        .union(mins.select(col("a"), col("m").as("b")))
-        .distinct()
-    }
-
-    var cur = graft.util.Checkpoints.stage(
-      in.filter(col("a") =!= col("b")).distinct(), ckptDir)
-    var curN = cur.count()
-    var converged = curN == 0L
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val next = graft.util.Checkpoints.stage(
-        smallStar(largeStar(cur)), ckptDir)
-      val nextN = next.count()
-      // fixpoint: both rules leave a forest of component stars alone —
-      // equal counts plus an empty one-sided anti-join pins set
-      // equality over the two checkpointed rounds
-      converged = nextN == curN &&
-        next.join(cur, Seq("a", "b"), "left_anti").isEmpty
-      cur = next; curN = nextN
+    // ---- phase 1: min-label propagation (diameter-bounded, cheap) ----
+    // the escalation bound: enough for the clique-ish components that
+    // dominate near-dup graphs, small enough that a pathological chain
+    // wastes almost nothing before phase 2 takes over
+    val escalateAfter = math.min(4, maxIter)
+    var labels = graft.util.Checkpoints.stage(
+      sym.select(col("a").as("id")).distinct()
+        .withColumn("cluster", col("id")),
+      ckptDir)
+    var changed = 1L
+    var iter    = 0
+    while (changed > 0 && iter < escalateAfter) {
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val stepped = graft.util.Checkpoints.stage(
+        labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(col("id"), col("cluster").as("old"),
+            least(col("cluster"),
+              coalesce(col("nbr_min"), col("cluster"))).as("cluster")),
+        ckptDir)
+      changed = stepped.filter(col("cluster") < col("old")).count()
+      labels = stepped.select("id", "cluster")
       iter += 1
       onRound(iter)
     }
-    // labels: children point at their star root; roots (only ever on
-    // the b side at fixpoint) label themselves. min() collapses the
-    // multi-parent edges a maxIter-truncated run can still carry, so
-    // the output is one row per node at ANY cut point.
-    val children = cur.groupBy(col("a").as("id"))
-      .agg(min(col("b")).as("cluster"))
-    val roots = cur.select(col("b").as("id")).distinct()
-      .join(children.select("id"), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("cluster"))
-    val lone = selfIds.select(col("a").as("id"))
-      .join(children.select("id").union(roots.select("id")),
-        Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("cluster"))
-    children.union(roots).union(lone)
+
+    if (changed > 0 && iter < maxIter) {
+      // ---- phase 2: star contraction on the label QUOTIENT ----
+      // quotient edges (label_a, label_b) per original edge: a
+      // component-preserving contraction, and already ~4 hops coarser
+      // than the input after phase 1
+      val la = labels.select(col("id").as("a"), col("cluster").as("qa"))
+      val lb = labels.select(col("id").as("b"), col("cluster").as("qb"))
+      // built from the PERSISTED sym (both directions — smallStar
+      // canonicalizes), so phase 2 never re-evaluates the edge pipeline
+      val quotient = sym.join(la, "a").join(lb, "b")
+        .select(col("qa").as("a"), col("qb").as("b"))
+        .filter(col("a") =!= col("b"))
+
+      def largeStar(g: DataFrame): DataFrame = {
+        val gsym = g.union(g.select(col("b").as("a"), col("a").as("b")))
+        val mins = gsym.groupBy("a").agg(min(col("b")).as("mb"))
+          .select(col("a"), least(col("a"), col("mb")).as("m"))
+        // no intermediate distinct: smallStar consumes this within the
+        // round and dedups its own output
+        gsym.join(mins, "a").filter(col("b") > col("a"))
+          .select(col("b").as("a"), col("m").as("b"))
+      }
+      def smallStar(g: DataFrame): DataFrame = {
+        val dir = g.select(greatest(col("a"), col("b")).as("a"),
+            least(col("a"), col("b")).as("b"))
+          .filter(col("a") =!= col("b"))
+        val mins = dir.groupBy("a").agg(min(col("b")).as("m"))
+        dir.join(mins, "a")
+          .select(col("b").as("a"), col("m").as("b"))
+          .filter(col("a") =!= col("b"))
+          .union(mins.select(col("a"), col("m").as("b")))
+          .distinct()
+      }
+      // star forest ⟺ every child has exactly one parent AND no node
+      // is both child and root — ONE fused role-count job over the
+      // just-checkpointed round, and the moment it holds the roots are
+      // the component minima (both rules attach larger onto smaller and
+      // preserve components)
+      def starForest(g: DataFrame): Boolean = {
+        val firstRow = g
+          .select(col("a").as("id"), lit(1L).as("c"), lit(0L).as("r"))
+          .union(g.select(col("b").as("id"), lit(0L).as("c"), lit(1L).as("r")))
+          .groupBy("id").agg(sum(col("c")).as("c"), max(col("r")).as("r"))
+          .agg(coalesce(max(col("c")), lit(0L)).as("maxc"),
+            coalesce(max(when(col("c") > 0 && col("r") > 0, 1L)
+              .otherwise(0L)), lit(0L)).as("both"))
+          .head()
+        firstRow.getLong(0) <= 1L && firstRow.getLong(1) == 0L
+      }
+
+      var cur = graft.util.Checkpoints.stage(smallStar(quotient), ckptDir)
+      iter += 1
+      onRound(iter)
+      var converged = starForest(cur)
+      while (!converged && iter < maxIter) {
+        val next = graft.util.Checkpoints.stage(
+          smallStar(largeStar(cur)), ckptDir)
+        iter += 1
+        onRound(iter)
+        converged = starForest(next)
+        cur = next
+      }
+      // quotient labels in ONE aggregation (children → parent, roots →
+      // themselves; min collapses the multi-parent edges a truncated
+      // run can still carry), then compose back onto the phase-1
+      // labels: node → partial label → quotient star root
+      val qLabels = cur.select(col("a").as("qid"), col("b").as("qcluster"))
+        .union(cur.select(col("b").as("qid"), col("b").as("qcluster")))
+        .groupBy("qid").agg(min(col("qcluster")).as("qcluster"))
+      labels = labels.join(qLabels, labels("cluster") === qLabels("qid"), "left")
+        .select(col("id"),
+          coalesce(col("qcluster"), col("cluster")).as("cluster"))
+    }
+    sym.unpersist()
+    labels
   }
 
   /** Canonical-document selection — the dedup ACTION a cluster table
