@@ -70,8 +70,11 @@ object Clusters {
       onRound: Int => Unit = _ => ()): DataFrame = {
     val ckptDir = checkpointDir.orElse(
       graft.util.Checkpoints.configured(edges.sparkSession))
-    val in = edges.select(col(src).cast("long").as("a"),
-      col(dst).cast("long").as("b"))
+    // no cast: every rule below is pure order algebra (min/least/
+    // greatest/comparisons), so any orderable id type — long doc ids,
+    // string/UUID keys — works as-is, same contract as before the
+    // star-contraction rewrite
+    val in = edges.select(col(src).as("a"), col(dst).as("b"))
     // ONE evaluation of the (possibly expensive) edge pipeline: sym is
     // the persisted universe every phase reads — self-loops ride along
     // harmlessly (their nodes enter the label table; they add no

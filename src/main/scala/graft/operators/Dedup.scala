@@ -498,28 +498,62 @@ object Dedup {
   // the unsuffixed gen-0 pair, always last): nanoTime suffixes are
   // fixed-width for the next two centuries, so string order = age order
   private def generationSuffixes(
-      spark: SparkSession, tablePrefix: String): Seq[String] = {
+      spark: SparkSession, tablePrefix: String): Seq[String] =
+    familySuffixes(spark, tablePrefix, "bands")
+
+  // the same enumeration for one family — resolution only trusts bands
+  // (the promote's single catalog event), but retirement must also see
+  // ORPHAN sigs generations (a crash between the sigs CTAS and the
+  // bands CTAS leaves a sigs table with no bands twin, invisible to the
+  // bands-only listing and otherwise leaked forever)
+  private def familySuffixes(
+      spark: SparkSession, tablePrefix: String,
+      family: String): Seq[String] = {
+    val base = s"${tablePrefix}_$family"
     val gens = spark.sessionState.catalog
-      .listTables("default", s"${tablePrefix}_bands*")
+      .listTables("default", s"$base*")
       .map(_.table)
       .collect {
-        case n if n == s"${tablePrefix}_bands" => ""
-        case n if n.startsWith(s"${tablePrefix}_bands_g") &&
-            n.stripPrefix(s"${tablePrefix}_bands_g").forall(_.isDigit) =>
-          n.stripPrefix(s"${tablePrefix}_bands")
+        case n if n == base => ""
+        case n if n.startsWith(s"${base}_g") &&
+            n.stripPrefix(s"${base}_g").forall(_.isDigit) =>
+          n.stripPrefix(base)
       }
     gens.filter(_.nonEmpty).sorted.reverse ++ gens.filter(_.isEmpty)
   }
 
   // drop every generation pair of a lineage EXCEPT `keep` — the
-  // retirement half of the promote contract (retain the superseded
-  // generation one cycle for in-flight scans; a rebuild keeps nothing)
+  // retirement half of the promote contract. Age-gated when
+  // `ageGateHours` > 0: a superseded pair (or an orphan left by a
+  // crashed cross-process CTAS) is only dropped once its catalog
+  // createTime is older than the gate, so a scan still reading it —
+  // or a LIVE rewrite mid-promote in another process (lockFor is
+  // JVM-local) — keeps its tables; the IVF side's generation GC makes
+  // the same promise via file mtimes. A rebuild passes 0: explicit
+  // full reset, nothing to preserve.
   private def dropGenerationsExcept(
-      spark: SparkSession, tablePrefix: String, keep: Set[String]): Unit =
-    generationSuffixes(spark, tablePrefix).filterNot(keep).foreach { sfx =>
-      spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_bands$sfx")
-      spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_sigs$sfx")
+      spark: SparkSession, tablePrefix: String, keep: Set[String],
+      ageGateHours: Long = 0L): Unit = {
+    val cat    = spark.sessionState.catalog
+    val cutoff = System.currentTimeMillis() - ageGateHours * 3600 * 1000L
+    def oldEnough(table: String): Boolean =
+      ageGateHours <= 0L || {
+        try cat.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(
+              table, Some("default"))).createTime <= cutoff
+        catch { case _: org.apache.spark.sql.AnalysisException => true }
+      }
+    val sfxs = (familySuffixes(spark, tablePrefix, "bands") ++
+      familySuffixes(spark, tablePrefix, "sigs")).distinct
+    sfxs.filterNot(keep).foreach { sfx =>
+      Seq(s"${tablePrefix}_bands$sfx", s"${tablePrefix}_sigs$sfx")
+        .foreach { t =>
+          if (cat.tableExists(org.apache.spark.sql.catalyst
+              .TableIdentifier(t, Some("default"))) && oldEnough(t))
+            spark.sql(s"DROP TABLE IF EXISTS $t")
+        }
     }
+  }
 
   /** The bucket count a lineage was actually built with, read from the
     * catalog's bucket spec — the source of truth every append is
@@ -1040,8 +1074,14 @@ object Dedup {
           } finally staged.release()
         }
       // retire everything but the new generation and the one it just
-      // superseded (kept one cycle for scans still reading it)
-      dropGenerationsExcept(spark, tablePrefix, Set(newSfx, curSfx))
+      // superseded — AGE-GATED (same stale window as the IVF side's
+      // generation GC): without the gate, two promotes inside one
+      // in-flight scan would DROP the tables (and managed files) that
+      // scan's listing points at, breaking the keep-reading guarantee
+      // the promote contract makes for a single promote
+      dropGenerationsExcept(spark, tablePrefix, Set(newSfx, curSfx),
+        ageGateHours = Similarity.confLong(
+          spark, "spark.graft.index.gcStaleHours", 24L))
       if (delsFiles.nonEmpty) {
         val conf = spark.sessionState.newHadoopConf()
         delsFiles.foreach { f =>

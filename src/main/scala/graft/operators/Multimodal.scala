@@ -397,9 +397,13 @@ object Multimodal {
     media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
       .mapPartitions { rows =>
         rows.filter(_.kind == "audio").map { r =>
+          // flac BEFORE mp3: the fLaC magic check is exact and cannot
+          // false-positive on a real MP3, while the MP3 sync-frame walk
+          // CAN coincidentally match binary metadata (cover art, vorbis
+          // comments) inside a FLAC's first 4 KB and return garbage
           RealCodecs.decodeAudio(r.data)
-            .orElse(RealCodecs.mp3Meta(r.data))
-            .orElse(RealCodecs.flacMeta(r.data)) match {
+            .orElse(RealCodecs.flacMeta(r.data))
+            .orElse(RealCodecs.mp3Meta(r.data)) match {
             case Some(m) =>
               DecodedAudio(r.media_id, m.sample_rate, m.duration_ms, m.rms)
             case None =>

@@ -923,8 +923,38 @@ object Similarity {
   def activeCellsDir(spark: SparkSession, path: String): String = {
     val mf = new org.apache.hadoop.fs.Path(path, CellsManifest)
     val fs = manifestFs(mf.getFileSystem(spark.sessionState.newHadoopConf()))
+    // Absence of the manifest normally means "never compacted → cells/".
+    // But on a filesystem whose replace primitive is NOT atomic (any
+    // scheme outside the file:/hdfs: legs of [[flipCellsManifest]]),
+    // a reader could land inside a delete+rename gap: if generation
+    // dirs exist the layout HAS been compacted, so a missing manifest
+    // there is transient — wait it out rather than silently resolving
+    // the superseded (possibly purged) cells/ dir. Defense in depth on
+    // file:/hdfs:, load-bearing on object-store-like schemes.
+    var exists  = fs.exists(mf)
+    var retries = 0
+    while (!exists && retries < 8 && {
+        val st = fs.globStatus(new org.apache.hadoop.fs.Path(path, "cells.g*"))
+        st != null && st.nonEmpty
+      }) {
+      Thread.sleep(50L); retries += 1; exists = fs.exists(mf)
+    }
+    // Still no manifest after the wait, with generation dirs present:
+    // either a compaction crashed BEFORE its flip (old generation stays
+    // active — `cells/` for a first-ever compaction, documented crash
+    // contract) or a non-atomic promote's gap outlived 400 ms. The two
+    // are distinguishable by whether `cells/` survives: the crash case
+    // keeps it (GC only collects SUPERSEDED dirs, and nothing was
+    // superseded), while a post-promote layout whose cells/ was GC'd
+    // MUST have a manifest — there, refusing loudly beats silently
+    // resolving a generation that may no longer exist.
+    require(exists || retries < 8 ||
+        fs.exists(new org.apache.hadoop.fs.Path(path, "cells")),
+      s"layout $path has generation dirs but no $CellsManifest and no " +
+        "cells/ fallback (torn or non-atomic promote): refusing to " +
+        "guess the active generation")
     val name =
-      if (!fs.exists(mf)) "cells"
+      if (!exists) "cells"
       else {
         val in  = fs.open(mf)
         val raw = try {
@@ -943,8 +973,14 @@ object Similarity {
 
   /** Promote generation dir `gen` (a name under `path`) as the layout's
     * active cells: write the pointer to a temp sibling, then one
-    * rename-with-overwrite — atomic on POSIX and HDFS, so readers see
-    * either the old pointer or the new one, never a torn write.
+    * atomic replace. The replace primitive is SCHEME-specific because
+    * Hadoop's rename-with-OVERWRITE is only atomic on HDFS — the
+    * AbstractFileSystem default (which RawLocalFs inherits) is
+    * delete(dst) THEN rename, leaving a window where the manifest does
+    * not exist and a reader would fall back to a stale generation. On
+    * `file:` we therefore use java.nio's ATOMIC_MOVE (a POSIX rename(2),
+    * atomic w.r.t. concurrent opens); everywhere else the FileContext
+    * OVERWRITE rename stands (atomic on HDFS, the deploy target).
     */
   private def flipCellsManifest(
       spark: SparkSession, path: String, gen: String): Unit = {
@@ -956,10 +992,21 @@ object Similarity {
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      mf.toUri, conf)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(mf),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // URI scheme, not FileSystem.getScheme: RawLocalFileSystem (the
+    // manifestFs unwrap target) throws UnsupportedOperationException on
+    // the latter
+    if (fs.getUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(mf).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        mf.toUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(mf),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   // ---- deletion: the tombstone tier of the maintained-index contract ----

@@ -110,9 +110,15 @@ object DeletionBench {
       srcTag = s"$sfDir#delpq${System.nanoTime()}")
     Similarity.deleteFromIvfIndex(delIds, pq, delTag = "takedown")
     Similarity.compactIvfCells(spark, pq)
+    // deterministic query set (same pattern as the intact-index gate):
+    // limit() without an order lets partition arrival order pick the
+    // rows, which can flip the committed gate metric between runs on
+    // identical code/data
     val recallQs = remainder.filter(col("vec_id") % 10 === 1)
-      .limit(20).select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+      .orderBy("vec_id").limit(20).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+    require(recallQs.nonEmpty,
+      "post-takedown recall gate: no query vectors in the remainder")
     val recalls = recallQs.map { case (qid, qvec) =>
       val exact = Similarity.bruteForceTopKPortable(remainder, qid, 10)
         .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -50,6 +50,21 @@ class ClustersSpec extends SparkSpec {
     assert(Clusters.connectedComponents(empty).count() == 0L)
   }
 
+  test("connectedComponents stays type-agnostic: string/UUID node ids") {
+    // the documented contract ("two node-id columns, any orientation")
+    // has no numeric restriction — every rule is order algebra, so
+    // string keys must label with the LEXICOGRAPHIC component minimum.
+    // Includes a chain long enough to cross into the star-contraction
+    // phase so both phases run on strings.
+    val chain = (1 to 12).map(i => (f"doc-$i%03d", f"doc-${i + 1}%03d"))
+    val edges = (chain :+ (("uuid-b", "uuid-a"))).toDF("a", "b")
+    val labels = Clusters.connectedComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(labels("doc-013") == "doc-001", s"chain min: $labels")
+    assert(labels("uuid-a") == "uuid-a" && labels("uuid-b") == "uuid-a")
+    assert(labels.size == 15)
+  }
+
   test("duplicatesToDrop keeps exactly the cluster minima") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val drops = Clusters.duplicatesToDrop(pairs).as[Long].collect().toSet

@@ -138,4 +138,90 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
       !Similarity.activeCellsDir(spark, path).endsWith("/cells"),
       "auto-compaction under the armed threshold must have promoted")
   }
+
+  test("manifest flips never expose the stale cells/ fallback to readers") {
+    // the atomicity bug signature: Hadoop's rename-with-OVERWRITE on a
+    // local fs is delete-then-rename, so a reader landing in the gap
+    // finds NO manifest and silently resolves gen-0 `cells/` — stale by
+    // every promote since. The flip now goes through an atomic POSIX
+    // rename; readers hammering resolution across repeated promotes
+    // must never see the fallback once the first promote landed.
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (path, _) = Similarity.ensureIvfIndex(
+      emb.filter($"vec_id" % 10 =!= 0),
+      srcTag = s"flip-${System.nanoTime()}")
+    Similarity.compactIvfCells(spark, path) // first promote: manifest exists
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val err  = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val n    = new java.util.concurrent.atomic.AtomicInteger(0)
+    val readers = (1 to 4).map { i =>
+      val t = new Thread(() => {
+        try while (!stop.get()) {
+          val dir = Similarity.activeCellsDir(spark, path)
+          assert(!dir.endsWith("/cells"),
+            s"reader resolved the superseded gen-0 fallback: $dir")
+          n.incrementAndGet()
+        } catch { case t: Throwable => err.set(t) }
+      }, s"flip-reader-$i")
+      t.setDaemon(true); t.start(); t
+    }
+    try (1 to 6).foreach(_ => Similarity.compactIvfCells(spark, path))
+    finally stop.set(true)
+    readers.foreach(_.join(60000))
+    assert(err.get() == null, s"reader failed: ${err.get()}")
+    assert(n.get() > 0, "readers never ran")
+  }
+
+  test("band index: two back-to-back promotes keep an in-flight scan alive") {
+    // retirement is AGE-GATED: without the gate, the second promote
+    // DROPs the generation an in-flight scan planned over (managed
+    // table drop deletes its files) — one promote was covered, two in
+    // one scan's lifetime were not
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val prefix = s"graft_twice${System.nanoTime()}"
+    val (bt, st) = Dedup.ensureMinhashBandIndex(
+      docs.filter($"doc_id" % 10 =!= 0), prefix,
+      srcTag = s"twice-${System.nanoTime()}")
+    Dedup.foldIntoMinhashBandIndex(
+      docs.filter($"doc_id" % 10 === 0), prefix, batchTag = "b1")
+    val want = spark.table(Dedup.currentIndexTables(spark, prefix)._1)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    val it = spark.table(Dedup.currentIndexTables(spark, prefix)._1)
+      .select($"doc_id").distinct().as[Long].toLocalIterator()
+    val pulled = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (it.hasNext) pulled += it.next()
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    assert(spark.catalog.tableExists(bt) && spark.catalog.tableExists(st),
+      "age gate must keep the scan's generation through BOTH promotes")
+    while (it.hasNext) pulled += it.next()
+    assert(pulled.toSet == want, "double promote lost the in-flight scan rows")
+  }
+
+  test("compaction retires an aged orphan sigs generation (crashed CTAS)") {
+    // a crash between the sigs CTAS and the bands CTAS leaves a sigs
+    // table with no bands twin — invisible to bands-only resolution,
+    // and previously invisible to retirement too (leaked forever)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val prefix = s"graft_orph${System.nanoTime()}"
+    Dedup.ensureMinhashBandIndex(
+      docs.filter($"doc_id" % 10 =!= 0), prefix,
+      srcTag = s"orph-${System.nanoTime()}")
+    val (_, curSigs) = Dedup.currentIndexTables(spark, prefix)
+    val orphan = s"${prefix}_sigs_g1"
+    spark.sql(s"CREATE TABLE $orphan USING parquet AS SELECT * FROM $curSigs")
+    assert(spark.catalog.tableExists(orphan))
+    // age-gate 0 = "everything not in keep is old enough" (the spec
+    // stand-in for a 24h-old leftover)
+    spark.conf.set("spark.graft.index.gcStaleHours", "0")
+    try Dedup.compactMinhashBandIndex(spark, prefix)
+    finally spark.conf.unset("spark.graft.index.gcStaleHours")
+    assert(!spark.catalog.tableExists(orphan),
+      "aged orphan sigs generation must be retired by the next compaction")
+    // the lineage itself still answers
+    val (cb2, cs2) = Dedup.currentIndexTables(spark, prefix)
+    assert(spark.table(cb2).count() > 0 && spark.table(cs2).count() > 0)
+  }
 }

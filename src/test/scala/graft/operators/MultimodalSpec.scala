@@ -185,6 +185,27 @@ class MultimodalSpec extends SparkSpec {
     val media = Seq(Multimodal.MediaRow(1L, "audio", flac(48000, 96000L))).toDF()
     val got = Multimodal.decodeAudioAuto(media).collect().head
     assert(got.sample_rate == 48000 && got.duration_ms == 2000)
+
+    // ORDERING: a FLAC whose metadata bytes (cover art, vorbis tags)
+    // coincidentally contain a valid chained MPEG sync pair must still
+    // parse as FLAC — the exact fLaC magic wins over the mp3 heuristic
+    // frame walk. Craft a real 44.1 kHz MPEG-1 Layer III header pair
+    // (0xFFFB9000: 128 kbps, 44100 Hz → frame length 417 bytes) inside
+    // a PICTURE-block-shaped tail appended after the STREAMINFO.
+    val withPic = {
+      val head = flac(22050, 44100L) // non-last STREAMINFO (isLast=0)
+      val pic  = Array.fill[Byte](900)(0x41)
+      val mp3hdr = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00)
+      System.arraycopy(mp3hdr, 0, pic, 10, 4)
+      System.arraycopy(mp3hdr, 0, pic, 10 + 417, 4) // chained second frame
+      head ++ pic
+    }
+    assert(Multimodal.RealCodecs.mp3Meta(withPic).nonEmpty,
+      "fixture must actually trigger the mp3 false positive")
+    val picked = Multimodal.decodeAudioAuto(
+      Seq(Multimodal.MediaRow(2L, "audio", withPic)).toDF()).collect().head
+    assert(picked.sample_rate == 22050 && picked.duration_ms == 2000,
+      s"FLAC must win over the coincidental MP3 sync match: $picked")
   }
 
   test("decodeImagesAuto: real PNG through ImageIO, synthetic bytes fall back") {

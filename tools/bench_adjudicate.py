@@ -62,27 +62,35 @@ if not disputed:
 
 names = ",".join(sorted(disputed))
 print(f"disputed ({len(disputed)}): {names} — re-running {iters} iters each")
+# the re-run's numbers come from the detail ARTIFACT, not stdout: the
+# stdout summary caps its queries object at the 5 slowest, so a round
+# with 6+ disputed queries would never find them all on a stdout line
+detail_path = os.path.join(repo, f"bench_ab_rerun_r{n_round}.json.tmp")
 env = {**os.environ,
        "SPARK_GRAFT_SF_DIR": com.get("sf", "/root/testdata/sf0.1"),
        "SPARK_GRAFT_CPUS": os.environ.get("SPARK_GRAFT_CPUS", "32"),
        "SPARK_GRAFT_BENCH_ITERS": str(iters),
-       "SPARK_GRAFT_BENCH_ONLY": names}
+       "SPARK_GRAFT_BENCH_ONLY": names,
+       "SPARK_GRAFT_BENCH_OUT": detail_path}
 cp = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
                     cwd=repo, capture_output=True, text=True, timeout=3600,
                     env=env)
 rerun = None
-for line in cp.stdout.splitlines():
-    line = re.sub(r"^\[info\]\s*", "", line.strip())
-    if line.startswith('{"metric"'):
-        try:
-            j = json.loads(line)
-            if all(q in j.get("queries", {}) for q in disputed):
-                rerun = j["queries"]
-        except json.JSONDecodeError:
-            pass
+try:
+    with open(detail_path) as f:
+        j = json.load(f)
+    if all(q in j.get("queries", {}) for q in disputed):
+        rerun = j["queries"]
+except (OSError, json.JSONDecodeError):
+    pass
+finally:
+    try:
+        os.unlink(detail_path)
+    except OSError:
+        pass
 if rerun is None:
     print(cp.stdout[-2000:])
-    sys.exit("re-bench produced no parseable per-query line")
+    sys.exit("re-bench produced no parseable detail artifact")
 
 verdicts = {}
 regressions = []
