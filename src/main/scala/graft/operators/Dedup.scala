@@ -456,11 +456,46 @@ object Dedup {
     sigs.select(col("doc_id"),
       explode(bandKeyArray(col("sig"), bands, rows)).as("bk"))
 
-  // the tombstone table of a band-index lineage: `<prefix>_dels`, one
-  // `doc_id` column, appended by [[deleteFromMinhashBandIndex]] and
-  // purged+dropped by [[compactMinhashBandIndex]]
-  private[graft] def delsTableFor(bandsTable: String): String =
-    prefixOf(bandsTable) + "_dels"
+  // the tombstone table of ONE band-index GENERATION: `<prefix>_dels`
+  // for gen 0, `<prefix>_dels_g<nano>` for a promoted generation — the
+  // name derives from the bands table's own generation suffix, so a
+  // reader's (bands, sigs, dels) triple resolves ATOMICALLY from the
+  // one currentIndexTables call: a compaction promote can never pair
+  // old band rows with a post-purge tombstone view (served-deleted
+  // docs) or delete tombstone files out from under a planned scan.
+  // Appended by [[deleteFromMinhashBandIndex]]; a compaction's new
+  // generation starts with NO dels table (the purge is the rewrite),
+  // and the superseded generation's dels table retires age-gated with
+  // its pair.
+  private[graft] def delsTableFor(bandsTable: String): String = {
+    val prefix = prefixOf(bandsTable)
+    prefix + "_dels" + bandsTable.stripPrefix(s"${prefix}_bands")
+  }
+
+  // the standing deletes a reader of `curBands` must apply: the
+  // generation's own dels table, plus the base `<prefix>_dels` table
+  // when it holds UN-consumed rows. The base table appears in two
+  // roles: (a) gen 0's own dels after a compaction promoted past it —
+  // its rows were CONSUMED by that rewrite and the table is only
+  // retained (age-gated) for scans still reading gen 0, marked
+  // `graft.consumed` at promote time so new readers skip it (unioning
+  // it would wrongly suppress ids re-folded after the purge); (b) a
+  // layout last written by the pre-generation-scoped binary — no
+  // marker, rows are live deletes (the old binary deleted files on
+  // consumption), union them.
+  private[graft] def standingDels(
+      spark: SparkSession, curBands: String): Option[DataFrame] = {
+    val genDels  = delsTableFor(curBands)
+    val baseDels = prefixOf(curBands) + "_dels"
+    def unconsumed(t: String): Boolean =
+      !spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .exists(r => r.getString(0) == "graft.consumed")
+    val sources = (Seq(genDels).filter(spark.catalog.tableExists) ++
+      (if (baseDels != genDels && spark.catalog.tableExists(baseDels) &&
+           unconsumed(baseDels)) Seq(baseDels) else Seq.empty))
+    if (sources.isEmpty) None
+    else Some(sources.map(spark.table).reduce(_ union _))
+  }
 
   /** The lineage prefix of any band/sig index table name — base
     * (`<prefix>_bands`) or generation (`<prefix>_bands_g<nano>`).
@@ -544,9 +579,11 @@ object Dedup {
         catch { case _: org.apache.spark.sql.AnalysisException => true }
       }
     val sfxs = (familySuffixes(spark, tablePrefix, "bands") ++
-      familySuffixes(spark, tablePrefix, "sigs")).distinct
+      familySuffixes(spark, tablePrefix, "sigs") ++
+      familySuffixes(spark, tablePrefix, "dels")).distinct
     sfxs.filterNot(keep).foreach { sfx =>
-      Seq(s"${tablePrefix}_bands$sfx", s"${tablePrefix}_sigs$sfx")
+      Seq(s"${tablePrefix}_bands$sfx", s"${tablePrefix}_sigs$sfx",
+          s"${tablePrefix}_dels$sfx")
         .foreach { t =>
           if (cat.tableExists(org.apache.spark.sql.catalyst
               .TableIdentifier(t, Some("default"))) && oldEnough(t))
@@ -595,11 +632,12 @@ object Dedup {
       else if (table.startsWith(s"${prefix}_sigs")) curSigs
       else curBands
     val t = spark.table(resolved)
-    val delsTable = delsTableFor(bandsTable)
-    if (spark.catalog.tableExists(delsTable))
-      t.join(broadcast(spark.table(delsTable).distinct()),
-        Seq("doc_id"), "left_anti")
-    else t
+    standingDels(spark, curBands) match {
+      case Some(dels) =>
+        t.join(broadcast(dels.select("doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+      case None => t
+    }
   }
 
   /** The skew-capped LIVE view of a persisted band index (tombstoned
@@ -762,9 +800,8 @@ object Dedup {
         // its old rows are still physical, so the tombstone would kill
         // both versions. One tiny broadcast probe, paid only when a
         // tombstone table exists at all.
-        val delsTable = delsTableFor(bandsTable)
-        if (spark.catalog.tableExists(delsTable)) {
-          val hit = spark.table(delsTable)
+        standingDels(spark, bandsTable).foreach { dels =>
+          val hit = dels
             .join(broadcast(admitted.select("doc_id").distinct()), "doc_id")
             .limit(1).collect()
           require(hit.isEmpty,
@@ -909,31 +946,52 @@ object Dedup {
       delTag: String): Unit = {
     require(!delTag.contains(","),
       s"delTag must not contain ',' (the ledger separator): '$delTag'")
-    val spark      = delIds.sparkSession
-    val delsTable  = s"${tablePrefix}_dels"
-    val memoKey = s"${spark.sparkContext.applicationId}|$delsTable|$delTag"
+    val spark   = delIds.sparkSession
+    val memoKey = s"${spark.sparkContext.applicationId}|${tablePrefix}_dels|$delTag"
     if (foldMemo.contains(memoKey)) return
     foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
       if (foldMemo.contains(memoKey)) return
-      val (bandsTable, _) = currentIndexTables(spark, tablePrefix)
-      val props = spark.sql(s"SHOW TBLPROPERTIES $bandsTable").collect()
+      val (bandsTable0, _) = currentIndexTables(spark, tablePrefix)
+      val props = spark.sql(s"SHOW TBLPROPERTIES $bandsTable0").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
       val dels = props.get("graft.dels")
         .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
       if (!dels.contains(delTag)) {
-        // first delete of a lineage CREATES the dels table — clear any
-        // orphaned same-name warehouse dir first (the recurring
-        // LOCATION_ALREADY_EXISTS class: a fresh JVM's empty catalog
-        // over a dir left by a previous process; the old lineage's
-        // band tables rebuild from scratch in this JVM anyway)
-        if (!spark.catalog.tableExists(delsTable))
-          graft.pipeline.Cleanup.ensureWritable(spark, "default", delsTable)
-        delIds.select(col("doc_id").cast("long").as("doc_id"))
-          .write.mode("append").format("parquet").saveAsTable(delsTable)
-        val ledger = (dels + delTag).toSeq.sorted.mkString(",")
-          .replace("'", "''")
-        spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES(" +
-          s"'graft.dels'='$ledger')")
+        // append into the ACTIVE generation's dels table, then
+        // re-resolve: a cross-process compaction (the prefix lock is
+        // JVM-local) that promoted between the resolve and the append
+        // would leave the tombstone in a superseded generation no new
+        // reader applies — re-append to the generation that won
+        // (duplicate rows in the loser are harmless anti-join no-ops;
+        // it retires age-gated with its pair). The graft.dels LEDGER
+        // rides the same loop so the winning bands table records the
+        // tag.
+        var bandsTable = bandsTable0
+        var settled    = false
+        var rounds     = 0
+        while (!settled && rounds < 3) {
+          val delsTable = delsTableFor(bandsTable)
+          // first delete of a generation CREATES its dels table — clear
+          // any orphaned same-name warehouse dir first (the recurring
+          // LOCATION_ALREADY_EXISTS class: a fresh JVM's empty catalog
+          // over a dir left by a previous process)
+          if (!spark.catalog.tableExists(delsTable))
+            graft.pipeline.Cleanup.ensureWritable(spark, "default", delsTable)
+          delIds.select(col("doc_id").cast("long").as("doc_id"))
+            .write.mode("append").format("parquet").saveAsTable(delsTable)
+          val cur = spark.sql(s"SHOW TBLPROPERTIES $bandsTable").collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+            .get("graft.dels")
+            .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+          val ledger = (cur + delTag).toSeq.sorted.mkString(",")
+            .replace("'", "''")
+          spark.sql(s"ALTER TABLE $bandsTable SET TBLPROPERTIES(" +
+            s"'graft.dels'='$ledger')")
+          val (now, _) = currentIndexTables(spark, tablePrefix)
+          settled = now == bandsTable
+          bandsTable = now
+          rounds += 1
+        }
         // TOMBSTONE-DEBT bound (the [[graft.operators.Similarity
         // .deleteFromIvfIndex]] contract for the table-backed index):
         // every live read broadcast-anti-joins the dels table, so its
@@ -952,8 +1010,9 @@ object Dedup {
         // bucket-spec mismatch otherwise.
         val debtCap = Similarity.confInt(
           spark, "spark.graft.index.autoCompactTombstoneRows", 1 << 20)
-        if (debtCap > 0 && spark.table(delsTable)
-              .select("doc_id").distinct().count() >= debtCap.toLong)
+        if (debtCap > 0 &&
+            standingDels(spark, bandsTable).exists(
+              _.select("doc_id").distinct().count() >= debtCap.toLong))
           compactMinhashBandIndex(spark, tablePrefix)
       }
       foldMemo.add(memoKey)
@@ -990,7 +1049,6 @@ object Dedup {
       spark: SparkSession,
       tablePrefix: String,
       buckets: Int = 0): Unit = {
-    val delsTable = s"${tablePrefix}_dels"
     foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
       val (curBands, curSigs) = currentIndexTables(spark, tablePrefix)
       if (!spark.catalog.tableExists(curBands)) return
@@ -1004,22 +1062,25 @@ object Dedup {
         if (buckets > 0) buckets
         else bucketCountOf(spark, curBands).getOrElse(8)
       // tombstone PURGE rides the rewrite ([[deleteFromMinhashBandIndex]]):
-      // both tables drop the tombstoned docs, then the CONSUMED tombstone
-      // files go. The snapshot is file-granular (the compactIvfCells
-      // contract): only the dels FILES read into this rewrite are
-      // deleted afterwards, so a cross-process delete landing
-      // mid-compaction keeps its tombstone (and its rows, purged by the
-      // next compaction) instead of being dropped unpurged. Crash
-      // windows stay safe at every point — until the file deletes, the
-      // live views still anti-join (against already-purged ids at
-      // worst: a harmless no-op), and the `graft.dels` LEDGER lives in
-      // the bands TBLPROPERTIES (copied into the new generation's CTAS
-      // below), so a replayed delete tag still no-ops after its
-      // tombstones are purged.
-      val delsFiles: Seq[String] =
-        if (spark.catalog.tableExists(delsTable))
-          spark.table(delsTable).inputFiles.toSeq
-        else Seq.empty
+      // both tables drop the tombstoned docs, and the NEW generation
+      // starts with NO dels table at all — the superseded generation
+      // keeps its own dels table, so a scan still reading that
+      // generation keeps applying exactly its deletes until the
+      // age-gated retirement drops the whole triple (no per-file purge,
+      // no window where a reader pairs old band rows with a post-purge
+      // tombstone view — the race the maintenance fuzz caught on the
+      // path-backed family). A cross-process delete landing
+      // mid-rewrite re-appends itself to the winning generation
+      // (deleteFromMinhashBandIndex's re-resolve loop). The
+      // `graft.dels` LEDGER lives in the bands TBLPROPERTIES (copied
+      // into the new generation's CTAS below), so a replayed delete
+      // tag still no-ops after its tombstones are purged. Legacy
+      // pre-generation-scoped `<prefix>_dels` rows (only standing on a
+      // layout last written by the old binary) are consumed here and
+      // the table dropped post-promote — a one-time migration window.
+      val delsSnapshot = standingDels(spark, curBands)
+      val legacyDels   = s"${tablePrefix}_dels"
+      val hadDels      = delsSnapshot.isDefined
       // the purge-window ledger (names only, O(crashed tags)): a purge
       // that runs while a crashed fold's intent is STANDING makes that
       // tag's eventual replay undecidable when nothing of the batch
@@ -1030,7 +1091,7 @@ object Dedup {
       def tagSet(k: String): Set[String] = bandProps.get(k)
         .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
       val purgewin =
-        if (delsFiles.isEmpty) tagSet("graft.folds.purgewin")
+        if (!hadDels) tagSet("graft.folds.purgewin")
         else tagSet("graft.folds.purgewin") ++
           (tagSet("graft.folds.intent") -- tagSet("graft.folds"))
       val newSfx = s"_g${System.nanoTime()}"
@@ -1049,12 +1110,13 @@ object Dedup {
               copied + ("graft.folds.purgewin" ->
                 purgewin.toSeq.sorted.mkString(","))
             else copied
-          val live =
-            if (delsFiles.nonEmpty)
+          val live = delsSnapshot match {
+            case Some(dels) =>
               spark.table(src).join(
-                broadcast(spark.read.parquet(delsFiles: _*).distinct()),
+                broadcast(dels.select("doc_id").distinct()),
                 Seq("doc_id"), "left_anti")
-            else spark.table(src)
+            case None => spark.table(src)
+          }
           val staged = Checkpoints.stageOwned(
             live.repartition(bk, col(key)),
             Checkpoints.configured(spark))
@@ -1082,14 +1144,14 @@ object Dedup {
       dropGenerationsExcept(spark, tablePrefix, Set(newSfx, curSfx),
         ageGateHours = Similarity.confLong(
           spark, "spark.graft.index.gcStaleHours", 24L))
-      if (delsFiles.nonEmpty) {
-        val conf = spark.sessionState.newHadoopConf()
-        delsFiles.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(conf).delete(p, false)
-        }
-        spark.catalog.refreshTable(delsTable)
-      }
+      // the base `<prefix>_dels` table's rows were consumed by this
+      // rewrite (either as gen 0's own dels or as a pre-upgrade legacy
+      // leftover): MARK it consumed so new readers skip it — the table
+      // itself is retained for scans still reading the superseded
+      // generation and retires age-gated with the rest of the family
+      if (hadDels && spark.catalog.tableExists(legacyDels))
+        spark.sql(
+          s"ALTER TABLE $legacyDels SET TBLPROPERTIES('graft.consumed'='true')")
       ()
     }
   }

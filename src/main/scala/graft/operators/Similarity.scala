@@ -836,9 +836,14 @@ object Similarity {
         while (it.hasNext) {
           val f = it.next()
           val n = f.getPath.getName
-          if (!n.startsWith("_") && !n.startsWith(".")) {
+          val parent = f.getPath.getParent.getName
+          // skip metadata files AND anything under a metadata dir —
+          // the generation-scoped `_tombstones/` rows are not cell
+          // files and must not inflate the files-per-cell policy
+          if (!n.startsWith("_") && !n.startsWith(".") &&
+              !parent.startsWith("_") && !parent.startsWith(".")) {
             files += 1
-            cells += f.getPath.getParent.getName
+            cells += parent
           }
         }
       } catch { case _: java.io.IOException => return }
@@ -1032,11 +1037,22 @@ object Similarity {
     // the current generation). Only path-absence retries — any other
     // analysis error (corrupt layout, bad schema) must fail fast, and
     // a genuinely missing layout costs at most the ~1 s budget once.
+    //
+    // (cells, tombstones) resolve ATOMICALLY: the tombstone files live
+    // INSIDE the generation dir ([[tombstoneDataFiles]]), so whichever
+    // generation this read lands on, it applies exactly that
+    // generation's standing deletes — a promote racing this
+    // construction can not pair old cells with a post-purge tombstone
+    // view (served-deleted rows) or vice versa (the PATH_NOT_FOUND
+    // the maintenance fuzz caught at seed 31).
     var cells: DataFrame = null
+    var gen: String = null
     var attempt = 0
     while (cells == null) {
-      try cells = spark.read.parquet(activeCellsDir(spark, path))
-      catch {
+      try {
+        gen = activeCellsDir(spark, path)
+        cells = spark.read.parquet(gen)
+      } catch {
         case e: org.apache.spark.sql.AnalysisException
             if attempt < 8 &&
               (e.getCondition == "PATH_NOT_FOUND" ||
@@ -1044,7 +1060,7 @@ object Similarity {
           attempt += 1; Thread.sleep(125L)
       }
     }
-    val tomb = tombstoneDataFiles(spark, path)
+    val tomb = tombstoneDataFiles(spark, path, gen)
     if (tomb.nonEmpty)
       cells.join(
         broadcast(spark.read.parquet(tomb: _*).select("vec_id").distinct()),
@@ -1052,20 +1068,35 @@ object Similarity {
     else cells
   }
 
-  // a tombstones/ dir can exist with ZERO data files (crash between
-  // compaction's tombstone-file purge and its dir delete, line ~1100) —
-  // spark.read.parquet on it throws UNABLE_TO_INFER_SCHEMA, so every
-  // tombstone read goes through this listing and treats the empty dir
-  // as "no tombstones" (the same _/. filter compactIvfCells uses)
+  // Standing tombstone files of ONE generation: `<gen>/_tombstones/`
+  // (the underscore prefix keeps Spark's file index from treating them
+  // as cell data), plus the pre-generation-scoped legacy location
+  // `<path>/tombstones/` — legacy rows are exactly the UN-consumed
+  // deletes of an old-binary layout (its compactions deleted consumed
+  // files), so they union in as live deletes everywhere. A dir can
+  // exist with ZERO data files (crash windows) — spark.read.parquet on
+  // it throws UNABLE_TO_INFER_SCHEMA, so every tombstone read goes
+  // through this listing and treats the empty dir as "no tombstones"
+  // (the same _/. filter compactIvfCells uses).
   private def tombstoneDataFiles(
-      spark: SparkSession, path: String): Seq[String] = {
-    val tp = new org.apache.hadoop.fs.Path(path, "tombstones")
-    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(tp)) Seq.empty
-    else fs.listStatus(tp).toSeq.map(_.getPath)
-      .filter(p => isDataFile(p.getName))
-      .map(_.toString)
+      spark: SparkSession, path: String, genDir: String): Seq[String] = {
+    def ls(dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => isDataFile(p.getName))
+        .map(_.toString)
+    }
+    ls(new org.apache.hadoop.fs.Path(genDir, "_tombstones")) ++
+      ls(new org.apache.hadoop.fs.Path(path, "tombstones"))
   }
+
+  // every standing tombstone file of the layout's ACTIVE generation —
+  // the spec-facing resolution (tests must not hardcode the physical
+  // location, which moved when tombstones became generation-scoped)
+  private[graft] def standingTombstoneFiles(
+      spark: SparkSession, path: String): Seq[String] =
+    tombstoneDataFiles(spark, path, activeCellsDir(spark, path))
 
   /** Tombstone DELETION from a maintained [[ensureIvfIndex]] /
     * [[ensureIvfPqIndex]] layout — the missing half of the "never
@@ -1109,8 +1140,25 @@ object Similarity {
       val marker = new org.apache.hadoop.fs.Path(path, s"dels/$tagHash")
       val fs     = marker.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(marker)) {
-        delIds.select(col("vec_id").cast("long").as("vec_id"))
-          .write.mode("append").parquet(s"$path/tombstones")
+        // append into the ACTIVE generation's tombstone dir, then
+        // re-resolve: a cross-process compaction (lockFor is JVM-local)
+        // that promoted between the resolve and the append would leave
+        // the tombstone in a superseded generation no new reader
+        // applies — re-append to the generation that won (duplicate
+        // tombstone rows in the loser are harmless anti-join no-ops,
+        // and the loser dir ages out whole). Bounded: promotes are
+        // rare; 3 attempts outlast any realistic pile-up.
+        val ids = delIds.select(col("vec_id").cast("long").as("vec_id"))
+        var gen     = activeCellsDir(spark, path)
+        var settled = false
+        var rounds  = 0
+        while (!settled && rounds < 3) {
+          ids.write.mode("append").parquet(s"$gen/_tombstones")
+          val now = activeCellsDir(spark, path)
+          settled = now == gen
+          gen = now
+          rounds += 1
+        }
         fs.mkdirs(marker.getParent)
         val out = fs.create(marker, true)
         try out.write(delTag.getBytes(
@@ -1130,7 +1178,7 @@ object Similarity {
         val debtCap = confInt(
           spark, "spark.graft.index.autoCompactTombstoneRows", 1 << 20)
         if (debtCap > 0) {
-          val tomb = tombstoneDataFiles(spark, path)
+          val tomb = tombstoneDataFiles(spark, path, gen)
           // distinct ids, not rows: replayed/overlapping deletes append
           // duplicate tombstone rows (harmless by design), and the
           // broadcast build side every read actually pays is deduped —
@@ -1154,7 +1202,7 @@ object Similarity {
   // tombstone set exists at all.
   private def requireNotTombstoned(
       spark: SparkSession, path: String, ids: DataFrame): Unit = {
-    val tomb = tombstoneDataFiles(spark, path)
+    val tomb = standingTombstoneFiles(spark, path)
     if (tomb.nonEmpty) {
       val hit = spark.read.parquet(tomb: _*)
         .join(broadcast(ids.select("vec_id").distinct()), "vec_id")
@@ -1209,22 +1257,26 @@ object Similarity {
       val fs  = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
       val gen = new org.apache.hadoop.fs.Path(
         path, s"cells.g${System.nanoTime()}")
-      // tombstone PURGE rides the compaction rewrite: snapshot the
-      // tombstone FILES first, drop their ids from the rewrite, and
-      // delete exactly those files after the promote — a delete
-      // appended by another process mid-rewrite keeps its tombstone
-      // (and its rows, purged by the next compaction); a crash between
-      // promote and the file deletes leaves tombstones naming
-      // already-purged ids, which the anti-join makes a harmless no-op
-      val tombDir = new org.apache.hadoop.fs.Path(path, "tombstones")
-      val tombFiles: Seq[org.apache.hadoop.fs.Path] =
-        if (fs.exists(tombDir))
-          fs.listStatus(tombDir).toSeq.map(_.getPath)
+      // tombstone PURGE rides the compaction rewrite: the active
+      // generation's standing tombstones (plus any legacy-location
+      // leftovers) are dropped from the rewrite, and the NEW generation
+      // starts with no tombstone dir at all — the old generation keeps
+      // its `_tombstones/` INSIDE its own dir, so a scan still reading
+      // that generation keeps applying exactly its deletes until the
+      // age-gated GC collects the dir whole (no per-file purge, no
+      // window where a reader pairs old cells with a post-purge
+      // tombstone view). A delete appended by another process
+      // mid-rewrite re-appends itself to the winning generation
+      // (deleteFromIvfIndex's re-resolve loop), so nothing is lost.
+      val tombData = tombstoneDataFiles(spark, path, cellsDir.toString)
+      // legacy `<path>/tombstones/` files (pre-generation-scoped
+      // layouts only): consumed by this rewrite and deleted after the
+      // promote, as the old binary did — a one-time migration window
+      val legacyTombDir = new org.apache.hadoop.fs.Path(path, "tombstones")
+      val legacyTombFiles: Seq[org.apache.hadoop.fs.Path] =
+        if (fs.exists(legacyTombDir))
+          fs.listStatus(legacyTombDir).toSeq.map(_.getPath)
         else Seq.empty
-      // same SNAPSHOT as the post-promote deletes (one listing), same
-      // data-file predicate as every reader (isDataFile)
-      val tombData = tombFiles
-        .filter(p => isDataFile(p.getName)).map(_.toString)
       val raw = spark.read.parquet(cellsDir.toString)
       val cells =
         if (tombData.isEmpty) raw
@@ -1247,13 +1299,15 @@ object Similarity {
       // the old generation's files until [[recoverCells]]' GC collects
       // them (`spark.graft.index.gcStaleHours`, default 24 h).
       flipCellsManifest(spark, path, gen.getName)
-      // purge the consumed tombstone files (snapshot only — see above)
-      tombFiles.foreach(fs.delete(_, false))
+      // purge only the LEGACY-location files (snapshot only — see
+      // above); the active generation's own tombstones stay with its
+      // dir and die in the age-gated GC
+      legacyTombFiles.foreach(fs.delete(_, false))
       // non-recursive: fails closed if a cross-process delete committed
       // a tombstone between the listing and here
-      if (tombFiles.nonEmpty && fs.exists(tombDir) &&
-          fs.listStatus(tombDir).isEmpty)
-        fs.delete(tombDir, false)
+      if (legacyTombFiles.nonEmpty && fs.exists(legacyTombDir) &&
+          fs.listStatus(legacyTombDir).isEmpty)
+        fs.delete(legacyTombDir, false)
       ()
     }
 

@@ -447,9 +447,10 @@ class DedupSpec extends SparkSpec {
     // compaction purges both tables and drops the dels table; content
     // now BYTE-equals the remainder rebuild
     Dedup.compactMinhashBandIndex(spark, "graft_delspec")
-    assert(spark.table("graft_delspec_dels").count() == 0,
-      "compaction must purge the consumed tombstone files (file-granular " +
-        "snapshot — a cross-process delete landing mid-rewrite survives)")
+    def standingN(): Long = Dedup.standingDels(spark, cur._1)
+      .map(_.count()).getOrElse(0L)
+    assert(standingN() == 0,
+      "compaction must leave the promoted generation with no standing dels")
     def bandsOf(t: String) =
       spark.table(t).select("doc_id", "bk").as[(Long, String)].collect().toSet
     def sigsOf(t: String) =
@@ -464,7 +465,7 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("graft.dels").contains("d1"), s"delete ledger lost: $props")
     Dedup.deleteFromMinhashBandIndex(del, "graft_delspec", delTag = "preburn")
-    assert(spark.table("graft_delspec_dels").count() == 0,
+    assert(standingN() == 0,
       "a replayed delete tag must not recreate tombstones after the purge")
     // after the purge the docs fold again as new — the replace recipe
     Dedup.foldIntoMinhashBandIndex(
@@ -518,11 +519,13 @@ class DedupSpec extends SparkSpec {
         "a sub-cap delete must leave its tombstones standing")
       Dedup.deleteFromMinhashBandIndex(
         docs.filter($"doc_id" % 4 === 1).select("doc_id"), prefix, "mass")
-      // over the cap: the delete path compacts — dels table drained,
+      // over the cap: the delete path compacts — no dels stand for the
+      // promoted generation (the superseded generation's table is only
+      // RETAINED, consumed + marked, for scans still reading it), and
       // both physical tables hold the remainder only
-      assert(spark.table(delsTable).count() == 0,
-        "an over-cap delete must trigger the physical purge")
       val (cb, cs) = Dedup.currentIndexTables(spark, prefix)
+      assert(Dedup.standingDels(spark, cb).map(_.count()).getOrElse(0L) == 0L,
+        "an over-cap delete must trigger the physical purge")
       val gone = spark.table(cb)
         .filter($"doc_id" % 4 === 1 || $"doc_id" % 60 === 0).count() +
         spark.table(cs)
@@ -575,5 +578,36 @@ class DedupSpec extends SparkSpec {
       "repaired bands must equal rebuild-from-remainder")
     assert(sigsOf(cs) == sigsOf(rst),
       "repaired sigs must equal rebuild-from-remainder")
+  }
+
+  test("legacy base _dels rows: served as live deletes, consumed + marked by compaction") {
+    // simulate a layout the pre-generation-scoped binary last wrote:
+    // current generation is suffixed, and the base `<prefix>_dels`
+    // table holds UN-consumed rows (no graft.consumed marker)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val prefix = s"graft_legacy${System.nanoTime()}"
+    Dedup.ensureMinhashBandIndex(docs.filter($"doc_id" % 10 =!= 0), prefix,
+      srcTag = s"legacy-${System.nanoTime()}")
+    Dedup.compactMinhashBandIndex(spark, prefix) // promote to a suffixed gen
+    val (cb, _) = Dedup.currentIndexTables(spark, prefix)
+    assert(cb != s"${prefix}_bands", "setup: generation must be suffixed")
+    docs.filter($"doc_id" % 20 === 0).select("doc_id")
+      .write.format("parquet").saveAsTable(s"${prefix}_dels")
+    val nDel = docs.filter($"doc_id" % 10 =!= 0 && $"doc_id" % 20 === 0).count()
+    val total = docs.filter($"doc_id" % 10 =!= 0).count()
+    assert(Dedup.liveIndexTable(spark, s"${prefix}_sigs", cb).count()
+        == total - nDel,
+      "legacy base dels rows must be served as live deletes")
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    val (cb2, cs2) = Dedup.currentIndexTables(spark, prefix)
+    assert(Dedup.standingDels(spark, cb2).map(_.count()).getOrElse(0L) == 0L,
+      "the migration compaction must consume the legacy rows")
+    assert(spark.table(cs2).count() == total - nDel,
+      "legacy dels must purge physically in the rewrite")
+    // the retained base table is marked, not silently re-applied
+    assert(spark.sql(s"SHOW TBLPROPERTIES ${prefix}_dels").collect()
+      .exists(_.getString(0) == "graft.consumed"),
+      "consumed base dels table must carry the marker")
   }
 }

@@ -280,7 +280,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
       .as[(Long, Long, Seq[Long], Long)].collect().toSet
     assert(physical == expected,
       s"seed=$seed: maintained IVF cells diverged from remainder assignment")
-    assert(!new java.io.File(s"$path/tombstones").exists(),
+    assert(Similarity.standingTombstoneFiles(spark, path).isEmpty,
       s"seed=$seed: compaction left tombstones standing")
   }
 
@@ -349,7 +349,7 @@ class MaintenanceFuzzSpec extends SparkSpec {
     val physical = snapshot()
     assert(physical == want,
       s"seed=$seed: surviving PQ codes diverged (rows ${physical.size} vs ${want.size})")
-    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(Similarity.standingTombstoneFiles(spark, path).isEmpty)
   }
 
   test("IVF-PQ layout: randomized fold/delete/compact keeps survivor codes bit-stable (seed 17)") {
@@ -370,5 +370,18 @@ class MaintenanceFuzzSpec extends SparkSpec {
       ivfFuzz(53)
       pqFuzz(53)
     } finally spark.conf.unset("spark.graft.index.autoCompactTombstoneRows")
+  }
+
+  // extended campaign: SPARK_GRAFT_FUZZ_SEEDS=1,2,3 runs every family
+  // at each listed seed — a no-op without the env var, so CI cost stays
+  // the named-seed set above while a soak session can walk hundreds of
+  // interleavings (each seed is a full random op sequence per family)
+  test("extended fuzz campaign over SPARK_GRAFT_FUZZ_SEEDS") {
+    val seeds = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toInt)
+    seeds.foreach { s =>
+      info(s"extended fuzz seed $s")
+      bandFuzz(s); ivfFuzz(s); pqFuzz(s)
+    }
   }
 }

@@ -100,7 +100,8 @@ class MaintenanceStressSpec extends SparkSpec {
         val ids = rnd.shuffle(live).take(1 + rnd.nextInt(3)).toSet
         byIds(ids).select("doc_id")
           .write.mode("append").format("parquet")
-          .saveAsTable(s"${prefix}_dels")
+          .saveAsTable(Dedup.delsTableFor(
+            Dedup.currentIndexTables(spark, prefix)._1))
         Dedup.deleteFromMinhashBandIndex(
           byIds(ids).select("doc_id"), prefix, delTag = s"cd$opN")
         deleted ++= ids
@@ -177,7 +178,8 @@ class MaintenanceStressSpec extends SparkSpec {
         val ids = rnd.shuffle(live).take(1 + rnd.nextInt(4)).toSet
         // tombstones landed, marker lost — replay duplicates harmlessly
         byIds(ids).select($"vec_id")
-          .write.mode("append").parquet(s"$path/tombstones")
+          .write.mode("append").parquet(
+            s"${Similarity.activeCellsDir(spark, path)}/_tombstones")
         Similarity.deleteFromIvfIndex(
           byIds(ids).select("vec_id"), path, delTag = s"cd$opN")
         deleted ++= ids
@@ -186,7 +188,7 @@ class MaintenanceStressSpec extends SparkSpec {
 
     def compact(): Unit = {
       Similarity.compactIvfCells(spark, path)
-      assert(!new java.io.File(s"$path/tombstones").exists(),
+      assert(Similarity.standingTombstoneFiles(spark, path).isEmpty,
         s"op $opN: compaction must clear tombstones")
       indexed --= deleted
       deleted = Set.empty

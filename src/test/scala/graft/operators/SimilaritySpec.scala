@@ -733,10 +733,14 @@ class SimilaritySpec extends SparkSpec {
     assert(probePlan.contains("LeftAnti"),
       "tombstoned probe must carry the live-view anti-join")
     // replayed delete (marker path): no duplicate tombstone rows
-    val tombRows = spark.read.parquet(s"$path/tombstones").count()
+    def tombCount(): Long = {
+      val fs = Similarity.standingTombstoneFiles(spark, path)
+      if (fs.isEmpty) 0L else spark.read.parquet(fs: _*).count()
+    }
+    val tombRows = tombCount()
     Similarity.deleteFromIvfIndex(
       emb.filter($"vec_id" % 20 === 10).select("vec_id"), path, delTag = "d1")
-    assert(spark.read.parquet(s"$path/tombstones").count() == tombRows)
+    assert(tombCount() == tombRows)
     // re-inserting a tombstoned id before compaction: LOUD rejection
     val e = intercept[IllegalArgumentException] {
       Similarity.foldIntoIvfIndex(
@@ -746,8 +750,8 @@ class SimilaritySpec extends SparkSpec {
     // compaction purges physically and clears the tombstone set; the
     // delete ledger (dels/ markers) survives
     Similarity.compactIvfCells(spark, path)
-    assert(!new java.io.File(s"$path/tombstones").exists(),
-      "compaction must clear consumed tombstones")
+    assert(Similarity.standingTombstoneFiles(spark, path).isEmpty,
+      "compaction must leave the promoted generation with no standing tombstones")
     val physical = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id", $"cent_id".cast("long"), $"q", $"nrm")
       .as[(Long, Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
@@ -769,7 +773,7 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(!rebuiltIds.exists(_ % 20 == 10),
       "rebuild must exclude tombstoned ids")
-    assert(!new java.io.File(s"$rebuilt/tombstones").exists())
+    assert(Similarity.standingTombstoneFiles(spark, rebuilt).isEmpty)
   }
 
   test("deleteFromIvfIndex on IVF-PQ: ADC probes and batch probes honor tombstones") {
@@ -806,7 +810,7 @@ class SimilaritySpec extends SparkSpec {
     val liveBefore = Similarity.liveCells(spark, path)
       .select($"vec_id").as[Long].collect().toSeq.sorted
     Similarity.compactIvfCells(spark, path)
-    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(Similarity.standingTombstoneFiles(spark, path).isEmpty)
     val phys = spark.read.parquet(Similarity.activeCellsDir(spark, path))
       .select($"vec_id").as[Long].collect().toSeq.sorted
     assert(phys == liveBefore, "PQ compaction must purge exactly the tombstoned rows")
@@ -839,11 +843,15 @@ class SimilaritySpec extends SparkSpec {
     assert(live(p2) == live(p1),
       "streamed deletes must serve the same live view as the one-shot")
     // replaying the whole stream is a no-op (ledger markers per batchId)
-    val rows = spark.read.parquet(s"$p2/tombstones").count()
+    def tombRows(): Long = {
+      val fs = Similarity.standingTombstoneFiles(spark, p2)
+      if (fs.isEmpty) 0L else spark.read.parquet(fs: _*).count()
+    }
+    val rows = tombRows()
     graft.streaming.AnnIngestStream.drainDeletes(
       Seq(del.filter($"vec_id" % 40 === 10), del.filter($"vec_id" % 40 =!= 10)),
       p2, tagPrefix = "sd")
-    assert(spark.read.parquet(s"$p2/tombstones").count() == rows)
+    assert(tombRows() == rows)
   }
 
   test("recoverCells: a crashed compaction window heals on the next maintenance entry") {
@@ -1326,14 +1334,14 @@ class SimilaritySpec extends SparkSpec {
       // under the cap (3 ids vs cap 10): tombstones stand
       Similarity.deleteFromIvfIndex(
         emb.filter($"vec_id" % 200 === 0).select("vec_id"), path, "small")
-      assert(new java.io.File(s"$path/tombstones").exists(),
+      assert(Similarity.standingTombstoneFiles(spark, path).nonEmpty,
         "a sub-cap delete must not compact")
       // over the cap: the delete path itself compacts — tombstones
       // purged physically, live view unchanged
       val live = Similarity.liveCells(spark, path).count()
       Similarity.deleteFromIvfIndex(
         emb.filter($"vec_id" % 4 === 1).select("vec_id"), path, "mass")
-      assert(!new java.io.File(s"$path/tombstones").exists(),
+      assert(Similarity.standingTombstoneFiles(spark, path).isEmpty,
         "an over-cap delete must trigger the physical purge")
       val nMass = emb.filter($"vec_id" % 4 === 1).count()
       assert(Similarity.liveCells(spark, path).count() == live - nMass)
@@ -1358,5 +1366,33 @@ class SimilaritySpec extends SparkSpec {
         path, batchTag = "b1")
       assert(Similarity.liveCells(spark, path).count() == emb.count())
     } finally spark.conf.unset(key)
+  }
+
+  test("legacy root tombstones/ rows: served as live deletes, migrated by compaction") {
+    // a layout whose last writer predates generation-scoped tombstones
+    // holds UN-consumed delete rows at `<path>/tombstones/` — readers
+    // must keep applying them, and one compaction must consume them,
+    // clear the legacy location, and leave the re-insert contract
+    // working (delete, compact, fold-again)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (path, _) = Similarity.ensureIvfIndex(emb,
+      srcTag = s"legacytomb-${System.nanoTime()}")
+    emb.filter($"vec_id" % 20 === 10).select("vec_id")
+      .write.mode("append").parquet(s"$path/tombstones")
+    val nDel = emb.filter($"vec_id" % 20 === 10).count()
+    assert(Similarity.liveCells(spark, path).count() == emb.count() - nDel,
+      "legacy-location tombstones must be served as live deletes")
+    Similarity.compactIvfCells(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction must clear the legacy tombstone location")
+    assert(Similarity.standingTombstoneFiles(spark, path).isEmpty)
+    assert(spark.read.parquet(Similarity.activeCellsDir(spark, path)).count()
+        == emb.count() - nDel,
+      "legacy tombstones must be consumed physically by the rewrite")
+    Similarity.foldIntoIvfIndex(
+      emb.filter($"vec_id" % 20 === 10).select("vec_id", "embedding"),
+      path, batchTag = "legacy-refold")
+    assert(Similarity.liveCells(spark, path).count() == emb.count(),
+      "after the migration compaction the ids must fold again as new")
   }
 }
