@@ -34,11 +34,17 @@ with open(os.path.join(repo, committed_path)) as f:
 committed = {k: v for k, v in com["queries"].items() if v is not None}
 
 # driver per-query numbers: prefer the parsed JSON; fall back to
-# regex-scraping the raw capture tail (medians appear as "qNN_x":1.23)
+# regex-scraping the raw capture tail (medians appear as "qNN_x":1.23).
+# A plain bench artifact (top-level "queries", e.g. a BENCH_sf01_local
+# snapshot from another marker) is accepted as-is, so the tool also
+# serves tree-vs-tree adjudication, not just driver-vs-committed.
 driver = {}
 parsed = drv.get("parsed")
 if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
     driver.update({k: v for k, v in parsed["queries"].items()
+                   if isinstance(v, (int, float))})
+if not driver and isinstance(drv.get("queries"), dict):
+    driver.update({k: v for k, v in drv["queries"].items()
                    if isinstance(v, (int, float))})
 for name, val in re.findall(r'"(q\d+[a-z0-9_]*)":([0-9]+\.[0-9]+)',
                             drv.get("tail", "")):
@@ -79,8 +85,18 @@ rerun = None
 try:
     with open(detail_path) as f:
         j = json.load(f)
-    if all(q in j.get("queries", {}) for q in disputed):
+    # every disputed query must be present AND numeric: an errored
+    # query lands as null in the detail artifact, and accepting it
+    # would crash the log-ratio below with a traceback instead of a
+    # verdict (and worse, could read as a clean adjudication)
+    if all(isinstance(j.get("queries", {}).get(q), (int, float))
+           and j["queries"][q] > 0 for q in disputed):
         rerun = j["queries"]
+    elif "queries" in j:
+        bad = [q for q in disputed
+               if not isinstance(j["queries"].get(q), (int, float))]
+        print(f"re-run detail artifact has non-numeric/missing rows for: "
+              f"{','.join(sorted(bad))} (errored queries?) — refusing")
 except (OSError, json.JSONDecodeError):
     pass
 finally:
