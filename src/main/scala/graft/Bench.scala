@@ -41,6 +41,41 @@ object Bench {
     // also absorbs the one-time codegen cost of each query, so the
     // median reflects steady state.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // CALIBRATION pair (r18 verdict ask #4): two pinned probes — one
+    // pure-CPU (no IO, no exchange) and one tiny-shuffle — run FIRST
+    // and LAST and recorded in every artifact, so round-over-round
+    // comparisons can normalize away box drift without a same-box A/B.
+    // The r17→r18 1.25x "regression" consumed a whole round's perf
+    // signal before a tree-level A/B proved it was the box; these two
+    // numbers make that adjudication a division. Median-of-3 each,
+    // after a warm run, so the pair itself is noise-resistant.
+    def calibrate(): (Double, Double) = {
+      def med(body: => Unit): Double = {
+        body
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          body
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      }
+      val cpu = med {
+        // modulo before the sum: 3e7 full-range hashes overflow a
+        // long under ANSI; 3e7 · 1e6 stays comfortably inside
+        spark.range(0, 30000000L, 1, 1)
+          .selectExpr("sum(pmod(xxhash64(id), 1000000))").collect()
+        ()
+      }
+      val shuffle = med {
+        spark.range(0, 2000000L)
+          .selectExpr("id % 1000 as k")
+          .groupBy("k").count()
+          .agg(org.apache.spark.sql.functions.sum("count")).collect()
+        ()
+      }
+      (cpu, shuffle)
+    }
+    val (calCpu0, calShuf0) = calibrate()
     // optional comma-separated name filter for local iteration; the
     // driver sets no filter and benches everything. Unknown names fail
     // loudly — a typo'd filter must never read as a clean (empty) run.
@@ -96,7 +131,12 @@ object Bench {
     val total = results.collect { case (_, v, None, _) => v }.sum
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def r4(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"iterations":$itersJson,"sf":"$sfDir"}"""
+    // the closing calibration pair: first-vs-last also exposes
+    // WITHIN-run drift (a box that slowed down mid-capture shows a
+    // cpu_last/cpu_first ratio far from 1)
+    val (calCpu1, calShuf1) = calibrate()
+    val calJson = s""""calibration":{"cpu":[${r4(calCpu0)},${r4(calCpu1)}],"shuffle":[${r4(calShuf0)},${r4(calShuf1)}]}"""
+    val fileJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"iters":$iters,"iterations":$itersJson,$calJson,"sf":"$sfDir"}"""
     // stdout, two lines: first the medians-only line (humans + logs),
     // LAST a ≤400-char summary. The driver's capture keeps only the
     // final 2000 chars of stdout (measured: BENCH_r14/r15/r16 all
@@ -108,7 +148,7 @@ object Bench {
         case (k, _, Some(_), _) => s"${jstr(k)}:null"
         case (k, v, None, _)    => s"${jstr(k)}:${r4(v)}"
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"error_count":$nErr,"iters":$iters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qsShort,"errors":$errs,"error_count":$nErr,"iters":$iters,$calJson,"sf":"$sfDir"}""")
     // summary "queries" = the 5 slowest medians (the ones worth
     // watching), count of the omitted rest alongside so the line reads
     // honestly. Errors are CAPPED too (names + 40-char messages, first
@@ -164,6 +204,6 @@ object Bench {
     // may print after the summary (build.sbt's showSuccess:=false
     // removes sbt's own trailer for the same reason)
     spark.stop()
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$slowest,"queries_omitted":${results.size - slowestPairs.size},"n_queries":${results.size},"errors":$errsShort,"errors_omitted":${math.max(0, nErr - 5)},"error_count":$nErr,"iters":$iters,"sf":"$sfDir"$detail}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$slowest,"queries_omitted":${results.size - slowestPairs.size},"n_queries":${results.size},"errors":$errsShort,"errors_omitted":${math.max(0, nErr - 5)},"error_count":$nErr,"iters":$iters,$calJson,"sf":"$sfDir"$detail}""")
   }
 }

@@ -466,6 +466,23 @@ object SparkEntry {
       .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
       .orderBy("media_id")
 
+  /** Video-container metadata with real-codec preference: the fixture's
+    * video rows mix REAL MP4 prologues (ids 1100-1119, half mvhd v0 /
+    * half v1) with stub blobs; [[graft.operators.Multimodal
+    * .decodeVideoAuto]] resolves the real rows' `moov/mvhd`
+    * duration+timescale via the general ISO-BMFF box walk and falls
+    * back to the deterministic 30 fps stub for the rest. The oracle
+    * re-derives the mvhd fields by slicing the generator's fixed
+    * layout offsets from the same bytes — the library must land on
+    * the identical fields by actually walking the boxes.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeVideoAuto(Multimodal.mediaFixture(s))
+      .toDF()
+      .select(col("media_id"), col("duration_ms"), col("timescale"),
+        col("real").cast("long").as("is_real"))
+      .orderBy("media_id")
+
   /** Audio metadata decode over the fixture's audio clips — the q36
     * pattern for the audio path: the stub codec is a pure byte function,
     * so the oracle recomputes sample rate (header int mod table),
@@ -2381,7 +2398,8 @@ object SparkEntry {
     "q125_band_delete"      -> (q125 _),
     "q126_ivf_delete"       -> (q126 _),
     "q127_ivfpq_delete"     -> (q127 _),
-    "q128_delete_stream"    -> (q128 _)
+    "q128_delete_stream"    -> (q128 _),
+    "q129_video_meta"       -> (q129 _)
   )
 
   /** Pay-once layout ingest: bucketed join tables (q75), the z-ordered
@@ -2474,6 +2492,22 @@ object SparkEntry {
       val (path, _) = Similarity.ensureIvfIndex(
         emb.filter(col("vec_id") % 10 =!= 0), srcTag = s"$d#p03")
       Similarity.foldAssignment(emb.filter(col("vec_id") % 100 === 0), path)
+    }),
+    // the ESCALATED connected-components path (ClustersSpec's 200-hop
+    // chain, scaled to the fixture): every document chained to its
+    // neighbor forms ONE corpus-sized path — the adversarial diameter
+    // that pins phase-1 propagation at its 4-round bound and forces the
+    // Kiveris star contraction on the label quotient. The shuffle row
+    // proves the quotient's edge set SHRINKS per round instead of
+    // re-shuffling the corpus-diameter graph O(diameter) times.
+    "p07_cc_longchain" -> ((s: SparkSession, d: String) => {
+      val n = t(s, d, "documents").count()
+      val edges = t(s, d, "documents")
+        .filter(col("doc_id") < n - 1)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      graft.operators.Clusters.connectedComponents(edges)
+        .agg(count(lit(1)).as("n_nodes"),
+          countDistinct(col("cluster")).as("n_clusters"))
     })
   )
 
@@ -3923,7 +3957,35 @@ object SparkEntry {
     "q125_band_delete" -> q125OracleSql,
     "q126_ivf_delete" -> q126OracleSql,
     "q127_ivfpq_delete" -> q127OracleSql,
-    "q128_delete_stream" -> q126OracleSql
+    "q128_delete_stream" -> q126OracleSql,
+    "q129_video_meta" -> {
+      val media = s"read_parquet('${Multimodal.MediaFixturePath}/*.parquet')"
+      def be(off: Int, hexLen: Int) =
+        s"('0x'||substr(hx,${2 * off + 1},$hexLen))::UBIGINT::BIGINT"
+      // generator layout (GenMediaFixture.mp4Blob): ftyp 0-19, moov
+      // header 20-27, mvhd header 28-35, mvhd payload from 36 —
+      // version byte 36; v0 timescale@48 duration32@52; v1
+      // timescale@56 duration64@60. 'ftyp' at bytes 4-7 = hex
+      // '66747970' classifies (stub blob bytes 4-7 are a small BE
+      // height, never the ftyp magic).
+      s"""WITH m AS (SELECT media_id, hex(data) AS hx, octet_length(data) AS len
+         |   FROM $media WHERE kind = 'video'),
+         | cls AS (SELECT media_id, hx, len,
+         |   substr(hx, 9, 8) = '66747970' AS is_mp4 FROM m),
+         | mp4 AS (SELECT media_id,
+         |   CASE WHEN ${be(36, 2)} = 1 THEN ${be(56, 8)} ELSE ${be(48, 8)} END AS ts,
+         |   CASE WHEN ${be(36, 2)} = 1 THEN ${be(60, 16)} ELSE ${be(52, 8)} END AS dur
+         |   FROM cls WHERE is_mp4),
+         | stub AS (SELECT media_id,
+         |   GREATEST(1, CAST(CEIL((len-16)/64.0) AS BIGINT)) AS n
+         |   FROM cls WHERE NOT is_mp4)
+         |SELECT media_id, dur*1000//ts AS duration_ms, ts AS timescale,
+         | CAST(1 AS BIGINT) AS is_real FROM mp4
+         |UNION ALL
+         |SELECT media_id, n*1000//30 AS duration_ms,
+         | CAST(30 AS BIGINT) AS timescale, CAST(0 AS BIGINT) AS is_real FROM stub
+         |ORDER BY media_id""".stripMargin.replaceAll("\n", " ")
+    }
   )
 
   /** Shared CTE chain of the MinHash-ingestion oracles (q106/q108/q109):

@@ -61,13 +61,26 @@ object Clusters {
     *                executor-loss drill uses to kill an executor
     *                mid-run (ClusterFailureSpec); default no-op
     */
+  /** @param onQuotient called with (round, edge-count, internal-node
+    *                count) after each phase-2 star-contraction round,
+    *                riding the SAME fused role-count job the
+    *                convergence check already runs (zero extra cost).
+    *                Edge count stays ~n by construction (every
+    *                non-root keeps exactly one parent edge — star
+    *                contraction shrinks DEPTH, not edges); the
+    *                contraction invariant is the INTERNAL-node count
+    *                (nodes that are both child and root), which
+    *                strictly falls to 0 at the star forest — the
+    *                shuffle audit pins that claim per round
+    */
   def connectedComponents(
       edges: DataFrame,
       src: String = "a",
       dst: String = "b",
       maxIter: Int = 50,
       checkpointDir: Option[String] = None,
-      onRound: Int => Unit = _ => ()): DataFrame = {
+      onRound: Int => Unit = _ => (),
+      onQuotient: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
     val ckptDir = checkpointDir.orElse(
       graft.util.Checkpoints.configured(edges.sparkSession))
     // no cast: every rule below is pure order algebra (min/least/
@@ -147,28 +160,36 @@ object Clusters {
       // just-checkpointed round, and the moment it holds the roots are
       // the component minima (both rules attach larger onto smaller and
       // preserve components)
-      def starForest(g: DataFrame): Boolean = {
+      def starForest(g: DataFrame, round: Int): Boolean = {
         val firstRow = g
           .select(col("a").as("id"), lit(1L).as("c"), lit(0L).as("r"))
           .union(g.select(col("b").as("id"), lit(0L).as("c"), lit(1L).as("r")))
           .groupBy("id").agg(sum(col("c")).as("c"), max(col("r")).as("r"))
           .agg(coalesce(max(col("c")), lit(0L)).as("maxc"),
             coalesce(max(when(col("c") > 0 && col("r") > 0, 1L)
-              .otherwise(0L)), lit(0L)).as("both"))
+              .otherwise(0L)), lit(0L)).as("both"),
+            // free per-round telemetry in the SAME job: edge count
+            // (each edge contributes its child row once) and the
+            // INTERNAL-node count — the quantity contraction drives
+            // to 0
+            coalesce(sum(col("c")), lit(0L)).as("edges"),
+            coalesce(sum(when(col("c") > 0 && col("r") > 0, 1L)
+              .otherwise(0L)), lit(0L)).as("internal"))
           .head()
+        onQuotient(round, firstRow.getLong(2), firstRow.getLong(3))
         firstRow.getLong(0) <= 1L && firstRow.getLong(1) == 0L
       }
 
       var cur = graft.util.Checkpoints.stage(smallStar(quotient), ckptDir)
       iter += 1
       onRound(iter)
-      var converged = starForest(cur)
+      var converged = starForest(cur, iter)
       while (!converged && iter < maxIter) {
         val next = graft.util.Checkpoints.stage(
           smallStar(largeStar(cur)), ckptDir)
         iter += 1
         onRound(iter)
-        converged = starForest(next)
+        converged = starForest(next, iter)
         cur = next
       }
       // quotient labels in ONE aggregation (children → parent, roots →

@@ -19,6 +19,8 @@ import graft.util.Checkpoints
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Hash-distribute on `key` across the session's default parallelism
     * with an EXPLICIT partition count, so an expensive per-row kernel
     * above it runs on every core. The count matters twice: a bare
@@ -581,12 +583,41 @@ object Dedup {
     val sfxs = (familySuffixes(spark, tablePrefix, "bands") ++
       familySuffixes(spark, tablePrefix, "sigs") ++
       familySuffixes(spark, tablePrefix, "dels")).distinct
-    sfxs.filterNot(keep).foreach { sfx =>
+    // COUNT bound on top of the age gate (the IVF side's recoverCells
+    // contract): a hot compaction loop must not accumulate generation
+    // pairs without limit for gcStaleHours. Among retirable suffixes
+    // (newest first — familySuffixes order), the newest
+    // `spark.graft.index.maxStaleGenerations` stay age-gated; the
+    // excess drops REGARDLESS of age. keep-set members (the active
+    // pair and its immediate predecessor, or a live rewrite's newer
+    // suffix) are never counted. Readers accept the same contract
+    // shift as the path-backed family: an in-flight scan survives
+    // min(gcStaleHours, K subsequent promotes).
+    val keepStale =
+      if (ageGateHours <= 0L) 0
+      else Similarity.confInt(
+        spark, "spark.graft.index.maxStaleGenerations", 4)
+    // explicit newest-first order (nanoTime suffixes are fixed-width,
+    // so string order = age order; "" = gen 0 sorts oldest/last) — the
+    // concatenated family listing is not globally ordered when orphan
+    // sigs/dels suffixes exist
+    val retirable =
+      sfxs.filterNot(keep).sorted(Ordering[String].reverse)
+    // the keep set's non-active members (the just-superseded pair a
+    // promote always protects) consume superseded-budget slots, so the
+    // invariant is global: ≤ keepStale superseded generations standing
+    // after any maintenance op, i.e. ≤ keepStale+1 in total
+    val keepSlots = math.max(0, keepStale - math.max(0, keep.size - 1))
+    val forced: Set[String] =
+      if (keepStale <= 0 && ageGateHours > 0L) Set.empty
+      else retirable.drop(keepSlots).toSet
+    retirable.foreach { sfx =>
       Seq(s"${tablePrefix}_bands$sfx", s"${tablePrefix}_sigs$sfx",
           s"${tablePrefix}_dels$sfx")
         .foreach { t =>
           if (cat.tableExists(org.apache.spark.sql.catalyst
-              .TableIdentifier(t, Some("default"))) && oldEnough(t))
+              .TableIdentifier(t, Some("default"))) &&
+              (forced.contains(sfx) || oldEnough(t)))
             spark.sql(s"DROP TABLE IF EXISTS $t")
         }
     }
@@ -700,22 +731,29 @@ object Dedup {
         buckets, Seq("bk"), fpTag) &&
       Bucketing.isCurrent(rawSigs, curSigs, buckets, Seq("doc_id"), fpTag)
     if (!current) {
-      // a rebuild starts a NEW lineage: stale tombstones from the old
-      // one must not suppress freshly indexed docs — drop the catalog
-      // entry AND any orphaned warehouse dir a previous JVM left
-      docs.sparkSession.sql(
-        s"DROP TABLE IF EXISTS ${delsTableFor(bandsTable)}")
-      graft.pipeline.Cleanup.ensureWritable(
-        docs.sparkSession, "default", delsTableFor(bandsTable))
-      // every generation of the stale lineage goes — gen 0 restarts it
-      dropGenerationsExcept(docs.sparkSession, tablePrefix, Set.empty)
-      // staged so the expensive minhash kernel runs ONCE for both writes
-      val sigs = Checkpoints.stage(rawSigs,
-        Checkpoints.configured(docs.sparkSession))
-      Bucketing.ensureBucketed(bandKeys(sigs, bands, rows),
-        bandsTable, buckets, Seq("bk"), fpTag)
-      Bucketing.ensureBucketed(sigs, sigsTable, buckets, Seq("doc_id"), fpTag)
-      (bandsTable, sigsTable)
+      // the rebuild is a WRITE: it retires every generation and
+      // restarts the lineage at gen 0, so it takes the cross-process
+      // writer lease like every other maintenance entry point
+      WriterLease.withLease(docs.sparkSession,
+          WriterLease.lockPathFor(docs.sparkSession, "default",
+            tablePrefix)) {
+        // a rebuild starts a NEW lineage: stale tombstones from the old
+        // one must not suppress freshly indexed docs — drop the catalog
+        // entry AND any orphaned warehouse dir a previous JVM left
+        docs.sparkSession.sql(
+          s"DROP TABLE IF EXISTS ${delsTableFor(bandsTable)}")
+        graft.pipeline.Cleanup.ensureWritable(
+          docs.sparkSession, "default", delsTableFor(bandsTable))
+        // every generation of the stale lineage goes — gen 0 restarts it
+        dropGenerationsExcept(docs.sparkSession, tablePrefix, Set.empty)
+        // staged so the expensive minhash kernel runs ONCE for both writes
+        val sigs = Checkpoints.stage(rawSigs,
+          Checkpoints.configured(docs.sparkSession))
+        Bucketing.ensureBucketed(bandKeys(sigs, bands, rows),
+          bandsTable, buckets, Seq("bk"), fpTag)
+        Bucketing.ensureBucketed(sigs, sigsTable, buckets, Seq("doc_id"), fpTag)
+        (bandsTable, sigsTable)
+      }
     } else (curBands, curSigs)
   }
 
@@ -775,6 +813,8 @@ object Dedup {
     // to a generation a concurrent compaction is retiring
     foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
       if (foldMemo.contains(memoKey)) return
+      WriterLease.withLease(spark,
+          WriterLease.lockPathFor(spark, "default", tablePrefix)) {
       val (bandsTable, sigsTable) = currentIndexTables(spark, tablePrefix)
       val props = spark.sql(s"SHOW TBLPROPERTIES $bandsTable").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -913,6 +953,7 @@ object Dedup {
             spark.table(bandsTable).inputFiles.length >= threshold * buckets)
           compactMinhashBandIndex(spark, tablePrefix, buckets)
       }
+      }
       foldMemo.add(memoKey)
       ()
     }
@@ -951,6 +992,8 @@ object Dedup {
     if (foldMemo.contains(memoKey)) return
     foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
       if (foldMemo.contains(memoKey)) return
+      WriterLease.withLease(spark,
+          WriterLease.lockPathFor(spark, "default", tablePrefix)) {
       val (bandsTable0, _) = currentIndexTables(spark, tablePrefix)
       val props = spark.sql(s"SHOW TBLPROPERTIES $bandsTable0").collect()
         .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -969,7 +1012,7 @@ object Dedup {
         var bandsTable = bandsTable0
         var settled    = false
         var rounds     = 0
-        while (!settled && rounds < 3) {
+        while (!settled && rounds < 6) {
           val delsTable = delsTableFor(bandsTable)
           // first delete of a generation CREATES its dels table — clear
           // any orphaned same-name warehouse dir first (the recurring
@@ -992,6 +1035,18 @@ object Dedup {
           bandsTable = now
           rounds += 1
         }
+        // the memo/ledger entry is the delete's durability witness —
+        // recording an UNSETTLED tag would make its replay a no-op
+        // while the tombstone sits in a retiring generation (served-
+        // undeleted, permanently). Six promotes inside one delete
+        // means a writer is compacting outside the writer lease:
+        // refuse loudly, keep the tag replayable.
+        require(settled,
+          s"delete '$delTag' on lineage '$tablePrefix' could not " +
+            "settle: the active generation changed through 6 " +
+            "consecutive append attempts (a concurrent writer is " +
+            "compacting outside the writer lease). The tag is " +
+            "replayable — retry once the lineage is quiescent.")
         // TOMBSTONE-DEBT bound (the [[graft.operators.Similarity
         // .deleteFromIvfIndex]] contract for the table-backed index):
         // every live read broadcast-anti-joins the dels table, so its
@@ -1014,6 +1069,7 @@ object Dedup {
             standingDels(spark, bandsTable).exists(
               _.select("doc_id").distinct().count() >= debtCap.toLong))
           compactMinhashBandIndex(spark, tablePrefix)
+      }
       }
       foldMemo.add(memoKey)
       ()
@@ -1050,8 +1106,13 @@ object Dedup {
       tablePrefix: String,
       buckets: Int = 0): Unit = {
     foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
+      if (!spark.catalog.tableExists(
+          currentIndexTables(spark, tablePrefix)._1)) return
+      WriterLease.withLease(spark,
+          WriterLease.lockPathFor(spark, "default", tablePrefix)) {
+      // re-resolve UNDER the lease: the pre-lease peek above is only
+      // the cheap no-op short-circuit
       val (curBands, curSigs) = currentIndexTables(spark, tablePrefix)
-      if (!spark.catalog.tableExists(curBands)) return
       // buckets=0 (the default) derives the count from the standing
       // table's own bucket spec — the rewrite must preserve the layout
       // contract every fold append relies on (append fails loudly on a
@@ -1078,7 +1139,17 @@ object Dedup {
       // pre-generation-scoped `<prefix>_dels` rows (only standing on a
       // layout last written by the old binary) are consumed here and
       // the table dropped post-promote — a one-time migration window.
-      val delsSnapshot = standingDels(spark, curBands)
+      // the snapshot is MATERIALIZED once (owned stage) and reused by
+      // both CTAS passes: as a lazy plan it would be evaluated twice,
+      // and a cross-process delete appending between the two
+      // evaluations would yield a generation whose bands and sigs
+      // DISAGREE on purged docs. The staged block also serves as the
+      // baseline for the post-promote late-dels forward below.
+      val delsStaged = standingDels(spark, curBands).map(d =>
+        Checkpoints.stageOwned(d.select("doc_id").distinct(),
+          Checkpoints.configured(spark)))
+      try {
+      val delsSnapshot = delsStaged.map(_.df)
       val legacyDels   = s"${tablePrefix}_dels"
       val hadDels      = delsSnapshot.isDefined
       // the purge-window ledger (names only, O(crashed tags)): a purge
@@ -1112,9 +1183,10 @@ object Dedup {
             else copied
           val live = delsSnapshot match {
             case Some(dels) =>
+              // already distinct and physically staged — both CTAS
+              // passes anti-join the same materialized id set
               spark.table(src).join(
-                broadcast(dels.select("doc_id").distinct()),
-                Seq("doc_id"), "left_anti")
+                broadcast(dels), Seq("doc_id"), "left_anti")
             case None => spark.table(src)
           }
           val staged = Checkpoints.stageOwned(
@@ -1135,6 +1207,50 @@ object Dedup {
             spark.catalog.dropTempView(view)
           } finally staged.release()
         }
+      // LATE-DELS merge-forward (defense in depth below the writer
+      // lease, the band-index analog of compactIvfCells' late-tombstone
+      // copy): a delete landed by a writer whose lease was stale-broken
+      // — or by a pre-lease binary — between the snapshot and the
+      // bands-CTAS promote settles in the SUPERSEDED generation's dels
+      // table with its ledger tag recorded there, so it would replay
+      // as a no-op while the new generation serves the doc undeleted.
+      // Forward rows standing on the old generation that the snapshot
+      // did not consume into the new generation's dels table, and merge
+      // the late ledger tags. One tiny probe per compaction; duplicate
+      // rows are anti-join no-ops.
+      val newBands = s"${tablePrefix}_bands$newSfx"
+      standingDels(spark, curBands).foreach { cur =>
+        val late = delsSnapshot match {
+          case Some(snap) =>
+            cur.select("doc_id").join(broadcast(snap), Seq("doc_id"),
+              "left_anti")
+          case None => cur.select("doc_id")
+        }
+        if (!late.isEmpty) {
+          val newDels = delsTableFor(newBands)
+          if (!spark.catalog.tableExists(newDels))
+            graft.pipeline.Cleanup.ensureWritable(spark, "default", newDels)
+          late.write.mode("append").format("parquet").saveAsTable(newDels)
+          val lateTags = spark.sql(s"SHOW TBLPROPERTIES $curBands")
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+            .getOrElse("graft.dels", "")
+            .split(",").filter(_.nonEmpty).toSet
+          val newTags = spark.sql(s"SHOW TBLPROPERTIES $newBands")
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+            .getOrElse("graft.dels", "")
+            .split(",").filter(_.nonEmpty).toSet
+          if ((lateTags -- newTags).nonEmpty) {
+            val merged = (lateTags ++ newTags).toSeq.sorted.mkString(",")
+              .replace("'", "''")
+            spark.sql(s"ALTER TABLE $newBands SET TBLPROPERTIES(" +
+              s"'graft.dels'='$merged')")
+          }
+          log.warn(s"compactMinhashBandIndex($tablePrefix): forwarded " +
+            "late tombstone rows from the superseded generation — a " +
+            "cross-process delete raced this rewrite outside the " +
+            "writer lease")
+        }
+      }
       // retire everything but the new generation and the one it just
       // superseded — AGE-GATED (same stale window as the IVF side's
       // generation GC): without the gate, two promotes inside one
@@ -1153,6 +1269,8 @@ object Dedup {
         spark.sql(
           s"ALTER TABLE $legacyDels SET TBLPROPERTIES('graft.consumed'='true')")
       ()
+      } finally delsStaged.foreach(_.release())
+      }
     }
   }
 

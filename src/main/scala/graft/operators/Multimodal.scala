@@ -37,6 +37,10 @@ object Multimodal {
 
   final case class VideoFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  final case class VideoMeta(duration_ms: Long, timescale: Long)
+  final case class DecodedVideo(
+      media_id: Long, duration_ms: Long, timescale: Long, real: Boolean)
+
   /** STUB codec: a deterministic pure function of the blob bytes.
     * "Header" = first 16 bytes interpreted as big-endian ints
     * (width, height, channels, extra); "content" = xxhash-style rolling
@@ -99,6 +103,12 @@ object Multimodal {
     /** video = concatenated fixed-size "frames" after the header. */
     def frames(data: Array[Byte], frameBytes: Int = 64): Seq[Array[Byte]] =
       data.drop(16).grouped(frameBytes).toSeq
+
+    /** stub video metadata: synthetic 30 fps over the frame count. */
+    def videoMeta(data: Array[Byte]): VideoMeta = {
+      val n = math.max(1L, ((data.length - 16 + 63) / 64).toLong)
+      VideoMeta(n * 1000L / 30L, 30L)
+    }
 
     /** deterministic feature embedding (the feature-extract step). */
     def embed(data: Array[Byte], dim: Int = 64): Array[Float] = {
@@ -316,6 +326,78 @@ object Multimodal {
       else Some(AudioMeta(sr,
         math.max(1L, totalSamples * 1000L / sr), 0.0))
     }
+
+    /** MP4/ISO-BMFF `moov/mvhd` duration walk — pure JVM, from the
+      * public ISO 14496-12 box grammar (the last container family that
+      * still fell through to the stub). Boxes are
+      * [32-bit BE size][4CC type]; size==1 pulls a 64-bit largesize,
+      * size==0 means "to end of file". The movie header lives at
+      * `moov/mvhd`; version 0 carries 32-bit timescale+duration after
+      * 2×32-bit timestamps, version 1 the 64-bit forms after 2×64-bit
+      * timestamps. duration_ms = duration·1000/timescale. None unless
+      * the file starts with a well-formed top-level box whose type is
+      * one of the ISO-BMFF brands (`ftyp`/`moov`/`mdat`/`free`/`wide`/
+      * `skip`/`styp`) — callers fall back to the stub.
+      */
+    def mp4Meta(data: Array[Byte]): Option[VideoMeta] = {
+      def be32(off: Int): Long =
+        if (off + 4 > data.length) -1L
+        else ((data(off) & 0xffL) << 24) | ((data(off + 1) & 0xffL) << 16) |
+          ((data(off + 2) & 0xffL) << 8) | (data(off + 3) & 0xffL)
+      def be64(off: Int): Long =
+        if (off + 8 > data.length) -1L
+        else (be32(off) << 32) | be32(off + 4)
+      def fourcc(off: Int): String =
+        if (off + 4 > data.length) ""
+        else new String(data, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // (payload offset, box end) of each box in [from, until)
+      def walk(from: Int, until: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var off = from
+          def hasNext: Boolean = off + 8 <= until
+          def next(): (String, Int, Int) = {
+            val size0 = be32(off)
+            val typ   = fourcc(off + 4)
+            val (payload, end) = size0 match {
+              case 0 => (off + 8, until) // to end of enclosing scope
+              case 1 =>
+                val ls = be64(off + 8)
+                (off + 16,
+                  if (ls < 16) until
+                  else math.min(until.toLong, off + ls).toInt)
+              case s =>
+                (off + 8,
+                  if (s < 8) until
+                  else math.min(until.toLong, off + s).toInt)
+            }
+            off = math.max(end, off + 8) // malformed sizes still advance
+            (typ, payload, end)
+          }
+        }
+      val brands = Set("ftyp", "moov", "mdat", "free", "wide", "skip", "styp")
+      if (data.length < 16 || be32(0) < 8 || !brands.contains(fourcc(4)))
+        return None
+      walk(0, data.length).collectFirst { case ("moov", p, e) => (p, e) }
+        .flatMap { case (moovP, moovE) =>
+          walk(moovP, moovE).collectFirst { case ("mvhd", p, _) => p }
+        }
+        .flatMap { p =>
+          if (p >= data.length) None
+          else (data(p) & 0xff) match {
+            case 0 =>
+              val ts  = be32(p + 12) // 4 flags-ish + ctime + mtime
+              val dur = be32(p + 16)
+              if (ts <= 0 || dur < 0) None
+              else Some(VideoMeta(dur * 1000L / ts, ts))
+            case 1 =>
+              val ts  = be32(p + 20) // 4 + 8 + 8
+              val dur = be64(p + 24)
+              if (ts <= 0 || dur < 0) None
+              else Some(VideoMeta(dur * 1000L / ts, ts))
+            case _ => None
+          }
+        }
+    }
   }
 
   // -------------------------------------------------------------------------
@@ -409,6 +491,31 @@ object Multimodal {
             case None =>
               val m = FakeCodec.audioMeta(r.data)
               DecodedAudio(r.media_id, m.sample_rate, m.duration_ms, m.rms)
+          }
+        }
+      }
+  }
+
+  /** Video metadata decode with real-container preference — the
+    * [[decodeAudioAuto]] contract for the video column: a real
+    * MP4/ISO-BMFF blob resolves its `moov/mvhd` duration and timescale
+    * (pure JVM box walk, no frame decode), anything else falls back to
+    * the deterministic stub; `real` marks which path served the row so
+    * a corpus audit can count genuine containers. One codec pass per
+    * partition stream (mapPartitions), same batch shape as the other
+    * decoders.
+    */
+  def decodeVideoAuto(media: DataFrame): Dataset[DecodedVideo] = {
+    implicit val enc = Encoders.product[DecodedVideo]
+    media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
+      .mapPartitions { rows =>
+        rows.filter(_.kind == "video").map { r =>
+          RealCodecs.mp4Meta(r.data) match {
+            case Some(m) =>
+              DecodedVideo(r.media_id, m.duration_ms, m.timescale, real = true)
+            case None =>
+              val m = FakeCodec.videoMeta(r.data)
+              DecodedVideo(r.media_id, m.duration_ms, m.timescale, real = false)
           }
         }
       }

@@ -682,6 +682,7 @@ object Similarity {
       // half-written layout (the build lands in a temp sibling and
       // becomes visible with one directory rename)
       lockFor(path).synchronized {
+        WriterLease.withLease(spark, WriterLease.lockPathFor(path)) {
         recoverCells(spark, path)
         val dest   = new org.apache.hadoop.fs.Path(path)
         // marker = _SUCCESS of the ACTIVE generation (a compacted
@@ -708,6 +709,7 @@ object Similarity {
                 s"could not promote IVF layout $tmp -> $dest")
             }
           }
+        }
         }
       }
       ivfMemo.put(memo, path)
@@ -766,6 +768,7 @@ object Similarity {
     if (ivfFoldMemo.contains(memoKey)) return
     lockFor(path).synchronized {
       if (ivfFoldMemo.contains(memoKey)) return
+      WriterLease.withLease(spark, WriterLease.lockPathFor(path)) {
       recoverCells(spark, path)
       val tagHash = java.security.MessageDigest.getInstance("MD5")
         .digest(batchTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -788,6 +791,7 @@ object Similarity {
         finally out.close()
         // policy check under the already-held layout lock (reentrant)
         maybeAutoCompactCells(spark, path)
+      }
       }
       ivfFoldMemo.add(memoKey)
       ()
@@ -929,35 +933,44 @@ object Similarity {
     val mf = new org.apache.hadoop.fs.Path(path, CellsManifest)
     val fs = manifestFs(mf.getFileSystem(spark.sessionState.newHadoopConf()))
     // Absence of the manifest normally means "never compacted → cells/".
-    // But on a filesystem whose replace primitive is NOT atomic (any
-    // scheme outside the file:/hdfs: legs of [[flipCellsManifest]]),
-    // a reader could land inside a delete+rename gap: if generation
-    // dirs exist the layout HAS been compacted, so a missing manifest
-    // there is transient — wait it out rather than silently resolving
-    // the superseded (possibly purged) cells/ dir. Defense in depth on
-    // file:/hdfs:, load-bearing on object-store-like schemes.
-    var exists  = fs.exists(mf)
-    var retries = 0
-    while (!exists && retries < 8 && {
-        val st = fs.globStatus(new org.apache.hadoop.fs.Path(path, "cells.g*"))
+    // When `cells/` survives, that resolution is ALWAYS legitimate —
+    // either the layout was never compacted, or a first-ever compaction
+    // crashed before its flip (documented crash contract: old
+    // generation stays active, and GC never collects `cells/` while
+    // nothing superseded it) — so the hot path resolves immediately
+    // with no retry sleeps and no globStatus RPCs. Only when cells/ is
+    // ALSO gone does absence need interpretation: on a filesystem whose
+    // replace primitive is NOT atomic (any scheme outside the
+    // file:/hdfs: legs of [[flipCellsManifest]]) a reader could land
+    // inside a delete+rename gap — if generation dirs exist the layout
+    // HAS been compacted, so wait the gap out rather than guessing.
+    // On file:/hdfs: the flip is atomic, so there is no gap to wait
+    // for: manifest absent + cells/ absent + generations present is a
+    // TORN layout, refused immediately.
+    var exists = fs.exists(mf)
+    if (!exists &&
+        !fs.exists(new org.apache.hadoop.fs.Path(path, "cells"))) {
+      def gensPresent: Boolean = {
+        val st =
+          fs.globStatus(new org.apache.hadoop.fs.Path(path, "cells.g*"))
         st != null && st.nonEmpty
-      }) {
-      Thread.sleep(50L); retries += 1; exists = fs.exists(mf)
+      }
+      val atomicFlip = {
+        val s = fs.getUri.getScheme
+        s == "file" || s == "hdfs"
+      }
+      var retries = 0
+      while (!exists && !atomicFlip && retries < 8 && gensPresent) {
+        Thread.sleep(50L); retries += 1; exists = fs.exists(mf)
+      }
+      // a post-promote layout whose cells/ was GC'd MUST have a
+      // manifest — refusing loudly beats silently resolving a
+      // generation that may no longer exist
+      require(exists || !gensPresent,
+        s"layout $path has generation dirs but no $CellsManifest and no " +
+          "cells/ fallback (torn or non-atomic promote): refusing to " +
+          "guess the active generation")
     }
-    // Still no manifest after the wait, with generation dirs present:
-    // either a compaction crashed BEFORE its flip (old generation stays
-    // active — `cells/` for a first-ever compaction, documented crash
-    // contract) or a non-atomic promote's gap outlived 400 ms. The two
-    // are distinguishable by whether `cells/` survives: the crash case
-    // keeps it (GC only collects SUPERSEDED dirs, and nothing was
-    // superseded), while a post-promote layout whose cells/ was GC'd
-    // MUST have a manifest — there, refusing loudly beats silently
-    // resolving a generation that may no longer exist.
-    require(exists || retries < 8 ||
-        fs.exists(new org.apache.hadoop.fs.Path(path, "cells")),
-      s"layout $path has generation dirs but no $CellsManifest and no " +
-        "cells/ fallback (torn or non-atomic promote): refusing to " +
-        "guess the active generation")
     val name =
       if (!exists) "cells"
       else {
@@ -1133,6 +1146,7 @@ object Similarity {
     if (ivfFoldMemo.contains(memoKey)) return
     lockFor(path).synchronized {
       if (ivfFoldMemo.contains(memoKey)) return
+      WriterLease.withLease(spark, WriterLease.lockPathFor(path)) {
       recoverCells(spark, path)
       val tagHash = java.security.MessageDigest.getInstance("MD5")
         .digest(delTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1152,13 +1166,26 @@ object Similarity {
         var gen     = activeCellsDir(spark, path)
         var settled = false
         var rounds  = 0
-        while (!settled && rounds < 3) {
+        while (!settled && rounds < 6) {
           ids.write.mode("append").parquet(s"$gen/_tombstones")
           val now = activeCellsDir(spark, path)
           settled = now == gen
           gen = now
           rounds += 1
         }
+        // the marker is the delete's durability witness — writing it
+        // for an UNSETTLED append would make the tag replay as a no-op
+        // while the tombstone sits in a retired generation (the doc
+        // would be served undeleted, permanently). Six promotes inside
+        // one delete means something outside the writer lease is
+        // rewriting the layout in a hot loop: refuse loudly, keep the
+        // tag replayable.
+        require(settled,
+          s"delete '$delTag' on $path could not settle: the active " +
+            "generation changed through 6 consecutive append attempts " +
+            "(a concurrent writer is compacting outside the writer " +
+            "lease). The tag is replayable — retry once the layout is " +
+            "quiescent.")
         fs.mkdirs(marker.getParent)
         val out = fs.create(marker, true)
         try out.write(delTag.getBytes(
@@ -1188,6 +1215,7 @@ object Similarity {
                 .select("vec_id").distinct().count() >= debtCap.toLong)
             compactIvfCells(spark, path)
         }
+      }
       }
       ivfFoldMemo.add(memoKey)
       ()
@@ -1251,6 +1279,7 @@ object Similarity {
     */
   def compactIvfCells(spark: SparkSession, path: String): Unit =
     lockFor(path).synchronized {
+      WriterLease.withLease(spark, WriterLease.lockPathFor(path)) {
       recoverCells(spark, path)
       val cellsDir =
         new org.apache.hadoop.fs.Path(activeCellsDir(spark, path))
@@ -1299,6 +1328,37 @@ object Similarity {
       // the old generation's files until [[recoverCells]]' GC collects
       // them (`spark.graft.index.gcStaleHours`, default 24 h).
       flipCellsManifest(spark, path, gen.getName)
+      // LATE-TOMBSTONE merge-forward (defense in depth below the
+      // writer lease, which already serializes cross-process deletes
+      // against this rewrite): a delete landed by a writer whose lease
+      // was stale-broken — or by a pre-lease binary — between this
+      // rewrite's tombstone snapshot and the flip settles in the
+      // SUPERSEDED generation (its re-resolve saw the old manifest)
+      // and writes its non-generation-scoped dels marker, so it would
+      // replay as a no-op while the new generation serves the doc
+      // undeleted. Re-list the old generation's tombstones after the
+      // flip and COPY (never move — old-generation scans keep their
+      // own view) every file the snapshot did not consume into the new
+      // generation. Any file visible here landed before the flip; a
+      // delete whose append completes after the flip re-resolves to
+      // the new generation itself (deleteFromIvfIndex's settle loop).
+      // Duplicated rows are anti-join no-ops.
+      val late = tombstoneDataFiles(spark, path, cellsDir.toString)
+        .filterNot(tombData.toSet)
+      if (late.nonEmpty) {
+        val dstDir = new org.apache.hadoop.fs.Path(gen, "_tombstones")
+        fs.mkdirs(dstDir)
+        late.foreach { f =>
+          val src = new org.apache.hadoop.fs.Path(f)
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(dstDir, s"fwd_${src.getName}"),
+            false, spark.sessionState.newHadoopConf())
+        }
+        log.warn(s"compactIvfCells($path): forwarded ${late.size} " +
+          "late tombstone file(s) from the superseded generation — a " +
+          "cross-process delete raced this rewrite outside the writer " +
+          "lease")
+      }
       // purge only the LEGACY-location files (snapshot only — see
       // above); the active generation's own tombstones stay with its
       // dir and die in the age-gated GC
@@ -1308,7 +1368,15 @@ object Similarity {
       if (legacyTombFiles.nonEmpty && fs.exists(legacyTombDir) &&
           fs.listStatus(legacyTombDir).isEmpty)
         fs.delete(legacyTombDir, false)
+      // post-promote GC: the generation COUNT bound
+      // (`spark.graft.index.maxStaleGenerations`, enforced in
+      // [[recoverCells]]) must hold immediately after the promote, not
+      // only when the next maintenance op happens to run — a hot
+      // compaction loop would otherwise stand one extra generation per
+      // promote until its next entry point
+      recoverCells(spark, path)
       ()
+      }
     }
 
   /** Housekeeping under the layout lock, run by every maintenance
@@ -1378,8 +1446,31 @@ object Similarity {
         } catch { case _: java.io.IOException => }
         m
       }
+      // COUNT bound on top of the age gate (the age gate alone lets a
+      // hot compaction loop accumulate generation dirs without limit
+      // for gcStaleHours): among SUPERSEDED dirs — names strictly older
+      // than the active generation in the nanoTime name order; anything
+      // newer may be a live cross-process rewrite that has not flipped
+      // yet and stays age-gated only — keep the newest
+      // `spark.graft.index.maxStaleGenerations` (default 4, ≤0
+      // disables) and delete the excess REGARDLESS of age. Contract
+      // shift a reader accepts by design: an in-flight scan survives
+      // min(gcStaleHours, K subsequent promotes); liveCells' absence
+      // retry re-resolves a scan that outlives either bound.
+      val keepStale = confInt(
+        spark, "spark.graft.index.maxStaleGenerations", 4)
+      val forced: Set[org.apache.hadoop.fs.Path] =
+        if (keepStale <= 0) Set.empty
+        else stale.map(_.getPath)
+          .filter(p => p.getName < active.getName ||
+            // gen-0 `cells` and legacy siblings sort before any
+            // promoted `cells.g*` active name lexically, but guard the
+            // reverse: never force-delete ahead of a bare-cells active
+            (active.getName != "cells" && p.getName == "cells"))
+          .sortBy(_.getName).reverse.drop(keepStale).toSet
       stale.foreach { s =>
-        if (newestMtime(s.getPath, s.getModificationTime) < cutoff)
+        if (forced.contains(s.getPath) ||
+            newestMtime(s.getPath, s.getModificationTime) < cutoff)
           fs.delete(s.getPath, true)
       }
     }
@@ -1441,6 +1532,7 @@ object Similarity {
   def rebuildIvfIndex(
       spark: SparkSession, path: String, dest: String): String = {
     lockFor(dest).synchronized {
+      WriterLease.withLease(spark, WriterLease.lockPathFor(dest)) {
       recoverCells(spark, path)
       val destP  = new org.apache.hadoop.fs.Path(dest)
       def marker = new org.apache.hadoop.fs.Path(
@@ -1473,6 +1565,7 @@ object Similarity {
               s"could not promote rebuilt IVF layout $tmp -> $destP")
           }
         }
+      }
       }
     }
     dest
@@ -1635,6 +1728,7 @@ object Similarity {
     val memo = s"${spark.sparkContext.applicationId}|$key"
     if (ivfMemo.get(memo) != path) {
       lockFor(path).synchronized {
+        WriterLease.withLease(spark, WriterLease.lockPathFor(path)) {
         recoverCells(spark, path)
         val dest   = new org.apache.hadoop.fs.Path(path)
         // marker = _SUCCESS of the ACTIVE generation (a compacted
@@ -1656,6 +1750,7 @@ object Similarity {
                 s"could not promote IVF-PQ layout $tmp -> $dest")
             }
           }
+        }
         }
       }
       ivfMemo.put(memo, path)
@@ -1744,6 +1839,7 @@ object Similarity {
     if (ivfFoldMemo.contains(memoKey)) return
     lockFor(path).synchronized {
       if (ivfFoldMemo.contains(memoKey)) return
+      WriterLease.withLease(spark, WriterLease.lockPathFor(path)) {
       recoverCells(spark, path)
       val tagHash = java.security.MessageDigest.getInstance("MD5")
         .digest(batchTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1784,6 +1880,7 @@ object Similarity {
         finally out.close()
         // policy check under the already-held layout lock (reentrant)
         maybeAutoCompactCells(spark, path)
+      }
       }
       ivfFoldMemo.add(memoKey)
       ()

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Cross-PROCESS writer mutual exclusion for a maintained index
+  * lineage — the half of the single-writer contract the JVM-local
+  * locks (`Dedup.foldLocks`, `Similarity.lockFor`) cannot give. Every
+  * maintenance entry point (fold, delete, compact, rebuild) of both
+  * index families acquires the lineage's lease before touching its
+  * ledger or layout, so two driver JVMs folding the same lineage
+  * either SERIALIZE (the second waits out the first's short op) or
+  * REFUSE loudly — never the silent double-append / lost-ledger-entry
+  * interleaving the TBLPROPERTIES read-modify-write and the
+  * resolve-append-settle loops would otherwise admit. (Reference
+  * analog: the SDE load is single-process by construction,
+  * etl/pipeline.py:557-568 — a sharded 100 TB ingest tier is not.)
+  *
+  * Mechanics: one `_writer.lock` file per lineage, created with the
+  * filesystem's ATOMIC create-if-absent primitive (java.nio
+  * CREATE_NEW on `file:`, `FileSystem.create(overwrite=false)` on
+  * HDFS — both one atomic metadata op; object stores without an
+  * atomic create get best-effort semantics, same caveat as every
+  * lock-file protocol). The file body names the holder
+  * (`pid@host#bootNanos`) for diagnostics and re-entrancy.
+  *
+  * Liveness: a holder that dies leaks its lock file; contenders break
+  * a lease whose mtime is older than
+  * `spark.graft.index.writerLeaseStaleMinutes` (default 120). Long
+  * rewrites therefore HEARTBEAT: the holding JVM refreshes the lock's
+  * mtime every staleWindow/4 from a daemon thread, so the window
+  * bounds crash recovery time, not op duration. Contenders wait up to
+  * `spark.graft.index.writerLeaseWaitSeconds` (default 30) for a live
+  * lease to clear, then throw — refusal is the designed outcome for
+  * true concurrent writers; waiting covers back-to-back short ops.
+  *
+  * Re-entrancy is per-JVM, not per-thread: maintenance entry points
+  * already serialize JVM-locally on the lineage lock BEFORE acquiring
+  * the lease, so at most one thread per JVM is inside; nested entry
+  * points (a delete's tombstone-debt auto-compaction, a fold's
+  * files-per-bucket auto-compaction) see their own holder id in the
+  * file and proceed without re-acquiring.
+  */
+object WriterLease {
+
+  /** This JVM's identity in lock files — stable for the process
+    * lifetime, unique across processes and restarts.
+    */
+  private[graft] val holderId: String = {
+    val host =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: java.net.UnknownHostException => "localhost" }
+    s"${ProcessHandle.current().pid()}@$host#${System.nanoTime()}"
+  }
+
+  // lock paths this JVM currently holds, with nesting depth — guarded
+  // by its own monitor (the per-lineage JVM lock already serializes
+  // same-lineage callers; this map only coordinates bookkeeping)
+  private val held = scala.collection.mutable.Map.empty[String, Int]
+
+  // one daemon heartbeat thread for all held leases: refreshes each
+  // lock's mtime so a multi-hour rewrite never goes "stale" while its
+  // holder is alive
+  private case class Beat(path: Path, fs: org.apache.hadoop.fs.FileSystem)
+  private val beats =
+    new java.util.concurrent.ConcurrentHashMap[String, Beat]()
+  private val heartbeat = new java.util.concurrent.atomic.AtomicReference[Thread]()
+  private def ensureHeartbeat(intervalMs: Long): Unit = {
+    if (heartbeat.get() == null) {
+      val t = new Thread(() => {
+        while (true) {
+          Thread.sleep(intervalMs)
+          beats.forEach { (_, b) =>
+            try b.fs.setTimes(b.path, System.currentTimeMillis(), -1)
+            catch { case _: java.io.IOException => } // next beat retries
+          }
+        }
+      }, "graft-writer-lease-heartbeat")
+      t.setDaemon(true)
+      if (heartbeat.compareAndSet(null, t)) t.start()
+    }
+  }
+
+  /** The lease file guarding a PATH-backed (IVF/IVF-PQ) layout — a
+    * SIBLING of the layout dir, not a child: ensure/rebuild promote by
+    * deleting and renaming the layout dir itself, which must not
+    * destroy the lock the promoting writer is holding.
+    */
+  private[graft] def lockPathFor(layoutPath: String): Path = {
+    val p = new Path(layoutPath)
+    new Path(p.getParent, s"${p.getName}._writer.lock")
+  }
+
+  /** The lease file guarding a TABLE-backed (band-index) lineage: the
+    * warehouse directory is the medium every process sharing the
+    * catalog also shares, so the lock lives under
+    * `<db location>/_graft_writer_locks/<prefix>.lock`.
+    */
+  private[graft] def lockPathFor(spark: SparkSession, db: String,
+      tablePrefix: String): Path = {
+    val dbLoc = spark.catalog.getDatabase(db).locationUri
+    new Path(new Path(dbLoc, "_graft_writer_locks"), s"$tablePrefix.lock")
+  }
+
+  /** Run `body` holding the lineage's cross-process lease (acquired
+    * at `lock`), re-entrant within this JVM. Throws
+    * IllegalStateException naming the holder when another LIVE process
+    * holds the lease past the wait budget.
+    */
+  def withLease[T](spark: SparkSession, lock: Path)(body: => T): T = {
+    val key = lock.toString
+    val fs  = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val staleMs = Similarity.confLong(
+      spark, "spark.graft.index.writerLeaseStaleMinutes", 120L) * 60000L
+    val waitMs = Similarity.confLong(
+      spark, "spark.graft.index.writerLeaseWaitSeconds", 30L) * 1000L
+    val acquired = synchronized {
+      held.get(key) match {
+        case Some(d) => held(key) = d + 1; false
+        case None    => true
+      }
+    }
+    if (acquired) {
+      acquire(fs, lock, staleMs, waitMs)
+      synchronized { held(key) = 1 }
+      beats.put(key, Beat(lock, fs))
+      ensureHeartbeat(math.max(staleMs / 4, 1000L))
+    }
+    try body
+    finally {
+      val release = synchronized {
+        val d = held.getOrElse(key, 1) - 1
+        if (d <= 0) { held.remove(key); true }
+        else { held(key) = d; false }
+      }
+      if (release) {
+        beats.remove(key)
+        // only our own lease: a broken-and-retaken lock must not be
+        // deleted out from under its new holder
+        try {
+          if (readHolder(fs, lock).contains(holderId)) fs.delete(lock, false)
+        } catch { case _: java.io.IOException => } // stale-broken by the next contender
+      }
+    }
+  }
+
+  private def readHolder(
+      fs: org.apache.hadoop.fs.FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(buf.toString("UTF-8").trim)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  // atomic create-if-absent, scheme-specific for the same reason as
+  // Similarity.flipCellsManifest: RawLocalFileSystem's create(false)
+  // is check-then-create (not atomic); java.nio CREATE_NEW is one
+  // open(O_CREAT|O_EXCL). HDFS create(overwrite=false) is one atomic
+  // namenode op.
+  private def tryCreate(
+      fs: org.apache.hadoop.fs.FileSystem, lock: Path): Boolean = {
+    fs.mkdirs(lock.getParent)
+    val bytes = holderId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (fs.getUri.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath),
+          bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException => false // HDFS wraps AlreadyBeingCreated
+      }
+    }
+  }
+
+  private def acquire(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
+      staleMs: Long, waitMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + waitMs
+    var backoff  = 100L
+    while (!tryCreate(fs, lock)) {
+      val (holder, age) =
+        try {
+          val st = fs.getFileStatus(lock)
+          (readHolder(fs, lock).getOrElse("<unreadable>"),
+            System.currentTimeMillis() - st.getModificationTime)
+        } catch {
+          // vanished between create-fail and stat — released; retry now
+          case _: java.io.FileNotFoundException => ("<released>", -1L)
+          case _: java.io.IOException => ("<unreadable>", 0L)
+        }
+      if (age > staleMs) {
+        // dead holder (no heartbeat for a full stale window): break the
+        // lease. The delete+retry race between two breakers is settled
+        // by tryCreate's atomicity — exactly one wins.
+        try fs.delete(lock, false)
+        catch { case _: java.io.IOException => }
+      } else if (age >= 0L && System.currentTimeMillis() >= deadline) {
+        throw new IllegalStateException(
+          s"writer lease for ${lock.getParent} is held by process " +
+            s"$holder (heartbeat ${age / 1000}s ago): concurrent " +
+            "maintenance writers on one lineage are refused — " +
+            "serialize your ingest jobs per lineage, or raise " +
+            "spark.graft.index.writerLeaseWaitSeconds to wait longer")
+      } else if (age >= 0L) {
+        Thread.sleep(backoff); backoff = math.min(backoff * 2, 2000L)
+      }
+    }
+  }
+
+  // test seam: forge a foreign holder's lease (optionally back-dated)
+  // so specs can exercise the refuse/break paths without a second JVM —
+  // the embedded per-process catalog makes a true two-JVM band-index
+  // fuzz impossible in this environment (the second process cannot see
+  // the first's tables at all), so the lock FILE is the cross-process
+  // medium under test.
+  private[graft] def plantForeignLease(spark: SparkSession, lock: Path,
+      holder: String, ageMs: Long = 0L): Unit = {
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(lock.getParent)
+    val out = fs.create(lock, true)
+    try out.write(holder.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (ageMs > 0L)
+      fs.setTimes(lock, System.currentTimeMillis() - ageMs, -1)
+  }
+}

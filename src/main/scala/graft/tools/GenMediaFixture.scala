@@ -34,9 +34,52 @@ object GenMediaFixture {
     b
   }
 
+  /** A REAL minimal MP4 prologue (ISO 14496-12): `ftyp` + `moov/mvhd`
+    * with a deterministic timescale/duration, then an `mdat` payload of
+    * pseudo-random bytes. Even ids get a version-0 mvhd (32-bit
+    * duration), odd ids version 1 (64-bit) — both branches of the box
+    * walk are exercised by the committed fixture. Byte offsets are
+    * FIXED by construction (ftyp 0-19, moov header 20-27, mvhd header
+    * 28-35, payload from 36), which is what lets the DuckDB oracle
+    * slice the same fields while the library does the general walk.
+    */
+  def mp4Blob(id: Long): Array[Byte] = {
+    val ts: Long  = Seq(600L, 1000L, 90000L, 48000L)((id % 4).toInt)
+    val dur: Long = (id * 37L) % 100000L + ts // >= 1 second
+    val v1        = id % 2 == 1
+    val mvhdLen   = if (v1) 120 else 108
+    val out = java.nio.ByteBuffer.allocate(20 + 8 + mvhdLen + 8 + 64)
+    def fourcc(s: String): Unit = out.put(s.getBytes("US-ASCII"))
+    out.putInt(20); fourcc("ftyp"); fourcc("isom"); out.putInt(0x200)
+    fourcc("isom")
+    out.putInt(8 + mvhdLen); fourcc("moov")
+    out.putInt(mvhdLen); fourcc("mvhd")
+    if (v1) {
+      out.putInt(0x01000000) // version 1, flags 0
+      out.putLong(0L); out.putLong(0L) // ctime, mtime
+      out.putInt(ts.toInt); out.putLong(dur)
+      out.put(new Array[Byte](120 - 8 - 4 - 16 - 4 - 8)) // rate..next_track
+    } else {
+      out.putInt(0x00000000)
+      out.putInt(0); out.putInt(0)
+      out.putInt(ts.toInt); out.putInt(dur.toInt)
+      out.put(new Array[Byte](108 - 8 - 4 - 8 - 4 - 4))
+    }
+    out.putInt(8 + 64); fourcc("mdat")
+    var s = id * 2654435761L + 424243L
+    def nx(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    (0 until 64).foreach(_ => out.put(nx().toByte))
+    out.array()
+  }
+
   def rows: Seq[MediaRow] =
     (0L until 300L).map(i => MediaRow(i, "image", blob(i, "image"))) ++
       (1000L until 1050L).map(i => MediaRow(i, "video", blob(i, "video"))) ++
+      // REAL MP4 containers, still kind=video: the frame-sample path
+      // (q38) sees only byte length, so these flow through it
+      // unchanged, while the metadata path (q129) resolves their real
+      // moov/mvhd duration instead of the stub fallback
+      (1100L until 1120L).map(i => MediaRow(i, "video", mp4Blob(i))) ++
       (2000L until 2100L).map(i => MediaRow(i, "audio", blob(i, "audio")))
 
   def main(args: Array[String]): Unit = {

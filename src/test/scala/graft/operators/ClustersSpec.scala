@@ -37,12 +37,30 @@ class ClustersSpec extends SparkSpec {
     // would have needed 199 rounds and silently truncated at 50.
     val chain = (1L to 199L).map(i => (i, i + 1)).toDF("a", "b")
     var rounds = 0
+    val qEdges    = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val qInternal = scala.collection.mutable.ArrayBuffer.empty[Long]
     val labels = Clusters.connectedComponents(chain,
-        onRound = r => rounds = r)
+        onRound = r => rounds = r,
+        onQuotient = (_, e, i) => { qEdges += e; qInternal += i })
       .as[(Long, Long)].collect().toMap
     assert(labels.size == 200 && labels.values.toSet == Set(1L),
       s"chain must collapse to one component: ${labels.values.toSet}")
     assert(rounds <= 14, s"expected O(log n) rounds, took $rounds")
+    // the CONTRACTION claim itself: edge count stays ~n by construction
+    // (every non-root keeps one parent edge), but the INTERNAL-node
+    // count — the graph's remaining depth mass — must strictly shrink
+    // every star round and hit 0 exactly at the forest. A plateau
+    // would mean the two-rule alternation stopped contracting and the
+    // O(log n) bound is luck, not structure.
+    assert(qInternal.size >= 2, s"escalation must have run: $qInternal")
+    qInternal.sliding(2).foreach { w =>
+      assert(w(1) < w(0),
+        s"internal-node count must shrink per round: $qInternal")
+    }
+    assert(qInternal.last == 0L,
+      s"the final round must be a star forest (0 internal): $qInternal")
+    assert(qEdges.forall(_ <= 200L),
+      s"a forestward quotient never exceeds n-1-ish edges: $qEdges")
   }
 
   test("connectedComponents on an empty edge set returns no labels") {

@@ -224,4 +224,105 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     val (cb2, cs2) = Dedup.currentIndexTables(spark, prefix)
     assert(spark.table(cb2).count() > 0 && spark.table(cs2).count() > 0)
   }
+
+  test("standing generations are COUNT-bounded under a hot promote loop (both families)") {
+    // the age gate alone lets a hot compaction loop accumulate one
+    // generation per promote for gcStaleHours; the count bound
+    // (spark.graft.index.maxStaleGenerations = K) must cap the total
+    // at K+1 (active + K superseded) immediately after every promote
+    val K = 2
+    spark.conf.set("spark.graft.index.maxStaleGenerations", K.toString)
+    try {
+      // ---- IVF (path-backed) family ----
+      val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      val (path, _) = Similarity.ensureIvfIndex(
+        emb.filter($"vec_id" % 10 =!= 0),
+        srcTag = s"genbound-${System.nanoTime()}")
+      (1 to 6).foreach(_ => Similarity.compactIvfCells(spark, path))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val gens = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n == "cells" || n.matches("cells\\.g\\d+"))
+      assert(gens.size <= K + 1,
+        s"6 promotes left ${gens.size} generation dirs standing " +
+          s"(want <= ${K + 1}): ${gens.sorted.mkString(",")}")
+      // the layout still answers in full after the forced retirements
+      assert(Similarity.liveCells(spark, path).count() ==
+        emb.filter($"vec_id" % 10 =!= 0).count())
+
+      // ---- band-index (table-backed) family ----
+      val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+        .select("doc_id", "text")
+      val prefix = s"graft_genbound${System.nanoTime()}"
+      Dedup.ensureMinhashBandIndex(docs, prefix,
+        srcTag = s"genbound-${System.nanoTime()}")
+      (1 to 6).foreach(_ => Dedup.compactMinhashBandIndex(spark, prefix))
+      val standing = spark.sessionState.catalog
+        .listTables("default", s"${prefix}_bands*").map(_.table)
+      assert(standing.size <= K + 1,
+        s"6 promotes left ${standing.size} bands generations standing " +
+          s"(want <= ${K + 1}): ${standing.sorted.mkString(",")}")
+      val (cb, _) = Dedup.currentIndexTables(spark, prefix)
+      assert(spark.table(cb).count() > 0)
+    } finally
+      spark.conf.unset("spark.graft.index.maxStaleGenerations")
+  }
+
+  test("torn-manifest states resolve to the legitimate generation or refuse — never guess") {
+    // activeCellsDir's refuse-to-guess path is only reachable through
+    // crash windows; plant each torn state directly and assert the
+    // resolve-or-refuse contract (r18 verdict ask #8)
+    val fsRoot = java.nio.file.Files
+      .createTempDirectory("graft-torn").toString
+    val fs = new org.apache.hadoop.fs.Path(fsRoot)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mk(parts: String*): String = {
+      val p = new org.apache.hadoop.fs.Path(
+        fsRoot, s"layout${System.nanoTime()}")
+      fs.mkdirs(p)
+      parts.foreach {
+        case s if s.startsWith("MANIFEST=") =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(p, "cells.MANIFEST"), true)
+          try out.write(s.stripPrefix("MANIFEST=").getBytes("UTF-8"))
+          finally out.close()
+        case d => fs.mkdirs(new org.apache.hadoop.fs.Path(p, d))
+      }
+      p.toString
+    }
+    // (1) never compacted: no manifest, cells/ only -> cells
+    assert(Similarity.activeCellsDir(spark, mk("cells"))
+      .endsWith("/cells"))
+    // (2) crash BEFORE the first-ever flip: gen dir exists, no
+    // manifest, cells/ intact -> cells stays active (and resolves
+    // immediately, no retry penalty — the r18 ADVICE low)
+    val t0 = System.nanoTime()
+    assert(Similarity.activeCellsDir(
+        spark, mk("cells", "cells.g1111111111111111111"))
+      .endsWith("/cells"))
+    assert((System.nanoTime() - t0) / 1e6 < 300,
+      "the documented crash-before-first-flip state must resolve " +
+        "without paying the manifest-absence retry loop")
+    // (3) manifest present -> named generation wins even with siblings
+    assert(Similarity.activeCellsDir(spark,
+        mk("cells", "cells.g1111111111111111111",
+          "MANIFEST=cells.g1111111111111111111"))
+      .endsWith("/cells.g1111111111111111111"))
+    // (4) TORN: generations exist, no manifest, no cells/ -> refuse
+    // loudly (file: flips atomically, so this is never a transient gap)
+    val torn = intercept[IllegalArgumentException] {
+      Similarity.activeCellsDir(
+        spark, mk("cells.g1111111111111111111", "cells.g2222222222222222222"))
+    }
+    assert(torn.getMessage.contains("refusing"),
+      s"torn layout must refuse, got: ${torn.getMessage}")
+    // (5) corrupt manifest content -> refuse, never resolve a foreign dir
+    val corrupt = intercept[IllegalArgumentException] {
+      Similarity.activeCellsDir(spark,
+        mk("cells", "MANIFEST=../../etc"))
+    }
+    assert(corrupt.getMessage.contains("corrupt"))
+    fs.delete(new org.apache.hadoop.fs.Path(fsRoot), true)
+  }
 }

@@ -275,4 +275,62 @@ class MultimodalSpec extends SparkSpec {
       .select("vec_id").as[Long].head()
     assert(top == 0L) // media 0's clone is its own nearest neighbor
   }
+
+  test("mp4Meta: moov/mvhd walk yields real duration (v0 + v1 + 64-bit boxes), garbage falls back") {
+    import Multimodal.RealCodecs
+    // golden fixtures straight from the committed generator — the same
+    // bytes q129's oracle slices by fixed offsets, parsed here by the
+    // general box walk
+    val v0 = graft.tools.GenMediaFixture.mp4Blob(1100L) // even id -> mvhd v0
+    val v1 = graft.tools.GenMediaFixture.mp4Blob(1101L) // odd id -> mvhd v1
+    // id 1100: ts=600 (1100%4=0), dur=(1100*37)%100000+600=41300
+    assert(RealCodecs.mp4Meta(v0).contains(
+      Multimodal.VideoMeta(41300L * 1000 / 600, 600L)))
+    // id 1101: ts=1000 (1101%4=1), dur=(1101*37)%100000+1000=41737
+    val expTs1  = 1000L
+    val expDur1 = (1101L * 37) % 100000L + expTs1
+    assert(RealCodecs.mp4Meta(v1).contains(
+      Multimodal.VideoMeta(expDur1 * 1000 / expTs1, expTs1)))
+    // hand-built variant exercising the 64-bit largesize branch: the
+    // moov box declares size==1 + an 8-byte largesize
+    val mvhd = java.nio.ByteBuffer.allocate(108)
+    mvhd.putInt(108); mvhd.put("mvhd".getBytes("US-ASCII"))
+    mvhd.putInt(0); mvhd.putInt(0); mvhd.putInt(0)
+    mvhd.putInt(90000); mvhd.putInt(180000) // 2 s at 90 kHz
+    val big = java.nio.ByteBuffer.allocate(20 + 16 + 108)
+    big.putInt(20); big.put("ftyp".getBytes("US-ASCII"))
+    big.put("isom".getBytes("US-ASCII")); big.putInt(0)
+    big.put("isom".getBytes("US-ASCII"))
+    big.putInt(1); big.put("moov".getBytes("US-ASCII"))
+    big.putLong(16 + 108) // largesize includes the 16-byte header
+    big.put(mvhd.array())
+    assert(RealCodecs.mp4Meta(big.array())
+      .contains(Multimodal.VideoMeta(2000L, 90000L)))
+    // non-container bytes (the stub blobs, random payloads) fall back
+    assert(RealCodecs.mp4Meta(
+      graft.tools.GenMediaFixture.blob(1000L, "video")).isEmpty)
+    assert(RealCodecs.mp4Meta(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(RealCodecs.mp4Meta(Array.emptyByteArray).isEmpty)
+    // truncated mvhd (payload cut before the duration field): no crash,
+    // graceful None-or-value — must not throw
+    val cut = graft.tools.GenMediaFixture.mp4Blob(1100L).take(40)
+    RealCodecs.mp4Meta(cut) // must not throw
+  }
+
+  test("decodeVideoAuto: real MP4 rows resolve mvhd, stub rows fall back, one pass") {
+    val got = Multimodal.decodeVideoAuto(Multimodal.mediaFixture(spark))
+      .collect().map(v => v.media_id -> v).toMap
+    assert(got.size == 70, s"50 stub + 20 real rows, got ${got.size}")
+    (1100L until 1120L).foreach { id =>
+      val v = got(id)
+      assert(v.real, s"id $id is a real MP4 and must not hit the stub")
+      val ts  = Seq(600L, 1000L, 90000L, 48000L)((id % 4).toInt)
+      val dur = (id * 37) % 100000L + ts
+      assert(v.timescale == ts && v.duration_ms == dur * 1000 / ts)
+    }
+    (1000L until 1050L).foreach { id =>
+      assert(!got(id).real, s"id $id is a stub blob")
+      assert(got(id).timescale == 30L)
+    }
+  }
 }

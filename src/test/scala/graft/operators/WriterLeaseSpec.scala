@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The cross-process writer contract (single writer per lineage),
+  * pinned at the filesystem lock-file level. A true two-JVM fuzz is
+  * impossible in this environment — the embedded per-process catalog
+  * means a second driver cannot even SEE the first's band tables — so
+  * these tests exercise the actual cross-process MEDIUM (the lease
+  * file) by forging a foreign holder's lease: a live foreign lease must
+  * make every maintenance write REFUSE loudly (never silently
+  * double-append), a stale one (dead holder, no heartbeat for a full
+  * stale window) must be broken and the write proceed, and nested
+  * maintenance (a delete's auto-compaction) must re-enter its own
+  * lease rather than deadlock.
+  */
+class WriterLeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    .select("doc_id", "text")
+
+  test("a live foreign lease makes an IVF fold refuse loudly, not append") {
+    val (path, _) = Similarity.ensureIvfIndex(
+      emb.filter($"vec_id" % 10 =!= 0),
+      srcTag = s"lease-ivf-${System.nanoTime()}")
+    val before = Similarity.liveCells(spark, path).count()
+    val lock = WriterLease.lockPathFor(path)
+    WriterLease.plantForeignLease(spark, lock, "9999@otherhost#1")
+    spark.conf.set("spark.graft.index.writerLeaseWaitSeconds", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        Similarity.foldIntoIvfIndex(
+          emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding"),
+          path, batchTag = s"lease-b-${System.nanoTime()}")
+      }
+      assert(e.getMessage.contains("9999@otherhost#1"),
+        s"refusal must name the holder: ${e.getMessage}")
+      assert(Similarity.liveCells(spark, path).count() == before,
+        "a refused fold must not have appended anything")
+    } finally {
+      spark.conf.unset("spark.graft.index.writerLeaseWaitSeconds")
+      lock.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(lock, false)
+    }
+    // lease cleared -> the same fold succeeds and appends exactly once
+    Similarity.foldIntoIvfIndex(
+      emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding"),
+      path, batchTag = s"lease-ok-${System.nanoTime()}")
+    assert(Similarity.liveCells(spark, path).count() == emb.count())
+  }
+
+  test("a stale foreign lease (dead holder) is broken and the write proceeds") {
+    val (path, _) = Similarity.ensureIvfIndex(
+      emb.filter($"vec_id" % 10 =!= 0),
+      srcTag = s"lease-stale-${System.nanoTime()}")
+    val lock = WriterLease.lockPathFor(path)
+    // holder "died" two stale-windows ago (staleMinutes=1 for the test)
+    WriterLease.plantForeignLease(spark, lock, "4242@deadhost#7",
+      ageMs = 2 * 60000L)
+    spark.conf.set("spark.graft.index.writerLeaseStaleMinutes", "1")
+    try {
+      Similarity.foldIntoIvfIndex(
+        emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding"),
+        path, batchTag = s"stale-b-${System.nanoTime()}")
+      assert(Similarity.liveCells(spark, path).count() == emb.count(),
+        "the fold must have proceeded after breaking the stale lease")
+      val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(lock),
+        "the broken-and-retaken lease must be released after the fold")
+    } finally
+      spark.conf.unset("spark.graft.index.writerLeaseStaleMinutes")
+  }
+
+  test("band index: a live foreign lease refuses fold AND delete, no ledger write") {
+    val prefix = s"graft_lease${System.nanoTime()}"
+    val (bt, _) = Dedup.ensureMinhashBandIndex(
+      docs.filter($"doc_id" % 10 =!= 0), prefix,
+      srcTag = s"lease-${System.nanoTime()}")
+    val rowsBefore = spark.table(bt).count()
+    val lock = WriterLease.lockPathFor(spark, "default", prefix)
+    WriterLease.plantForeignLease(spark, lock, "1111@peer#3")
+    spark.conf.set("spark.graft.index.writerLeaseWaitSeconds", "1")
+    try {
+      intercept[IllegalStateException] {
+        Dedup.foldIntoMinhashBandIndex(
+          docs.filter($"doc_id" % 10 === 0), prefix,
+          batchTag = s"lb-${System.nanoTime()}")
+      }
+      intercept[IllegalStateException] {
+        Dedup.deleteFromMinhashBandIndex(
+          Seq(1L).toDF("doc_id"), prefix,
+          delTag = s"ld-${System.nanoTime()}")
+      }
+      assert(spark.table(bt).count() == rowsBefore,
+        "refused writes must leave the index untouched")
+      assert(Dedup.standingDels(spark, bt).isEmpty,
+        "a refused delete must not have created a dels table")
+    } finally {
+      spark.conf.unset("spark.graft.index.writerLeaseWaitSeconds")
+      lock.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(lock, false)
+    }
+  }
+
+  test("nested maintenance re-enters its own lease (delete -> auto-compaction)") {
+    val (path, _) = Similarity.ensureIvfIndex(
+      emb.filter($"vec_id" =!= 0L),
+      srcTag = s"lease-nest-${System.nanoTime()}")
+    val gen0 = Similarity.activeCellsDir(spark, path)
+    // debt cap 1: the delete itself must trigger compactIvfCells while
+    // already holding the lease — a non-re-entrant lease would refuse
+    // its own holder here
+    spark.conf.set("spark.graft.index.autoCompactTombstoneRows", "1")
+    try {
+      Similarity.deleteFromIvfIndex(
+        emb.filter($"vec_id" % 97 === 1L).select("vec_id"), path,
+        delTag = s"nest-${System.nanoTime()}")
+    } finally
+      spark.conf.unset("spark.graft.index.autoCompactTombstoneRows")
+    assert(Similarity.activeCellsDir(spark, path) != gen0,
+      "the nested auto-compaction must have promoted")
+    val fs = WriterLease.lockPathFor(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(WriterLease.lockPathFor(path)),
+      "the lease must be released once the outermost op exits")
+  }
+
+  test("the lease file is released after every successful maintenance op") {
+    val prefix = s"graft_rel${System.nanoTime()}"
+    Dedup.ensureMinhashBandIndex(
+      docs.filter($"doc_id" % 3 === 0), prefix,
+      srcTag = s"rel-${System.nanoTime()}")
+    Dedup.foldIntoMinhashBandIndex(
+      docs.filter($"doc_id" % 3 === 1), prefix,
+      batchTag = s"rb-${System.nanoTime()}")
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    val lock = WriterLease.lockPathFor(spark, "default", prefix)
+    val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(lock), "lease must not outlive the ops that took it")
+  }
+}
