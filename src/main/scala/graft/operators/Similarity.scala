@@ -682,14 +682,24 @@ object Similarity {
       // half-written layout (the build lands in a temp sibling and
       // becomes visible with one directory rename)
       lockFor(path).synchronized {
-        WriterLease.withLease(spark, WriterLease.lockPathFor(path)) {
-        recoverCells(spark, path)
         val dest   = new org.apache.hadoop.fs.Path(path)
         // marker = _SUCCESS of the ACTIVE generation (a compacted
         // layout keeps its completeness witness across promotes)
         def marker = new org.apache.hadoop.fs.Path(
           activeCellsDir(spark, path), "_SUCCESS")
         val fs     = dest.getFileSystem(spark.sessionState.newHadoopConf())
+        // a COMPLETE layout resolves lease-free: ensure on the serving
+        // path is logically a read, and making it wait on the writer
+        // lease would let a long-running compaction in another process
+        // stall probes behind a lock they don't need (the generation
+        // manifest already gives readers a consistent view through any
+        // promote). Only an actual build takes the lease.
+        val complete =
+          try fs.exists(marker)
+          catch { case _: IllegalArgumentException => false } // torn: writer path decides
+        if (!complete) WriterLease.withLease(
+            spark, WriterLease.lockPathFor(path)) {
+        recoverCells(spark, path)
         if (!fs.exists(marker)) {
           val tmp = new org.apache.hadoop.fs.Path(
             s"$path.tmp${System.nanoTime()}")
@@ -1728,14 +1738,20 @@ object Similarity {
     val memo = s"${spark.sparkContext.applicationId}|$key"
     if (ivfMemo.get(memo) != path) {
       lockFor(path).synchronized {
-        WriterLease.withLease(spark, WriterLease.lockPathFor(path)) {
-        recoverCells(spark, path)
         val dest   = new org.apache.hadoop.fs.Path(path)
         // marker = _SUCCESS of the ACTIVE generation (a compacted
         // layout keeps its completeness witness across promotes)
         def marker = new org.apache.hadoop.fs.Path(
           activeCellsDir(spark, path), "_SUCCESS")
         val fs     = dest.getFileSystem(spark.sessionState.newHadoopConf())
+        // complete layouts resolve LEASE-FREE (the ensureIvfIndex
+        // serving-path contract): only an actual build writes
+        val complete =
+          try fs.exists(marker)
+          catch { case _: IllegalArgumentException => false }
+        if (!complete) WriterLease.withLease(
+            spark, WriterLease.lockPathFor(path)) {
+        recoverCells(spark, path)
         if (!fs.exists(marker)) {
           val tmp = new org.apache.hadoop.fs.Path(
             s"$path.tmp${System.nanoTime()}")
