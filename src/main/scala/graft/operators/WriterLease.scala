@@ -183,6 +183,20 @@ object WriterLease {
     }
   }
 
+  // raw acquire/release, spark-free — the primitives the two-process
+  // mutual-exclusion drill (graft.tools.LeaseRacer) races from separate
+  // JVMs; withLease adds conf resolution, re-entrancy and heartbeat on
+  // top of exactly these
+  private[graft] def acquireRaw(fs: org.apache.hadoop.fs.FileSystem,
+      lock: Path, staleMs: Long, waitMs: Long): Unit =
+    acquire(fs, lock, staleMs, waitMs)
+
+  private[graft] def releaseRaw(
+      fs: org.apache.hadoop.fs.FileSystem, lock: Path): Unit = {
+    if (readHolder(fs, lock).contains(holderId)) fs.delete(lock, false)
+    ()
+  }
+
   private def acquire(fs: org.apache.hadoop.fs.FileSystem, lock: Path,
       staleMs: Long, waitMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + waitMs

@@ -129,6 +129,59 @@ class WriterLeaseSpec extends SparkSpec {
       "the lease must be released once the outermost op exits")
   }
 
+  test("TWO real JVMs + this one race the lease: mutual exclusion holds") {
+    // the literal two-driver-JVMs case (r18 verdict #2): the band
+    // family's catalog is process-local, but the lease itself is pure
+    // filesystem — race the actual atomic-create acquire path from two
+    // forked JVMs plus this one, each asserting sole ownership through
+    // a witness directory inside every hold. Any co-presence writes a
+    // VIOLATION marker.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease-race")
+    val lock    = new org.apache.hadoop.fs.Path(s"$dir/the.lock")
+    val witness = new java.io.File(s"$dir/witness")
+    witness.mkdirs()
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val iters   = 15
+    def spawn(): Process =
+      new ProcessBuilder(javaBin, "-cp", System.getProperty("java.class.path"),
+          "graft.tools.LeaseRacer", lock.toString, witness.toString,
+          iters.toString)
+        .redirectErrorStream(true).start()
+    val kids = Seq(spawn(), spawn())
+    // this JVM races through the full withLease path concurrently; give
+    // the bounded wait plenty of room — three contenders with 2 s max
+    // backoff can transiently starve one past the 30 s default
+    spark.conf.set("spark.graft.index.writerLeaseWaitSeconds", "120")
+    val fs   = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    val self = ProcessHandle.current().pid()
+    try (1 to iters).foreach { i =>
+      WriterLease.withLease(spark, lock) {
+        val others = Option(witness.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("tok_") &&
+            f.getName != s"tok_$self")
+        assert(others.isEmpty,
+          s"iteration $i: another process held the lease concurrently: " +
+            others.map(_.getName).mkString(","))
+        val tok = new java.io.File(witness, s"tok_$self")
+        tok.createNewFile(); Thread.sleep(2L); tok.delete()
+        ()
+      }
+    } finally
+      spark.conf.unset("spark.graft.index.writerLeaseWaitSeconds")
+    kids.foreach { p =>
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "racer JVM did not finish")
+      assert(p.exitValue() == 0 && out.contains("RACER_DONE"),
+        s"racer JVM failed (exit ${p.exitValue()}):\n${out.takeRight(1500)}")
+    }
+    val violations = Option(witness.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("VIOLATION"))
+    assert(violations.isEmpty,
+      s"mutual exclusion violated: ${violations.map(_.getName).mkString(",")}")
+    assert(!fs.exists(lock), "all racers done -> lease fully released")
+  }
+
   test("the lease file is released after every successful maintenance op") {
     val prefix = s"graft_rel${System.nanoTime()}"
     Dedup.ensureMinhashBandIndex(
