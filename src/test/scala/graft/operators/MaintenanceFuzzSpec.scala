@@ -379,9 +379,18 @@ class MaintenanceFuzzSpec extends SparkSpec {
   test("extended fuzz campaign over SPARK_GRAFT_FUZZ_SEEDS") {
     val seeds = sys.env.get("SPARK_GRAFT_FUZZ_SEEDS").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toInt)
-    seeds.foreach { s =>
+    // optional soak knob: SPARK_GRAFT_FUZZ_MAXSTALE=1 runs the whole
+    // campaign with the generation COUNT bound at its tightest, so the
+    // force-retirement path (superseded dirs/pairs deleted regardless
+    // of age) is fuzzed against in-flight probes and crash-replays,
+    // not just asserted by the deterministic spec
+    val tightK = sys.env.get("SPARK_GRAFT_FUZZ_MAXSTALE")
+    tightK.foreach(k =>
+      spark.conf.set("spark.graft.index.maxStaleGenerations", k))
+    try seeds.foreach { s =>
       info(s"extended fuzz seed $s")
       bandFuzz(s); ivfFuzz(s); pqFuzz(s)
-    }
+    } finally tightK.foreach(_ =>
+      spark.conf.unset("spark.graft.index.maxStaleGenerations"))
   }
 }
