@@ -532,11 +532,27 @@ object Dedup {
   }
 
   // every standing generation suffix of a lineage, newest first ("" =
-  // the unsuffixed gen-0 pair, always last): nanoTime suffixes are
-  // fixed-width for the next two centuries, so string order = age order
+  // the unsuffixed gen-0 pair, always last). Ordering is NUMERIC on
+  // the stamp, never lexical: suffixes are written by different
+  // processes (the whole point of the writer lease) whose stamps can
+  // differ in digit width — string order would resolve reads to a
+  // SUPERSEDED generation after a cross-process promote, and folds
+  // appended there would be lost when the pair retires.
   private def generationSuffixes(
       spark: SparkSession, tablePrefix: String): Seq[String] =
     familySuffixes(spark, tablePrefix, "bands")
+
+  // the numeric stamp of a generation suffix: 0 for gen-0 (""),
+  // -1 (oldest) for unparseable foreign garbage — retirement must
+  // still be able to drop it, resolution must never prefer it
+  private def genSuffixNum(sfx: String): Long =
+    if (sfx.isEmpty) 0L
+    else {
+      val d = sfx.stripPrefix("_g")
+      if (d.nonEmpty && d.length <= 19 && d.forall(_.isDigit))
+        try d.toLong catch { case _: NumberFormatException => -1L }
+      else -1L
+    }
 
   // the same enumeration for one family — resolution only trusts bands
   // (the promote's single catalog event), but retirement must also see
@@ -556,7 +572,8 @@ object Dedup {
             n.stripPrefix(s"${base}_g").forall(_.isDigit) =>
           n.stripPrefix(base)
       }
-    gens.filter(_.nonEmpty).sorted.reverse ++ gens.filter(_.isEmpty)
+    gens.filter(_.nonEmpty).sortBy(s => -genSuffixNum(s)) ++
+      gens.filter(_.isEmpty)
   }
 
   // drop every generation pair of a lineage EXCEPT `keep` — the
@@ -597,12 +614,12 @@ object Dedup {
       if (ageGateHours <= 0L) 0
       else Similarity.confInt(
         spark, "spark.graft.index.maxStaleGenerations", 4)
-    // explicit newest-first order (nanoTime suffixes are fixed-width,
-    // so string order = age order; "" = gen 0 sorts oldest/last) — the
-    // concatenated family listing is not globally ordered when orphan
-    // sigs/dels suffixes exist
+    // explicit newest-first order, NUMERIC on the stamp ("" = gen 0 =
+    // stamp 0, oldest; see [[genSuffixNum]] for why string order is
+    // wrong) — the concatenated family listing is not globally ordered
+    // when orphan sigs/dels suffixes exist
     val retirable =
-      sfxs.filterNot(keep).sorted(Ordering[String].reverse)
+      sfxs.filterNot(keep).sortBy(s => -genSuffixNum(s))
     // the keep set's non-active members (the just-superseded pair a
     // promote always protects) consume superseded-budget slots, so the
     // invariant is global: ≤ keepStale superseded generations standing
@@ -1165,7 +1182,9 @@ object Dedup {
         if (!hadDels) tagSet("graft.folds.purgewin")
         else tagSet("graft.folds.purgewin") ++
           (tagSet("graft.folds.intent") -- tagSet("graft.folds"))
-      val newSfx = s"_g${System.nanoTime()}"
+      // epoch-nanos, not boot-relative nanoTime: stamps must order
+      // correctly across processes and stamp widths (Similarity.genStamp)
+      val newSfx = s"_g${Similarity.genStamp()}"
       val curSfx = curBands.stripPrefix(s"${tablePrefix}_bands")
       // sigs first, bands LAST: resolution requires the sigs twin, so
       // the bands CTAS is the single catalog event that promotes the

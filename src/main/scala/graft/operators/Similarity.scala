@@ -919,6 +919,46 @@ object Similarity {
 
   private val CellsManifest = "cells.MANIFEST"
 
+  /** Cross-process-comparable generation stamp: nanoseconds since the
+    * EPOCH (wall-clock millis plus a sub-millis nano component for
+    * same-millis uniqueness). `System.nanoTime` alone is wrong for
+    * generation names: it is boot-relative, so stamps from two driver
+    * JVMs — the exact cross-process case the writer lease exists for —
+    * are mutually incomparable, and even one process's stamps change
+    * digit width as uptime crosses 10^k ns (~2.8 h, ~1.2 d, ~11.6 d),
+    * breaking any string-ordered comparison. Epoch-nanos are 19 digits
+    * until 2262 and numerically above any realistic boot-relative
+    * stamp, so legacy layouts keep their age order under the NUMERIC
+    * comparisons ([[cellsGenNum]], `Dedup.genSuffixNum`) that replaced
+    * string order.
+    */
+  private val lastGenStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def genStamp(): Long = {
+    val raw = System.currentTimeMillis() * 1000000L +
+      java.lang.Math.floorMod(System.nanoTime(), 1000000L)
+    // monotonic within the process: two stamps inside one millisecond
+    // could otherwise invert (the sub-millis nano component wraps)
+    lastGenStamp.updateAndGet(prev => math.max(raw, prev + 1))
+  }
+
+  /** Numeric generation number of a cells-sibling name: Some(0) for
+    * the gen-0 `cells`, the parsed stamp for `cells.g<digits>`, None
+    * for everything else (legacy `cells.old*`/`cells.compact*` and tmp
+    * siblings never join the generation ORDER — they stay purely
+    * age-gated). Ordering must be numeric, never lexical: standing
+    * names may carry different stamp widths (pre-fix boot-relative
+    * stamps, other hosts' stamps).
+    */
+  private[graft] def cellsGenNum(name: String): Option[Long] =
+    if (name == "cells") Some(0L)
+    else {
+      val d = name.stripPrefix("cells.g")
+      if ((d ne name) && d.nonEmpty && d.length <= 19 &&
+          d.forall(_.isDigit))
+        try Some(d.toLong) catch { case _: NumberFormatException => None }
+      else None
+    }
+
   // manifest I/O goes through the RAW filesystem: on a local
   // ChecksumFileSystem the hidden .crc sidecar is a SECOND file, so a
   // rename-overwrite of the manifest alone leaves readers verifying new
@@ -1295,7 +1335,7 @@ object Similarity {
         new org.apache.hadoop.fs.Path(activeCellsDir(spark, path))
       val fs  = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
       val gen = new org.apache.hadoop.fs.Path(
-        path, s"cells.g${System.nanoTime()}")
+        path, s"cells.g${genStamp()}")
       // tombstone PURGE rides the compaction rewrite: the active
       // generation's standing tombstones (plus any legacy-location
       // leftovers) are dropped from the rewrite, and the NEW generation
@@ -1402,7 +1442,7 @@ object Similarity {
     * `cells.old*` sibling instead of letting ensure* rebuild and
     * silently discard the fold ledger.
     */
-  private def recoverCells(spark: SparkSession, path: String): Unit = {
+  private[operators] def recoverCells(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val active = new org.apache.hadoop.fs.Path(
@@ -1458,10 +1498,14 @@ object Similarity {
       }
       // COUNT bound on top of the age gate (the age gate alone lets a
       // hot compaction loop accumulate generation dirs without limit
-      // for gcStaleHours): among SUPERSEDED dirs — names strictly older
-      // than the active generation in the nanoTime name order; anything
-      // newer may be a live cross-process rewrite that has not flipped
-      // yet and stays age-gated only — keep the newest
+      // for gcStaleHours): among SUPERSEDED generations — NUMERIC
+      // stamps strictly below the active's ([[cellsGenNum]]; string
+      // order breaks across stamp widths and across hosts); anything
+      // numbered above may be a live cross-process rewrite that has
+      // not flipped yet and stays age-gated only, as do legacy
+      // `cells.old*`/`cells.compact*` siblings (no generation number —
+      // crashed-rewrite debris, not standing generations, so they
+      // never consume count-bound budget) — keep the newest
       // `spark.graft.index.maxStaleGenerations` (default 4, ≤0
       // disables) and delete the excess REGARDLESS of age. Contract
       // shift a reader accepts by design: an in-flight scan survives
@@ -1471,13 +1515,14 @@ object Similarity {
         spark, "spark.graft.index.maxStaleGenerations", 4)
       val forced: Set[org.apache.hadoop.fs.Path] =
         if (keepStale <= 0) Set.empty
-        else stale.map(_.getPath)
-          .filter(p => p.getName < active.getName ||
-            // gen-0 `cells` and legacy siblings sort before any
-            // promoted `cells.g*` active name lexically, but guard the
-            // reverse: never force-delete ahead of a bare-cells active
-            (active.getName != "cells" && p.getName == "cells"))
-          .sortBy(_.getName).reverse.drop(keepStale).toSet
+        else {
+          val activeGen =
+            cellsGenNum(active.getName).getOrElse(Long.MaxValue)
+          stale.map(_.getPath)
+            .flatMap(p =>
+              cellsGenNum(p.getName).filter(_ < activeGen).map((_, p)))
+            .sortBy(-_._1).drop(keepStale).map(_._2).toSet
+        }
       stale.foreach { s =>
         if (forced.contains(s.getPath) ||
             newestMtime(s.getPath, s.getModificationTime) < cutoff)

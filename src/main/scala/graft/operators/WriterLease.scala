@@ -69,7 +69,10 @@ object WriterLease {
     if (heartbeat.get() == null) {
       val t = new Thread(() => {
         while (true) {
-          Thread.sleep(intervalMs)
+          // a stray interrupt must not kill the one thread keeping
+          // every held lease alive — swallow and keep beating
+          try Thread.sleep(intervalMs)
+          catch { case _: InterruptedException => }
           beats.forEach { (_, b) =>
             try b.fs.setTimes(b.path, System.currentTimeMillis(), -1)
             catch { case _: java.io.IOException => } // next beat retries
@@ -214,10 +217,36 @@ object WriterLease {
         }
       if (age > staleMs) {
         // dead holder (no heartbeat for a full stale window): break the
-        // lease. The delete+retry race between two breakers is settled
-        // by tryCreate's atomicity — exactly one wins.
-        try fs.delete(lock, false)
-        catch { case _: java.io.IOException => }
+        // lease by RENAME-CLAIM, not delete. A plain delete would race
+        // a contender that broke and RE-ACQUIRED between our stat and
+        // our delete — we would destroy the new holder's LIVE lock and
+        // admit two writers, a window as wide as our backoff sleep.
+        // The atomic rename is the break ticket (exactly one breaker
+        // claims the file; the loser's rename fails), and because
+        // rename preserves mtime we re-verify staleness on the CLAIMED
+        // file itself — no gap between check and act. A claimed file
+        // that turns out fresh is someone's live lock: rename it
+        // straight back and keep waiting.
+        val claim = new Path(lock.getParent,
+          s"${lock.getName}.break${System.nanoTime()}")
+        val renamed =
+          try fs.rename(lock, claim)
+          catch { case _: java.io.IOException => false }
+        if (renamed) {
+          val claimedAge =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(claim).getModificationTime
+            catch { case _: java.io.IOException => Long.MaxValue }
+          if (claimedAge > staleMs) {
+            // genuinely dead — the break stands; drop the carcass and
+            // fall through to tryCreate, where breakers race fairly
+            try fs.delete(claim, false)
+            catch { case _: java.io.IOException => }
+          } else {
+            try { if (!fs.rename(claim, lock)) fs.delete(claim, false) }
+            catch { case _: java.io.IOException => }
+          }
+        }
       } else if (age >= 0L && System.currentTimeMillis() >= deadline) {
         throw new IllegalStateException(
           s"writer lease for ${lock.getParent} is held by process " +

@@ -325,4 +325,64 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     assert(corrupt.getMessage.contains("corrupt"))
     fs.delete(new org.apache.hadoop.fs.Path(fsRoot), true)
   }
+
+  test("generation order is NUMERIC across stamp widths — band resolution picks the true newest") {
+    // two promotes from two driver JVMs carry stamps of different digit
+    // width (nanoTime is boot-relative; epoch-nanos only since this
+    // fix) — string order reads _g999... ABOVE _g1000..., resolving to
+    // the SUPERSEDED pair: stale serving, and folds appended there die
+    // when the pair retires. Resolution must order numerically.
+    spark.sql(
+      "CREATE TABLE default.graft_mwres_sigs_g999 (doc_id BIGINT) USING PARQUET")
+    spark.sql(
+      "CREATE TABLE default.graft_mwres_bands_g999 (bk BIGINT) USING PARQUET")
+    spark.sql(
+      "CREATE TABLE default.graft_mwres_sigs_g1000 (doc_id BIGINT) USING PARQUET")
+    spark.sql(
+      "CREATE TABLE default.graft_mwres_bands_g1000 (bk BIGINT) USING PARQUET")
+    try {
+      val (bands, sigs) = Dedup.currentIndexTables(spark, "graft_mwres")
+      assert(bands == "graft_mwres_bands_g1000" &&
+          sigs == "graft_mwres_sigs_g1000",
+        s"numeric 1000 > 999 must win resolution, got ($bands, $sigs)")
+    } finally
+      Seq("sigs_g999", "bands_g999", "sigs_g1000", "bands_g1000").foreach(
+        t => spark.sql(s"DROP TABLE IF EXISTS default.graft_mwres_$t"))
+  }
+
+  test("IVF generation GC selects count-bound victims by numeric stamp, never lexical") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-genorder").toString
+    val layout = s"$root/layout"
+    val fs = new org.apache.hadoop.fs.Path(layout)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mkGen(name: String): Unit = {
+      val d = new org.apache.hadoop.fs.Path(layout, name)
+      fs.mkdirs(d)
+      val out = fs.create(new org.apache.hadoop.fs.Path(d, "part-0"), true)
+      try out.write(1) finally out.close()
+    }
+    mkGen("cells.g998"); mkGen("cells.g999"); mkGen("cells.g1000")
+    // legacy debris carries no generation number: age-gated only,
+    // never a count-bound victim
+    mkGen("cells.old1")
+    val mf = fs.create(
+      new org.apache.hadoop.fs.Path(layout, "cells.MANIFEST"), true)
+    try mf.write("cells.g1000".getBytes("UTF-8")) finally mf.close()
+    spark.conf.set("spark.graft.index.maxStaleGenerations", "1")
+    try Similarity.recoverCells(spark, layout)
+    finally spark.conf.unset("spark.graft.index.maxStaleGenerations")
+    // numeric: g999 is the newest superseded (kept within K=1), g998
+    // the excess (dropped regardless of age). Lexical order would not
+    // even class either as older than the g1000 active ('9' > '1'),
+    // letting a hot loop accumulate dirs past the bound.
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(layout, "cells.g998")),
+      "the numerically-oldest superseded generation must be retired")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(layout, "cells.g999")),
+      "the numerically-newest superseded generation must be kept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(layout, "cells.g1000")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(layout, "cells.old1")),
+      "legacy siblings are age-gated only — never count-bound victims")
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
 }

@@ -71,6 +71,15 @@ class WriterLeaseSpec extends SparkSpec {
       val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
       assert(!fs.exists(lock),
         "the broken-and-retaken lease must be released after the fold")
+      // the break is a rename-CLAIM (atomic ticket + mtime re-verify on
+      // the claimed file — a plain delete would race a contender that
+      // broke and re-acquired, destroying a live lock); the claimed
+      // carcass must not outlive the break
+      val leftovers = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          lock.getParent, s"${lock.getName}.break*")))
+        .map(_.toSeq).getOrElse(Seq.empty)
+      assert(leftovers.isEmpty,
+        s"stale-break must clean its rename-claim carcass: $leftovers")
     } finally
       spark.conf.unset("spark.graft.index.writerLeaseStaleMinutes")
   }
