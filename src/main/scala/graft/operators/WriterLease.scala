@@ -232,7 +232,11 @@ object WriterLease {
         val renamed =
           try fs.rename(lock, claim)
           catch { case _: java.io.IOException => false }
-        if (renamed) {
+        if (!renamed) {
+          // another breaker claimed first (or the FS errored): back off
+          // instead of busy-spinning the stat+rename pair
+          Thread.sleep(backoff); backoff = math.min(backoff * 2, 2000L)
+        } else {
           val claimedAge =
             try System.currentTimeMillis() -
               fs.getFileStatus(claim).getModificationTime
