@@ -191,6 +191,66 @@ class WriterLeaseSpec extends SparkSpec {
     assert(!fs.exists(lock), "all racers done -> lease fully released")
   }
 
+  test("TWO real driver JVMs fold one IVF lineage concurrently: serialized, nothing lost") {
+    // the full end-to-end cross-process contract, not just the lock
+    // primitive: an IVF layout is a plain directory two driver JVMs
+    // genuinely share (unlike the process-local band catalog), so two
+    // forked Spark JVMs plus this one ingest disjoint residue classes
+    // of the corpus into the SAME layout simultaneously — every fold
+    // takes the lease like any production ingest job. If the lease
+    // failed to serialize (or a fold resolved a stale generation),
+    // appends would be lost or doubled and the final count would drift.
+    val total = emb.count()
+    val (path, _) = Similarity.ensureIvfIndex(
+      emb.filter($"vec_id" % 4 === 3),
+      srcTag = s"foldrace-${System.nanoTime()}")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val embPath = s"${sf()}/embeddings.parquet"
+    // child stdout goes to a FILE: a forked Spark JVM logs far more
+    // than a pipe buffer holds, and a full pipe would block the child
+    // while this JVM is busy folding its own batches
+    def spawn(res: Int): (Process, java.io.File) = {
+      val out = java.io.File.createTempFile(s"graft-foldracer-$res", ".log")
+      val p = new ProcessBuilder(javaBin,
+          "-cp", System.getProperty("java.class.path"),
+          "graft.tools.FoldRacer", path, embPath, "4", res.toString, "3")
+        .redirectErrorStream(true).redirectOutput(out).start()
+      (p, out)
+    }
+    val kids = Seq(spawn(0), spawn(1))
+    spark.conf.set("spark.graft.index.writerLeaseWaitSeconds", "300")
+    try
+      (0 until 3).foreach { i =>
+        Similarity.foldIntoIvfIndex(
+          emb.filter($"vec_id" % 4 === 2)
+            .filter(expr("vec_id div 4") % 3 === i)
+            .select("vec_id", "embedding"),
+          path, batchTag = s"racer-2-$i")
+      }
+    finally spark.conf.unset("spark.graft.index.writerLeaseWaitSeconds")
+    kids.foreach { case (p, out) =>
+      assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        "fold-racer JVM did not finish")
+      val log = new String(
+        java.nio.file.Files.readAllBytes(out.toPath), "UTF-8")
+      assert(p.exitValue() == 0 && log.contains("FOLDRACER_DONE"),
+        s"fold-racer failed (exit ${p.exitValue()}):\n${log.takeRight(1500)}")
+      out.delete()
+    }
+    // cross-process idempotence: replaying a CHILD's tag from THIS
+    // process must no-op on the filesystem fold marker
+    Similarity.foldIntoIvfIndex(
+      emb.filter($"vec_id" % 4 === 0)
+        .filter(expr("vec_id div 4") % 3 === 0)
+        .select("vec_id", "embedding"),
+      path, batchTag = "racer-0-0")
+    assert(Similarity.liveCells(spark, path).count() == total,
+      "every batch from all three processes must land exactly once")
+    val lock = WriterLease.lockPathFor(path)
+    val fs   = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(lock), "all writers done -> lease fully released")
+  }
+
   test("the lease file is released after every successful maintenance op") {
     val prefix = s"graft_rel${System.nanoTime()}"
     Dedup.ensureMinhashBandIndex(
