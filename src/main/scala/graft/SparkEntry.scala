@@ -468,13 +468,16 @@ object SparkEntry {
 
   /** Video-container metadata with real-codec preference: the fixture's
     * video rows mix REAL MP4 prologues (ids 1100-1119, half mvhd v0 /
-    * half v1) with stub blobs; [[graft.operators.Multimodal
-    * .decodeVideoAuto]] resolves the real rows' `moov/mvhd`
-    * duration+timescale via the general ISO-BMFF box walk and falls
-    * back to the deterministic 30 fps stub for the rest. The oracle
-    * re-derives the mvhd fields by slicing the generator's fixed
-    * layout offsets from the same bytes — the library must land on
-    * the identical fields by actually walking the boxes.
+    * half v1) and REAL WebM/EBML prologues (ids 1150-1169,
+    * unknown-size Segment) with stub blobs; [[graft.operators
+    * .Multimodal.decodeVideoAuto]] resolves the real rows'
+    * `moov/mvhd` duration+timescale via the general ISO-BMFF box walk
+    * or `Info/Duration` × `TimestampScale` via the general EBML walk,
+    * and falls back to the deterministic 30 fps stub for the rest.
+    * The oracle re-derives both containers' fields by slicing the
+    * generator's fixed layout offsets from the same bytes — the
+    * library must land on the identical fields by actually walking
+    * the boxes/elements.
     */
   private def q129(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeVideoAuto(Multimodal.mediaFixture(s))
@@ -3968,19 +3971,31 @@ object SparkEntry {
       // timescale@56 duration64@60. 'ftyp' at bytes 4-7 = hex
       // '66747970' classifies (stub blob bytes 4-7 are a small BE
       // height, never the ftyp magic).
+      // WebM band (GenMediaFixture.webmBlob): EBML magic '1A45DFA3' at
+      // byte 0, TimestampScale uint32 at 33, Duration float32 at 40 —
+      // the float's tick count sits in [2²³, 2²⁴) by construction, so
+      // the integer is (bits & 0x7FFFFF) + 2²³: one mask+add instead
+      // of a float reinterpret DuckDB doesn't have.
       s"""WITH m AS (SELECT media_id, hex(data) AS hx, octet_length(data) AS len
          |   FROM $media WHERE kind = 'video'),
          | cls AS (SELECT media_id, hx, len,
-         |   substr(hx, 9, 8) = '66747970' AS is_mp4 FROM m),
+         |   substr(hx, 9, 8) = '66747970' AS is_mp4,
+         |   substr(hx, 1, 8) = '1A45DFA3' AS is_webm FROM m),
          | mp4 AS (SELECT media_id,
          |   CASE WHEN ${be(36, 2)} = 1 THEN ${be(56, 8)} ELSE ${be(48, 8)} END AS ts,
          |   CASE WHEN ${be(36, 2)} = 1 THEN ${be(60, 16)} ELSE ${be(52, 8)} END AS dur
          |   FROM cls WHERE is_mp4),
+         | webm AS (SELECT media_id, ${be(33, 8)} AS tsns,
+         |   (${be(40, 8)} & 8388607) + 8388608 AS ticks
+         |   FROM cls WHERE is_webm),
          | stub AS (SELECT media_id,
          |   GREATEST(1, CAST(CEIL((len-16)/64.0) AS BIGINT)) AS n
-         |   FROM cls WHERE NOT is_mp4)
+         |   FROM cls WHERE NOT is_mp4 AND NOT is_webm)
          |SELECT media_id, dur*1000//ts AS duration_ms, ts AS timescale,
          | CAST(1 AS BIGINT) AS is_real FROM mp4
+         |UNION ALL
+         |SELECT media_id, ticks*tsns//1000000 AS duration_ms,
+         | 1000000000//tsns AS timescale, CAST(1 AS BIGINT) AS is_real FROM webm
          |UNION ALL
          |SELECT media_id, n*1000//30 AS duration_ms,
          | CAST(30 AS BIGINT) AS timescale, CAST(0 AS BIGINT) AS is_real FROM stub

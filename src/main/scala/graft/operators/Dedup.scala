@@ -750,26 +750,44 @@ object Dedup {
     if (!current) {
       // the rebuild is a WRITE: it retires every generation and
       // restarts the lineage at gen 0, so it takes the cross-process
-      // writer lease like every other maintenance entry point
-      WriterLease.withLease(docs.sparkSession,
-          WriterLease.lockPathFor(docs.sparkSession, "default",
-            tablePrefix)) {
-        // a rebuild starts a NEW lineage: stale tombstones from the old
-        // one must not suppress freshly indexed docs — drop the catalog
-        // entry AND any orphaned warehouse dir a previous JVM left
-        docs.sparkSession.sql(
-          s"DROP TABLE IF EXISTS ${delsTableFor(bandsTable)}")
-        graft.pipeline.Cleanup.ensureWritable(
-          docs.sparkSession, "default", delsTableFor(bandsTable))
-        // every generation of the stale lineage goes — gen 0 restarts it
-        dropGenerationsExcept(docs.sparkSession, tablePrefix, Set.empty)
-        // staged so the expensive minhash kernel runs ONCE for both writes
-        val sigs = Checkpoints.stage(rawSigs,
-          Checkpoints.configured(docs.sparkSession))
-        Bucketing.ensureBucketed(bandKeys(sigs, bands, rows),
-          bandsTable, buckets, Seq("bk"), fpTag)
-        Bucketing.ensureBucketed(sigs, sigsTable, buckets, Seq("doc_id"), fpTag)
-        (bandsTable, sigsTable)
+      // writer lease like every other maintenance entry point — but the
+      // lease's re-entrancy is per-JVM (held-map depth), NOT per-thread,
+      // so the lease alone would admit two sibling THREADS that both
+      // probed a stale index (the second just increments the depth)
+      // straight into racing DROP TABLE / dropGenerationsExcept /
+      // ensureBucketed. Serialize JVM-locally on the lineage lock FIRST
+      // — the precondition every other band-index entry point
+      // (fold/delete/compact) already honors — and re-probe validity
+      // under it, so the loser of the thread race reuses the winner's
+      // rebuild instead of redoing (and clobbering) it.
+      foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
+        val (cb, cs) = currentIndexTables(docs.sparkSession, tablePrefix)
+        val nowCurrent =
+          Bucketing.isCurrent(bandKeys(rawSigs, bands, rows), cb,
+            buckets, Seq("bk"), fpTag) &&
+          Bucketing.isCurrent(rawSigs, cs, buckets, Seq("doc_id"), fpTag)
+        if (nowCurrent) (cb, cs)
+        else WriterLease.withLease(docs.sparkSession,
+            WriterLease.lockPathFor(docs.sparkSession, "default",
+              tablePrefix)) {
+          // a rebuild starts a NEW lineage: stale tombstones from the
+          // old one must not suppress freshly indexed docs — drop the
+          // catalog entry AND any orphaned warehouse dir a previous
+          // JVM left
+          docs.sparkSession.sql(
+            s"DROP TABLE IF EXISTS ${delsTableFor(bandsTable)}")
+          graft.pipeline.Cleanup.ensureWritable(
+            docs.sparkSession, "default", delsTableFor(bandsTable))
+          // every generation of the stale lineage goes — gen 0 restarts it
+          dropGenerationsExcept(docs.sparkSession, tablePrefix, Set.empty)
+          // staged so the expensive minhash kernel runs ONCE for both writes
+          val sigs = Checkpoints.stage(rawSigs,
+            Checkpoints.configured(docs.sparkSession))
+          Bucketing.ensureBucketed(bandKeys(sigs, bands, rows),
+            bandsTable, buckets, Seq("bk"), fpTag)
+          Bucketing.ensureBucketed(sigs, sigsTable, buckets, Seq("doc_id"), fpTag)
+          (bandsTable, sigsTable)
+        }
       }
     } else (curBands, curSigs)
   }
@@ -781,6 +799,11 @@ object Dedup {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val foldLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // test seam (ConcurrentMaintenanceSpec): invoked by
+  // compactMinhashBandIndex between its dels snapshot and the CTAS
+  // promote pair — lets a spec drive a racing delete into exactly the
+  // window the late-dels merge-forward closes
+  private[graft] var compactRaceHook: Option[() => Unit] = None
 
   /** Fold an ADMITTED batch into a persisted MinHash band index — the
     * q95 incremental-index contract applied to near-dup ingestion
@@ -1167,6 +1190,13 @@ object Dedup {
           Checkpoints.configured(spark)))
       try {
       val delsSnapshot = delsStaged.map(_.df)
+      // test seam (ConcurrentMaintenanceSpec): runs between the dels
+      // snapshot and the CTAS promote pair, simulating a delete landed
+      // by a lease-broken or pre-lease writer inside exactly the window
+      // the late-dels merge-forward below closes — the lease's per-JVM
+      // re-entrancy lets the seam drive the real
+      // deleteFromMinhashBandIndex path on this thread
+      compactRaceHook.foreach(h => h())
       val legacyDels   = s"${tablePrefix}_dels"
       val hadDels      = delsSnapshot.isDefined
       // the purge-window ledger (names only, O(crashed tags)): a purge

@@ -398,6 +398,117 @@ object Multimodal {
           }
         }
     }
+
+    /** WebM/Matroska EBML duration walk — the last video-container
+      * family that still fell through to the stub. Pure JVM, from the
+      * public EBML/Matroska element grammar: elements are
+      * [vint ID][vint size][payload]; ID vints keep their marker bits,
+      * size vints strip them, and an all-ones size means "unknown —
+      * runs to the end of the enclosing scope" (streamed Segments
+      * write exactly that). The walk is `Segment` (0x18538067) →
+      * `Info` (0x1549A966) → `TimestampScale` (0x2AD7B1, ns per tick,
+      * default 1,000,000) + `Duration` (0x4489, a 4- or 8-byte
+      * big-endian IEEE float in TICKS). duration_ms =
+      * ticks·tsNs/10⁶ — computed in EXACT Long arithmetic when the
+      * tick count is integral (every real muxer's case; keeps the
+      * fixture oracle-parity bit-exact), double floor otherwise.
+      * Reported `timescale` is ticks per second (10⁹/tsNs), matching
+      * the MP4 side's semantics. None unless the blob opens with the
+      * EBML magic `1A 45 DF A3` — callers fall back to the stub.
+      */
+    def webmMeta(data: Array[Byte]): Option[VideoMeta] = {
+      if (data.length < 12 || (data(0) & 0xff) != 0x1a ||
+          (data(1) & 0xff) != 0x45 || (data(2) & 0xff) != 0xdf ||
+          (data(3) & 0xff) != 0xa3) return None
+      // vint width from the first byte's leading-zero count (1..8)
+      def w(first: Int): Int =
+        if (first == 0) -1 else Integer.numberOfLeadingZeros(first) - 23
+      // element ID: marker bits KEPT, width capped at 4 per EBML
+      def readId(off: Int): Option[(Long, Int)] = {
+        if (off >= data.length) return None
+        val f = data(off) & 0xff
+        val width = w(f)
+        if (width < 1 || width > 4 || off + width > data.length) return None
+        var v = f.toLong
+        var i = 1
+        while (i < width) { v = (v << 8) | (data(off + i) & 0xff); i += 1 }
+        Some((v, width))
+      }
+      // data size: marker bit STRIPPED; all-ones payload = unknown (-1)
+      def readSize(off: Int): Option[(Long, Int)] = {
+        if (off >= data.length) return None
+        val f = data(off) & 0xff
+        val width = w(f)
+        if (width < 1 || width > 8 || off + width > data.length) return None
+        val mask    = (1 << (8 - width)) - 1
+        var v       = (f & mask).toLong
+        var allOnes = (f & mask) == mask
+        var i       = 1
+        while (i < width) {
+          val b = data(off + i) & 0xff
+          if (b != 0xff) allOnes = false
+          v = (v << 8) | b; i += 1
+        }
+        Some((if (allOnes) -1L else v, width))
+      }
+      // elements of [from, until): (id, payloadStart, payloadEnd)
+      def children(from: Int, until: Int): Iterator[(Long, Int, Int)] =
+        new Iterator[(Long, Int, Int)] {
+          private var off  = from
+          private var nxt: (Long, Int, Int) = _
+          private def advance(): Unit = {
+            nxt = null
+            if (off < until) for {
+              (id, iw) <- readId(off)
+              (sz, sw) <- readSize(off + iw)
+            } {
+              val p = off + iw + sw
+              val e =
+                if (sz < 0) until // unknown size: to end of scope
+                else math.min(until.toLong, p.toLong + sz).toInt
+              if (p <= until) { nxt = (id, p, e); off = math.max(e, p) }
+            }
+          }
+          advance()
+          def hasNext: Boolean = nxt != null
+          def next(): (Long, Int, Int) = { val r = nxt; advance(); r }
+        }
+      def beUint(from: Int, until: Int): Long = {
+        var v = 0L
+        var i = from
+        while (i < until && i < data.length) { v = (v << 8) | (data(i) & 0xff); i += 1 }
+        v
+      }
+      children(0, data.length)
+        .collectFirst { case (0x18538067L, p, e) => (p, e) }
+        .flatMap { case (segP, segE) =>
+          children(segP, segE).collectFirst { case (0x1549a966L, p, e) => (p, e) }
+        }
+        .flatMap { case (infoP, infoE) =>
+          var tsNs = 1000000L // Matroska default: 1 ms per tick
+          var dur  = Option.empty[Double]
+          children(infoP, infoE).foreach {
+            case (0x2ad7b1L, p, e) if e > p && e - p <= 8 =>
+              val v = beUint(p, e)
+              if (v > 0) tsNs = v
+            case (0x4489L, p, e) if e - p == 4 =>
+              dur = Some(java.lang.Float.intBitsToFloat(
+                beUint(p, e).toInt).toDouble)
+            case (0x4489L, p, e) if e - p == 8 =>
+              dur = Some(java.lang.Double.longBitsToDouble(beUint(p, e)))
+            case _ => ()
+          }
+          dur.collect {
+            case d if d >= 0 && !d.isNaN && !d.isInfinite =>
+              val ms =
+                if (d == math.floor(d) && d < 9.0e15 &&
+                    d.toLong <= Long.MaxValue / tsNs)
+                  d.toLong * tsNs / 1000000L // exact-integer oracle path
+                else math.floor(d * tsNs / 1e6).toLong
+              VideoMeta(ms, 1000000000L / tsNs)
+          }
+        }
+    }
   }
 
   // -------------------------------------------------------------------------
@@ -498,19 +609,21 @@ object Multimodal {
 
   /** Video metadata decode with real-container preference — the
     * [[decodeAudioAuto]] contract for the video column: a real
-    * MP4/ISO-BMFF blob resolves its `moov/mvhd` duration and timescale
-    * (pure JVM box walk, no frame decode), anything else falls back to
-    * the deterministic stub; `real` marks which path served the row so
-    * a corpus audit can count genuine containers. One codec pass per
-    * partition stream (mapPartitions), same batch shape as the other
-    * decoders.
+    * MP4/ISO-BMFF blob resolves its `moov/mvhd` duration and timescale,
+    * a real WebM/Matroska blob its EBML `Info/Duration` ×
+    * `TimestampScale` (both pure JVM walks, no frame decode), anything
+    * else falls back to the deterministic stub; `real` marks which
+    * path served the row so a corpus audit can count genuine
+    * containers. One codec pass per partition stream (mapPartitions),
+    * same batch shape as the other decoders.
     */
   def decodeVideoAuto(media: DataFrame): Dataset[DecodedVideo] = {
     implicit val enc = Encoders.product[DecodedVideo]
     media.select("media_id", "kind", "data").as(Encoders.product[MediaRow])
       .mapPartitions { rows =>
         rows.filter(_.kind == "video").map { r =>
-          RealCodecs.mp4Meta(r.data) match {
+          RealCodecs.mp4Meta(r.data)
+            .orElse(RealCodecs.webmMeta(r.data)) match {
             case Some(m) =>
               DecodedVideo(r.media_id, m.duration_ms, m.timescale, real = true)
             case None =>

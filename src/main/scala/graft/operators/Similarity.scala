@@ -540,6 +540,11 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfFoldMemo =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // test seam (ConcurrentMaintenanceSpec): invoked by compactIvfCells
+  // between its tombstone snapshot and its manifest flip with the
+  // superseded generation's dir — lets a spec drive a racing delete
+  // into exactly the window the late-tombstone merge-forward closes
+  private[graft] var compactRaceHook: Option[String => Unit] = None
   // per-layout build locks (the ResponseCache anti-stampede pattern):
   // concurrent ensure calls on the same layout build it once; the
   // winner's double-check inside the lock makes the loser a no-op
@@ -919,6 +924,14 @@ object Similarity {
 
   private val CellsManifest = "cells.MANIFEST"
 
+  // test seam: counts sleeps of the manifest-absence wait loop — the
+  // loop must NEVER run on the hot path (manifest present, or cells/
+  // standing, or an atomic-flip scheme); a spec pins that the
+  // crash-before-first-flip fallback resolves with ZERO retries
+  // instead of paying 8×50 ms per resolution, timing-insensitively
+  private[graft] val manifestWaitRetries =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Cross-process-comparable generation stamp: nanoseconds since the
     * EPOCH (wall-clock millis plus a sub-millis nano component for
     * same-millis uniqueness). `System.nanoTime` alone is wrong for
@@ -1012,6 +1025,7 @@ object Similarity {
       var retries = 0
       while (!exists && !atomicFlip && retries < 8 && gensPresent) {
         Thread.sleep(50L); retries += 1; exists = fs.exists(mf)
+        manifestWaitRetries.incrementAndGet()
       }
       // a post-promote layout whose cells/ was GC'd MUST have a
       // manifest — refusing loudly beats silently resolving a
@@ -1369,6 +1383,13 @@ object Similarity {
       cells
         .repartition(math.max(c, 1), col("cent_id"))
         .write.partitionBy("cent_id").parquet(gen.toString)
+      // test seam (ConcurrentMaintenanceSpec): runs between this
+      // rewrite's tombstone snapshot and the manifest flip, simulating
+      // a delete landed by a lease-broken or pre-lease writer exactly
+      // inside the window the merge-forward below exists for — the
+      // lease's per-JVM re-entrancy lets the seam drive the real
+      // deleteFromIvfIndex path on this thread
+      compactRaceHook.foreach(h => h(cellsDir.toString))
       // ONE atomic pointer flip: the rewrite landed complete in a new
       // generation dir, and the manifest rename promotes it without a
       // headless window. A crash before the flip leaves the old

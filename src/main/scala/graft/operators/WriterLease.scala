@@ -19,9 +19,12 @@ import org.apache.spark.sql.SparkSession
   * Mechanics: one `_writer.lock` file per lineage, created with the
   * filesystem's ATOMIC create-if-absent primitive (java.nio
   * CREATE_NEW on `file:`, `FileSystem.create(overwrite=false)` on
-  * HDFS — both one atomic metadata op; object stores without an
-  * atomic create get best-effort semantics, same caveat as every
-  * lock-file protocol). The file body names the holder
+  * HDFS — both one atomic metadata op). The scheme contract is
+  * ENFORCED, not just noted: schemes without an atomic
+  * create-if-absent (object stores) are REFUSED with a clear message
+  * unless `spark.graft.index.writerLeaseAllowNonAtomic=true` opts
+  * into loud best-effort degradation — see
+  * [[enforceSchemeContract]]. The file body names the holder
   * (`pid@host#bootNanos`) for diagnostics and re-entrancy.
   *
   * Liveness: a holder that dies leaks its lock file; contenders break
@@ -60,27 +63,110 @@ object WriterLease {
 
   // one daemon heartbeat thread for all held leases: refreshes each
   // lock's mtime so a multi-hour rewrite never goes "stale" while its
-  // holder is alive
-  private case class Beat(path: Path, fs: org.apache.hadoop.fs.FileSystem)
+  // holder is alive. The REQUIRED beat interval is stored PER LEASE
+  // (staleMs/4 as configured at that lease's acquisition) and the
+  // thread ticks on a short fixed interval, touching each lease only
+  // when its own quarter-window has elapsed — a single interval fixed
+  // by whichever lease happened to be acquired first would let a later
+  // lease with a SMALLER configured stale window exceed its own window
+  // between beats, and a contender would stale-break a lease whose
+  // holder is alive (readmitting the two-writer case).
+  private case class Beat(path: Path, fs: org.apache.hadoop.fs.FileSystem,
+      intervalMs: Long, lastBeat: java.util.concurrent.atomic.AtomicLong)
   private val beats =
     new java.util.concurrent.ConcurrentHashMap[String, Beat]()
+  private val HeartbeatTickMs = 1000L
   private val heartbeat = new java.util.concurrent.atomic.AtomicReference[Thread]()
-  private def ensureHeartbeat(intervalMs: Long): Unit = {
+  private def ensureHeartbeat(): Unit = {
     if (heartbeat.get() == null) {
       val t = new Thread(() => {
         while (true) {
           // a stray interrupt must not kill the one thread keeping
           // every held lease alive — swallow and keep beating
-          try Thread.sleep(intervalMs)
+          try Thread.sleep(HeartbeatTickMs)
           catch { case _: InterruptedException => }
+          val now = System.currentTimeMillis()
           beats.forEach { (_, b) =>
-            try b.fs.setTimes(b.path, System.currentTimeMillis(), -1)
-            catch { case _: java.io.IOException => } // next beat retries
+            if (now - b.lastBeat.get() >= b.intervalMs) {
+              try {
+                b.fs.setTimes(b.path, now, -1)
+                b.lastBeat.set(now)
+              } catch {
+                case _: java.io.FileNotFoundException =>
+                  // our LIVE lock vanished — a contender wrongfully
+                  // stale-broke it (rename-claim in flight) or an
+                  // operator deleted it. Re-create to restore our
+                  // protection: if the breaker's re-verify finds the
+                  // claim fresh it renames back and loses to our
+                  // re-created file (logging loudly on its side); if
+                  // a usurper already re-acquired, the create fails
+                  // and we can only record that we now run unprotected.
+                  if (tryCreate(b.fs, b.path)) {
+                    b.lastBeat.set(now)
+                    log.warn(s"writer-lease heartbeat: live lock " +
+                      s"${b.path} had vanished (wrongful stale-break " +
+                      "or external delete) — re-created it")
+                  } else
+                    log.error(s"writer-lease heartbeat: live lock " +
+                      s"${b.path} was taken by another process " +
+                      s"(${readHolder(b.fs, b.path).getOrElse("<unreadable>")})" +
+                      " — THIS holder's maintenance op is now running " +
+                      "UNPROTECTED; expect possible double-writer damage")
+                case _: java.io.IOException => // next tick retries
+              }
+            }
           }
         }
       }, "graft-writer-lease-heartbeat")
       t.setDaemon(true)
       if (heartbeat.compareAndSet(null, t)) t.start()
+    }
+  }
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(WriterLease.getClass)
+
+  /** Schemes whose create-if-absent ([[tryCreate]]) is genuinely one
+    * atomic op: java.nio CREATE_NEW (O_CREAT|O_EXCL) on `file:`, a
+    * single namenode create on `hdfs:`/`viewfs:`/`webhdfs:`. Object
+    * stores (s3a/gs/abfs/oss/...) have no create-if-absent primitive —
+    * Hadoop's `create(overwrite=false)` there is exists-then-PUT, a
+    * check-then-act the whole protocol's safety rests on NOT being.
+    */
+  private val AtomicCreateSchemes = Set("file", "hdfs", "viewfs", "webhdfs")
+  private val nonAtomicWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The lock protocol's scheme contract, ENFORCED rather than noted:
+    * on a filesystem without an atomic create-if-absent the lease
+    * degrades to best-effort — two writers can both "acquire" — so the
+    * default is to REFUSE with a clear message. Deployments that accept
+    * the risk (single-writer by construction, or a store with its own
+    * conditional-put they layer underneath) opt in via
+    * `spark.graft.index.writerLeaseAllowNonAtomic=true`, which demotes
+    * the refusal to one loud warning per scheme.
+    */
+  private def enforceSchemeContract(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, lock: Path): Unit = {
+    val scheme = fs.getUri.getScheme
+    if (scheme != null && !AtomicCreateSchemes.contains(scheme)) {
+      val allow = spark.conf.getOption(
+        "spark.graft.index.writerLeaseAllowNonAtomic").contains("true")
+      if (!allow)
+        throw new IllegalStateException(
+          s"writer lease at $lock: filesystem scheme '$scheme' has no " +
+            "atomic create-if-absent, so the cross-process writer lock " +
+            "would be best-effort (two writers could both acquire and " +
+            "silently corrupt the index ledger). Run maintenance for " +
+            "this lineage on file:/hdfs:, or set " +
+            "spark.graft.index.writerLeaseAllowNonAtomic=true to accept " +
+            "best-effort locking (single-writer deployments only)")
+      else if (nonAtomicWarned.add(scheme))
+        log.warn(s"writer lease: scheme '$scheme' has no atomic " +
+          "create-if-absent; proceeding BEST-EFFORT because " +
+          "spark.graft.index.writerLeaseAllowNonAtomic=true — " +
+          "concurrent maintenance writers on one lineage may not be " +
+          "mutually excluded")
     }
   }
 
@@ -124,10 +210,12 @@ object WriterLease {
       }
     }
     if (acquired) {
+      enforceSchemeContract(spark, fs, lock)
       acquire(fs, lock, staleMs, waitMs)
       synchronized { held(key) = 1 }
-      beats.put(key, Beat(lock, fs))
-      ensureHeartbeat(math.max(staleMs / 4, 1000L))
+      beats.put(key, Beat(lock, fs, math.max(staleMs / 4, HeartbeatTickMs),
+        new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())))
+      ensureHeartbeat()
     }
     try body
     finally {
@@ -229,12 +317,26 @@ object WriterLease {
         // straight back and keep waiting.
         val claim = new Path(lock.getParent,
           s"${lock.getName}.break${System.nanoTime()}")
+        // re-read the mtime IMMEDIATELY before the rename: the first
+        // stat may be a whole backoff sleep old, and a live holder's
+        // heartbeat landing in that gap would make us rename a FRESH
+        // lock away — the claim's mtime re-verify below still catches
+        // it, but while the claim is out the lock path is absent and a
+        // third contender's tryCreate can slip in. The tight re-stat
+        // shrinks that window to the stat→rename instruction gap.
+        val freshNow =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime <= staleMs
+          catch { case _: java.io.IOException => false } // vanished/unreadable → retry loop
         val renamed =
-          try fs.rename(lock, claim)
-          catch { case _: java.io.IOException => false }
+          if (freshNow) false // heartbeat arrived — holder is alive, keep waiting
+          else
+            try fs.rename(lock, claim)
+            catch { case _: java.io.IOException => false }
         if (!renamed) {
-          // another breaker claimed first (or the FS errored): back off
-          // instead of busy-spinning the stat+rename pair
+          // holder proved alive, another breaker claimed first, or the
+          // FS errored: back off instead of busy-spinning the
+          // stat+rename pair
           Thread.sleep(backoff); backoff = math.min(backoff * 2, 2000L)
         } else {
           val claimedAge =
@@ -247,8 +349,37 @@ object WriterLease {
             try fs.delete(claim, false)
             catch { case _: java.io.IOException => }
           } else {
-            try { if (!fs.rename(claim, lock)) fs.delete(claim, false) }
-            catch { case _: java.io.IOException => }
+            // the claimed file is FRESH — someone's LIVE lock: rename
+            // it straight back. If the rename-back loses (a new lock
+            // now occupies the dest — a third contender slipped into
+            // the absence window, or the wronged holder's heartbeat
+            // re-created its own file), the original holder's lease
+            // cannot be restored from here: say so LOUDLY — silently
+            // deleting the claim would erase the only evidence that a
+            // live writer is now running unprotected.
+            val restored =
+              try fs.rename(claim, lock)
+              catch { case _: java.io.IOException => false }
+            if (!restored) {
+              val usurper = readHolder(fs, lock).getOrElse("<unreadable>")
+              val wronged = readHolder(fs, claim).getOrElse("<unreadable>")
+              if (wronged == usurper)
+                // the holder's own heartbeat re-created its lock while
+                // we held the claim — protection already restored by
+                // the holder itself; the claim is a harmless duplicate
+                log.warn(s"writer-lease stale-break of $lock aborted: " +
+                  s"holder $wronged was alive and re-created its lock " +
+                  "(heartbeat self-heal); dropping the duplicate claim")
+              else
+                log.error(s"writer-lease stale-break of $lock claimed a " +
+                  s"LIVE lease (holder $wronged) and could not restore " +
+                  s"it — the lock is now held by $usurper while " +
+                  s"$wronged's maintenance op is still running " +
+                  "UNPROTECTED; expect possible double-writer damage " +
+                  "on this lineage")
+              try fs.delete(claim, false)
+              catch { case _: java.io.IOException => }
+            }
           }
         }
       } else if (age >= 0L && System.currentTimeMillis() >= deadline) {
@@ -263,6 +394,13 @@ object WriterLease {
       }
     }
   }
+
+  // test seam: the registered heartbeat interval of a held lease —
+  // pins that refresh cadence is PER LEASE (each lease's own staleMs/4
+  // as configured at its acquisition), not frozen at whatever the
+  // first-ever lease happened to configure
+  private[graft] def heldBeatInterval(lock: Path): Option[Long] =
+    Option(beats.get(lock.toString)).map(_.intervalMs)
 
   // test seam: forge a foreign holder's lease (optionally back-dated)
   // so specs can exercise the refuse/break paths without a second JVM —

@@ -72,6 +72,46 @@ object GenMediaFixture {
     out.array()
   }
 
+  /** A REAL minimal WebM prologue (EBML/Matroska): EBML header with
+    * DocType "webm", then an unknown-size `Segment` (the streamed-mux
+    * form — exercises the to-end-of-scope leg of the walk) holding
+    * `Info{TimestampScale, Duration}` and a pseudo-random `Cluster`
+    * payload. Duration is a 4-byte big-endian float whose tick count
+    * sits in [2²³, 2²⁴) — exactly representable, and with mantissa =
+    * ticks − 2²³ the DuckDB oracle recovers the integer from the raw
+    * bits with one mask+add, no float reinterpret needed. Byte offsets
+    * are FIXED by construction (EBML 0-11, Segment 12-23, Info header
+    * 24-28, TimestampScale uint32 at 33, Duration float32 at 40,
+    * Cluster from 44), which is what lets the oracle slice the same
+    * fields while the library does the general EBML walk.
+    */
+  def webmBlob(id: Long): Array[Byte] = {
+    // ns per tick — all divide 10⁹, so ticks/sec is integral
+    val tsNs: Long     = Seq(1000000L, 500000L, 2000000L, 250000L)((id % 4).toInt)
+    val durTicks: Long = (1L << 23) + (id * 37L) % 100000L
+    var s = id * 2654435761L + 777001L
+    def nx(): Long = { s ^= s << 13; s ^= s >>> 7; s ^= s << 17; s }
+    val clusterLen = 64 + ((nx() >>> 1) % 63L).toInt // 1-byte vint size
+    val out = java.nio.ByteBuffer.allocate(49 + clusterLen)
+    out.put(Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte)) // EBML magic
+    out.put(0x87.toByte)                                  // header size 7
+    out.put(Array(0x42, 0x82, 0x84).map(_.toByte))        // DocType, size 4
+    out.put("webm".getBytes("US-ASCII"))
+    out.put(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte))  // Segment
+    out.put(Array(0x01, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff)
+      .map(_.toByte))                                     // unknown size
+    out.put(Array(0x15, 0x49, 0xa9, 0x66).map(_.toByte))  // Info
+    out.put(0x8f.toByte)                                  // size 15
+    out.put(Array(0x2a, 0xd7, 0xb1, 0x84).map(_.toByte))  // TimestampScale
+    out.putInt(tsNs.toInt)
+    out.put(Array(0x44, 0x89, 0x84).map(_.toByte))        // Duration, f32
+    out.putFloat(durTicks.toFloat)
+    out.put(Array(0x1f, 0x43, 0xb6, 0x75).map(_.toByte))  // Cluster
+    out.put((0x80 | clusterLen).toByte)
+    (0 until clusterLen).foreach(_ => out.put(nx().toByte))
+    out.array()
+  }
+
   def rows: Seq[MediaRow] =
     (0L until 300L).map(i => MediaRow(i, "image", blob(i, "image"))) ++
       (1000L until 1050L).map(i => MediaRow(i, "video", blob(i, "video"))) ++
@@ -80,6 +120,10 @@ object GenMediaFixture {
       // unchanged, while the metadata path (q129) resolves their real
       // moov/mvhd duration instead of the stub fallback
       (1100L until 1120L).map(i => MediaRow(i, "video", mp4Blob(i))) ++
+      // REAL WebM/EBML containers, same contract as the MP4 band:
+      // frame-sampling sees only byte length; the metadata path
+      // resolves their real Info Duration × TimestampScale
+      (1150L until 1170L).map(i => MediaRow(i, "video", webmBlob(i))) ++
       (2000L until 2100L).map(i => MediaRow(i, "audio", blob(i, "audio")))
 
   def main(args: Array[String]): Unit = {

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -384,5 +386,181 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(layout, "cells.old1")),
       "legacy siblings are age-gated only — never count-bound victims")
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("IVF: a delete racing the compaction flip is merged forward — doc stays deleted") {
+    // the lost-tombstone race, driven on purpose: a delete lands
+    // BETWEEN compactIvfCells' tombstone snapshot and its manifest
+    // flip (a lease-broken or pre-lease writer — the lease's per-JVM
+    // re-entrancy lets the seam replay it on this thread). Its
+    // tombstone settles in the generation about to be superseded and
+    // its dels marker is written, so without the merge-forward the new
+    // generation would serve the doc UNDELETED while the tag replays
+    // as a no-op permanently.
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val (path, _) = Similarity.ensureIvfIndex(emb,
+      srcTag = s"raceivf-${System.nanoTime()}")
+    val victim = emb.select("vec_id").orderBy("vec_id").limit(1)
+      .as[Long].head()
+    val delTag = s"race-del-${System.nanoTime()}"
+    val fired  = new java.util.concurrent.atomic.AtomicInteger(0)
+    Similarity.compactRaceHook = Some { supersededGen =>
+      fired.incrementAndGet()
+      Similarity.deleteFromIvfIndex(
+        Seq(victim).toDF("vec_id"), path, delTag)
+      // the racing delete's settle loop resolved the OLD (about to be
+      // superseded) generation — the exact stranding precondition
+      assert(Similarity.activeCellsDir(spark, path) == supersededGen,
+        "test setup: the delete must land pre-flip")
+      ()
+    }
+    try Similarity.compactIvfCells(spark, path)
+    finally Similarity.compactRaceHook = None
+    assert(fired.get() == 1, "the race seam must have fired exactly once")
+    val live = Similarity.liveCells(spark, path)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!live.contains(victim),
+      "the racing delete's doc must STAY deleted across the flip")
+    assert(live.size == emb.count() - 1,
+      "only the racing delete's doc may be excluded")
+    // the forwarded tombstone lives in the NEW generation (copy, not
+    // move — old-generation scans keep their own view)
+    val newGen = Similarity.activeCellsDir(spark, path)
+    assert(Similarity.standingTombstoneFiles(spark, path).nonEmpty &&
+        newGen != "",
+      "the new generation must carry the forwarded tombstone")
+    // and the tag's replay is a CORRECT no-op now: marker standing,
+    // doc still excluded (the failure mode was 'no-op while undeleted')
+    Similarity.deleteFromIvfIndex(Seq(victim).toDF("vec_id"), path, delTag)
+    assert(!Similarity.liveCells(spark, path)
+        .select("vec_id").as[Long].collect().toSet.contains(victim),
+      "the replayed tag must remain effective after the merge-forward")
+  }
+
+  test("band index: a delete racing the CTAS promote is forwarded; bands/sigs agree") {
+    // the band-family analog: the dels snapshot is MATERIALIZED once
+    // before the sigs/bands CTAS pair, so a delete appended between
+    // the snapshot and the promote must (a) leave the new generation's
+    // bands and sigs AGREEING on purged docs (a lazily re-evaluated
+    // snapshot would make them disagree) and (b) be forwarded into the
+    // new generation's dels table with its ledger tag merged.
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val prefix = s"graft_racebd${System.nanoTime()}"
+    val (bt0, _) = Dedup.ensureMinhashBandIndex(docs, prefix,
+      srcTag = s"racebd-${System.nanoTime()}")
+    // a PRE-existing delete gives the compaction a non-empty snapshot,
+    // exercising the anti-join leg of both CTAS passes
+    Dedup.deleteFromMinhashBandIndex(Seq(1L).toDF("doc_id"), prefix,
+      delTag = "race-pre")
+    val lateTag = s"race-late-${System.nanoTime()}"
+    val fired   = new java.util.concurrent.atomic.AtomicInteger(0)
+    Dedup.compactRaceHook = Some { () =>
+      fired.incrementAndGet()
+      Dedup.deleteFromMinhashBandIndex(Seq(2L).toDF("doc_id"), prefix,
+        delTag = lateTag)
+      ()
+    }
+    try Dedup.compactMinhashBandIndex(spark, prefix)
+    finally Dedup.compactRaceHook = None
+    assert(fired.get() == 1, "the race seam must have fired exactly once")
+    val (bt, st) = Dedup.currentIndexTables(spark, prefix)
+    assert(bt != bt0, "compaction must have promoted a new generation")
+    // (a) physical agreement: the CTAS pair consumed ONE materialized
+    // snapshot — doc 1 purged from BOTH, doc 2 (the late delete)
+    // physically present in BOTH
+    val bandDocs = spark.table(bt).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    val sigDocs = spark.table(st).select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(bandDocs == sigDocs,
+      s"bands and sigs must agree on purged docs: " +
+        s"bands-only=${bandDocs -- sigDocs}, sigs-only=${sigDocs -- bandDocs}")
+    assert(!bandDocs.contains(1L), "the snapshotted delete must be purged")
+    assert(bandDocs.contains(2L),
+      "the LATE delete is suppressed logically (dels), not purged yet")
+    // (b) the live view excludes the late doc and the ledger carries
+    // its tag forward into the new generation
+    val liveDocs = Dedup.liveIndexTable(spark, bt, bt)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(!liveDocs.contains(2L) && !liveDocs.contains(1L),
+      "both deletes must be excluded from the live view post-promote")
+    val tags = spark.sql(s"SHOW TBLPROPERTIES $bt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .getOrElse("graft.dels", "")
+    assert(tags.split(",").contains(lateTag),
+      s"the late delete's ledger tag must be merged forward: '$tags'")
+    // the tag's replay is a CORRECT no-op: doc still excluded
+    Dedup.deleteFromMinhashBandIndex(Seq(2L).toDF("doc_id"), prefix,
+      delTag = lateTag)
+    assert(!Dedup.liveIndexTable(spark, bt, bt).select("doc_id")
+        .distinct().as[Long].collect().toSet.contains(2L),
+      "the replayed tag must remain effective after the forward")
+  }
+
+  test("crash-before-first-flip fallback resolves with ZERO wait-loop retries") {
+    // the legitimate 'cells/ standing, generation dir present, no
+    // manifest' crash state (first-ever compaction died before its
+    // flip) must resolve to cells/ IMMEDIATELY — the absence wait loop
+    // (8×50 ms + globStatus RPCs, for non-atomic schemes mid-flip) has
+    // no business on this path, and on file:/hdfs: there is never a
+    // gap to wait out at all. Counter-based, so timing noise can't
+    // flake it.
+    val root   = java.nio.file.Files.createTempDirectory("graft-crashres")
+    val layout = s"$root/layout"
+    val fs = new org.apache.hadoop.fs.Path(layout)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def mkDir(name: String): Unit = {
+      val d = new org.apache.hadoop.fs.Path(layout, name)
+      fs.mkdirs(d)
+      val out = fs.create(new org.apache.hadoop.fs.Path(d, "part-0"), true)
+      try out.write(1) finally out.close()
+    }
+    mkDir("cells")       // gen 0, still active
+    mkDir("cells.g777")  // the crashed rewrite, never promoted
+    val before = Similarity.manifestWaitRetries.get()
+    assert(Similarity.activeCellsDir(spark, layout) ==
+      new org.apache.hadoop.fs.Path(layout, "cells").toString)
+    // and the fully-promoted absent-cells state on an atomic scheme:
+    // ALSO zero retries (file: flips atomically — nothing to wait for)
+    fs.delete(new org.apache.hadoop.fs.Path(layout, "cells"), true)
+    intercept[IllegalArgumentException] {
+      Similarity.activeCellsDir(spark, layout) // torn on file:: refuse NOW
+    }
+    assert(Similarity.manifestWaitRetries.get() == before,
+      "neither resolution may enter the manifest-absence wait loop")
+    fs.delete(new org.apache.hadoop.fs.Path(root.toString), true)
+  }
+
+  test("two threads racing a stale ensureMinhashBandIndex rebuild do not clobber each other") {
+    // the lease's re-entrancy is per-JVM, so WITHOUT the JVM-local
+    // lineage lock both threads would enter the rebuild (the second
+    // just increments the lease depth) and race DROP TABLE /
+    // dropGenerationsExcept / ensureBucketed. With the lock + re-probe
+    // the loser reuses the winner's rebuild.
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val prefix = s"graft_racereb${System.nanoTime()}"
+    val tag    = s"racereb-${System.nanoTime()}"
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val errors  = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          results.add(Dedup.ensureMinhashBandIndex(docs, prefix, tag))
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errors.isEmpty,
+      s"concurrent rebuilds must not clobber each other: ${errors.peek()}")
+    assert(results.size == 2 && results.asScala.toSet.size == 1,
+      s"both threads must resolve the SAME generation pair: $results")
+    val (bt, st) = results.peek()
+    assert(spark.table(bt).select("doc_id").distinct().count() ==
+        docs.count() && spark.table(st).count() == docs.count(),
+      "the surviving rebuild must be complete")
   }
 }

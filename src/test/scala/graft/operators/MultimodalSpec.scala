@@ -317,16 +317,68 @@ class MultimodalSpec extends SparkSpec {
     RealCodecs.mp4Meta(cut) // must not throw
   }
 
-  test("decodeVideoAuto: real MP4 rows resolve mvhd, stub rows fall back, one pass") {
+  test("webmMeta: EBML walk yields real duration (f32/f64, unknown-size Segment), garbage falls back") {
+    import Multimodal.RealCodecs
+    // golden fixtures straight from the committed generator — the same
+    // bytes q129's oracle slices by fixed offsets, parsed here by the
+    // general EBML walk (unknown-size Segment: the streamed-mux form)
+    (1150L until 1154L).foreach { id =>
+      val tsNs  = Seq(1000000L, 500000L, 2000000L, 250000L)((id % 4).toInt)
+      val ticks = (1L << 23) + (id * 37L) % 100000L
+      assert(RealCodecs.webmMeta(graft.tools.GenMediaFixture.webmBlob(id))
+          .contains(Multimodal.VideoMeta(
+            ticks * tsNs / 1000000L, 1000000000L / tsNs)),
+        s"id $id: general walk must recover the generator's fields")
+    }
+    // hand-built variant: 8-byte float Duration, explicit Segment size,
+    // TimestampScale AFTER Duration (element order is free in Info)
+    val info = java.nio.ByteBuffer.allocate(3 + 8 + 4 + 4)
+    info.put(Array(0x44, 0x89, 0x88).map(_.toByte)) // Duration, f64
+    info.putDouble(5000.0)                          // 5000 ticks
+    info.put(Array(0x2a, 0xd7, 0xb1, 0x84).map(_.toByte))
+    info.putInt(2000000)                            // 2 ms per tick
+    val seg = java.nio.ByteBuffer.allocate(10 + 4 + 1 + 4 + 1 + info.capacity())
+    seg.put(Array(0x1a, 0x45, 0xdf, 0xa3, 0x85, 0x42, 0x82, 0x82)
+      .map(_.toByte))
+    seg.put("wm".getBytes("US-ASCII"))              // EBML header, DocType "wm"
+    seg.put(Array(0x18, 0x53, 0x80, 0x67).map(_.toByte))
+    seg.put((0x80 | (5 + info.capacity())).toByte)  // explicit Segment size
+    seg.put(Array(0x15, 0x49, 0xa9, 0x66).map(_.toByte))
+    seg.put((0x80 | info.capacity()).toByte)
+    seg.put(info.array())
+    assert(RealCodecs.webmMeta(seg.array())
+        .contains(Multimodal.VideoMeta(10000L, 500L)),
+      "f64 duration × late TimestampScale: 5000 ticks at 2ms = 10s")
+    // non-container bytes (stub blobs, MP4s, random payloads) fall back
+    assert(RealCodecs.webmMeta(
+      graft.tools.GenMediaFixture.blob(1000L, "video")).isEmpty)
+    assert(RealCodecs.webmMeta(
+      graft.tools.GenMediaFixture.mp4Blob(1100L)).isEmpty)
+    assert(RealCodecs.webmMeta(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(RealCodecs.webmMeta(Array.emptyByteArray).isEmpty)
+    // truncated mid-Info: no crash, graceful None-or-value
+    RealCodecs.webmMeta(
+      graft.tools.GenMediaFixture.webmBlob(1150L).take(38)) // must not throw
+  }
+
+  test("decodeVideoAuto: real MP4+WebM rows resolve, stub rows fall back, one pass") {
     val got = Multimodal.decodeVideoAuto(Multimodal.mediaFixture(spark))
       .collect().map(v => v.media_id -> v).toMap
-    assert(got.size == 70, s"50 stub + 20 real rows, got ${got.size}")
+    assert(got.size == 90, s"50 stub + 20 MP4 + 20 WebM rows, got ${got.size}")
     (1100L until 1120L).foreach { id =>
       val v = got(id)
       assert(v.real, s"id $id is a real MP4 and must not hit the stub")
       val ts  = Seq(600L, 1000L, 90000L, 48000L)((id % 4).toInt)
       val dur = (id * 37) % 100000L + ts
       assert(v.timescale == ts && v.duration_ms == dur * 1000 / ts)
+    }
+    (1150L until 1170L).foreach { id =>
+      val v = got(id)
+      assert(v.real, s"id $id is a real WebM and must not hit the stub")
+      val tsNs  = Seq(1000000L, 500000L, 2000000L, 250000L)((id % 4).toInt)
+      val ticks = (1L << 23) + (id * 37L) % 100000L
+      assert(v.timescale == 1000000000L / tsNs &&
+        v.duration_ms == ticks * tsNs / 1000000L)
     }
     (1000L until 1050L).foreach { id =>
       assert(!got(id).real, s"id $id is a stub blob")

@@ -251,6 +251,101 @@ class WriterLeaseSpec extends SparkSpec {
     assert(!fs.exists(lock), "all writers done -> lease fully released")
   }
 
+  test("scheme contract is ENFORCED: a non-atomic-create scheme refuses by default") {
+    // an object-store-like scheme (no atomic create-if-absent) must be
+    // refused, not silently degraded to best-effort locking — the
+    // docstring caveat as an enforced contract. MockObjectStoreFs is a
+    // RawLocalFileSystem wearing a `mock:` scheme, exactly the
+    // non-atomic create(overwrite=false) code path an object store hits.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.mock.impl", classOf[MockObjectStoreFs].getName)
+    val dir  = java.nio.file.Files.createTempDirectory("graft-scheme")
+    val lock = new org.apache.hadoop.fs.Path(s"mock:$dir/the.lock")
+    val e = intercept[IllegalStateException] {
+      WriterLease.withLease(spark, lock) { fail("body must not run") }
+    }
+    assert(e.getMessage.contains("mock") &&
+        e.getMessage.contains("writerLeaseAllowNonAtomic"),
+      s"refusal must name the scheme and the escape hatch: ${e.getMessage}")
+    // the escape hatch demotes the refusal to a loud warning and the
+    // lease proceeds best-effort
+    spark.conf.set("spark.graft.index.writerLeaseAllowNonAtomic", "true")
+    try {
+      var ran = false
+      WriterLease.withLease(spark, lock) { ran = true }
+      assert(ran, "with the opt-in the lease must proceed best-effort")
+      val fs = lock.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(lock), "best-effort lease still releases")
+    } finally
+      spark.conf.unset("spark.graft.index.writerLeaseAllowNonAtomic")
+  }
+
+  test("heartbeat cadence is per lease, not frozen at the first acquisition") {
+    // lease A is acquired under a LARGE stale window (long interval);
+    // lease B, acquired later under a small window, must register its
+    // OWN staleMs/4 cadence — under the old single-interval heartbeat B
+    // would be refreshed on A's long interval and could exceed its own
+    // stale window between beats, letting a contender stale-break a
+    // live holder.
+    val dir   = java.nio.file.Files.createTempDirectory("graft-beat")
+    val lockA = new org.apache.hadoop.fs.Path(s"$dir/a.lock")
+    val lockB = new org.apache.hadoop.fs.Path(s"$dir/b.lock")
+    val inA   = new java.util.concurrent.CountDownLatch(1)
+    val done  = new java.util.concurrent.CountDownLatch(1)
+    val ivals = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    spark.conf.set("spark.graft.index.writerLeaseStaleMinutes", "120")
+    val tA = new Thread(() => {
+      WriterLease.withLease(spark, lockA) {
+        WriterLease.heldBeatInterval(lockA).foreach(ivals.put("a", _))
+        inA.countDown()
+        done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      }
+    })
+    tA.start()
+    assert(inA.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      // B acquires while A is still held, under a 4-minute stale window
+      spark.conf.set("spark.graft.index.writerLeaseStaleMinutes", "4")
+      WriterLease.withLease(spark, lockB) {
+        WriterLease.heldBeatInterval(lockB).foreach(ivals.put("b", _))
+        ()
+      }
+    } finally {
+      done.countDown(); tA.join(30000)
+      spark.conf.unset("spark.graft.index.writerLeaseStaleMinutes")
+    }
+    assert(ivals.get("a") == 120L * 60000L / 4,
+      s"lease A must beat on its own staleMs/4: ${ivals.get("a")}")
+    assert(ivals.get("b") == 4L * 60000L / 4,
+      s"lease B must beat on ITS own staleMs/4, not A's: ${ivals.get("b")}")
+  }
+
+  test("heartbeat self-heals a live lock that vanished (wrongful break)") {
+    // staleMinutes=0 floors the beat interval at the 1 s tick — delete
+    // the live holder's lock out from under it (what a wrongful
+    // stale-break's rename-claim does to the lock path) and the next
+    // beat must re-create it, restoring protection.
+    val dir  = java.nio.file.Files.createTempDirectory("graft-heal")
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/heal.lock")
+    val fs   = lock.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.conf.set("spark.graft.index.writerLeaseStaleMinutes", "0")
+    try {
+      WriterLease.withLease(spark, lock) {
+        fs.delete(lock, false)
+        assert(!fs.exists(lock), "test setup: lock deleted under the holder")
+        val deadline = System.currentTimeMillis() + 10000L
+        while (!fs.exists(lock) && System.currentTimeMillis() < deadline)
+          Thread.sleep(100L)
+        assert(fs.exists(lock),
+          "the heartbeat must re-create its own vanished live lock")
+        ()
+      }
+      assert(!fs.exists(lock), "the re-created lock still releases cleanly")
+    } finally
+      spark.conf.unset("spark.graft.index.writerLeaseStaleMinutes")
+  }
+
   test("the lease file is released after every successful maintenance op") {
     val prefix = s"graft_rel${System.nanoTime()}"
     Dedup.ensureMinhashBandIndex(

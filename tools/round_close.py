@@ -16,10 +16,19 @@ Sequence (each gate independent; failures recorded, run continues):
   6. bench @ sf0.1                 — refreshes BENCH_sf01_local.json
      (with the calibration pair graft.Bench embeds)
 
-Writes ROUND_CLOSE.json: per-gate pass/fail + the key numbers.
-Exit 0 only when every gate passed.
+Writes ROUND_CLOSE.json: per-gate pass/fail + the key numbers, plus the
+git HEAD the stamp was taken on. Exit 0 only when every gate that RAN
+passed AND nothing was skipped; skipped gates are listed top-level and
+demote the exit to 2 (stamped, but not a full close — all_pass stays
+false, so a skipping run can never masquerade as a clean close).
+
+`--verify-stamp` re-checks an existing ROUND_CLOSE.json against the
+working tree: exits nonzero when the stamp's git HEAD is not the
+current HEAD or src/ has uncommitted changes — the post-close-commit
+skew that made one round stamp 477 while the final tree held 478.
 
 Usage: python3 tools/round_close.py [--skip=sbt_test,sf1,...]
+       python3 tools/round_close.py --verify-stamp
 """
 import json
 import os
@@ -29,6 +38,37 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def git_state():
+    head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+    dirty = subprocess.run(["git", "status", "--porcelain", "--", "src"],
+                           cwd=REPO, capture_output=True,
+                           text=True).stdout.strip()
+    return head, bool(dirty)
+
+
+if "--verify-stamp" in sys.argv[1:]:
+    with open(os.path.join(REPO, "ROUND_CLOSE.json")) as f:
+        stamp = json.load(f)
+    head, dirty = git_state()
+    problems = []
+    if stamp.get("git_head") != head:
+        problems.append(f"stamp is for {str(stamp.get('git_head'))[:12]}, "
+                        f"tree is at {head[:12]} — a commit landed after "
+                        "the close ran")
+    if dirty:
+        problems.append("src/ has uncommitted changes")
+    if stamp.get("skipped"):
+        problems.append(f"stamp skipped gates: {stamp['skipped']}")
+    if problems:
+        print("[close] STAMP STALE: " + "; ".join(problems) +
+              " — re-run tools/round_close.py on the final tree")
+        sys.exit(1)
+    print(f"[close] stamp matches the tree ({head[:12]}), no gates skipped")
+    sys.exit(0)
+
 SKIP = set()
 for a in sys.argv[1:]:
     if a.startswith("--skip="):
@@ -122,6 +162,17 @@ def deletion_bench():
 
 
 def recall():
+    # the gate asserts numbers READ FROM BENCH_delete.json — if the
+    # deletion_bench gate was skipped this run, that artifact is from a
+    # PREVIOUS tree and the post-takedown recall was never re-measured
+    # on this one: refusing here is what keeps a skipping close from
+    # silently re-asserting a stale measurement
+    db = results.get("deletion_bench", {})
+    if db.get("skipped"):
+        raise RuntimeError("deletion_bench was skipped this run — "
+                           "BENCH_delete.json is stale w.r.t. this tree; "
+                           "run the deletion bench (or skip recall too, "
+                           "explicitly)")
     out = run([sys.executable, "tools/recall_gate.py"], timeout=7200)
     with open(os.path.join(REPO, "RECALL_GATE.json")) as f:
         g = json.load(f)
@@ -156,11 +207,22 @@ gate("deletion_bench", deletion_bench)
 gate("recall", recall)
 gate("bench_sf01", bench)
 
+head, dirty = git_state()
+skipped = sorted(n for n, r in results.items() if r.get("skipped"))
+failed = sorted(n for n, r in results.items() if r.get("pass") is False)
 stamp = {"when_epoch_sec": int(time.time()),
+         "git_head": head,
+         "git_dirty_src": dirty,
          "gates": results,
-         "all_pass": all(r.get("pass") in (True, None) for r in
-                         results.values())}
+         "skipped": skipped,
+         # all_pass means a FULL clean close: every gate ran and
+         # passed. Skipped gates are visible top-level and block it —
+         # the docstring's 'exit 0 only when every gate passed' is now
+         # true rather than aspirational.
+         "all_pass": not failed and not skipped}
 with open(os.path.join(REPO, "ROUND_CLOSE.json"), "w") as f:
     json.dump(stamp, f, indent=1)
-print(f"[close] ROUND_CLOSE.json written; all_pass={stamp['all_pass']}")
-sys.exit(0 if stamp["all_pass"] else 1)
+print(f"[close] ROUND_CLOSE.json written; all_pass={stamp['all_pass']}"
+      + (f"; skipped={','.join(skipped)}" if skipped else "")
+      + (f"; FAILED={','.join(failed)}" if failed else ""))
+sys.exit(1 if failed else (2 if skipped else 0))
