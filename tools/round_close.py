@@ -54,10 +54,22 @@ if "--verify-stamp" in sys.argv[1:]:
         stamp = json.load(f)
     head, dirty = git_state()
     problems = []
-    if stamp.get("git_head") != head:
-        problems.append(f"stamp is for {str(stamp.get('git_head'))[:12]}, "
-                        f"tree is at {head[:12]} — a commit landed after "
-                        "the close ran")
+    stamped = stamp.get("git_head")
+    if stamped != head:
+        # post-close commits are fine as long as they did not touch
+        # src/ (artifact/doc commits are the normal round-close tail);
+        # a src-touching commit is exactly the 477-vs-478 skew class
+        touched = subprocess.run(
+            ["git", "diff", "--name-only", f"{stamped}..{head}", "--",
+             "src"], cwd=REPO, capture_output=True, text=True) \
+            if stamped else None
+        if touched is None or touched.returncode != 0:
+            problems.append(f"stamp has no resolvable git_head "
+                            f"({str(stamped)[:12]})")
+        elif touched.stdout.strip():
+            problems.append(
+                f"commits {str(stamped)[:12]}..{head[:12]} touch src/: "
+                + ",".join(touched.stdout.split()[:5]))
     if dirty:
         problems.append("src/ has uncommitted changes")
     if stamp.get("skipped"):
