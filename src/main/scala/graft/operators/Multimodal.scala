@@ -505,7 +505,10 @@ object Multimodal {
                     d.toLong <= Long.MaxValue / tsNs)
                   d.toLong * tsNs / 1000000L // exact-integer oracle path
                 else math.floor(d * tsNs / 1e6).toLong
-              VideoMeta(ms, 1000000000L / tsNs)
+              // ticks/sec floors at 1: a legal TimestampScale > 10⁹ ns
+              // (coarser than one tick per second) must not emit
+              // timescale 0 into downstream rate/timing arithmetic
+              VideoMeta(ms, math.max(1L, 1000000000L / tsNs))
           }
         }
     }

@@ -86,7 +86,7 @@ object WriterLease {
           try Thread.sleep(HeartbeatTickMs)
           catch { case _: InterruptedException => }
           val now = System.currentTimeMillis()
-          beats.forEach { (_, b) =>
+          beats.forEach { (k, b) =>
             if (now - b.lastBeat.get() >= b.intervalMs) {
               try {
                 b.fs.setTimes(b.path, now, -1)
@@ -103,9 +103,22 @@ object WriterLease {
                   // and we can only record that we now run unprotected.
                   if (tryCreate(b.fs, b.path)) {
                     b.lastBeat.set(now)
-                    log.warn(s"writer-lease heartbeat: live lock " +
-                      s"${b.path} had vanished (wrongful stale-break " +
-                      "or external delete) — re-created it")
+                    // the OTHER way the path can be absent: withLease's
+                    // release ran between our Beat fetch and the
+                    // setTimes (beats.remove + delete) — re-creating
+                    // then RESURRECTS a released lock as a permanent
+                    // orphan that blocks the lineage until a stale
+                    // break. Re-check the registry AFTER the create
+                    // and undo our own file if the lease is gone.
+                    if (!beats.containsKey(k)) {
+                      try {
+                        if (readHolder(b.fs, b.path).contains(holderId))
+                          b.fs.delete(b.path, false)
+                      } catch { case _: java.io.IOException => }
+                    } else
+                      log.warn(s"writer-lease heartbeat: live lock " +
+                        s"${b.path} had vanished (wrongful stale-break " +
+                        "or external delete) — re-created it")
                   } else
                     log.error(s"writer-lease heartbeat: live lock " +
                       s"${b.path} was taken by another process " +

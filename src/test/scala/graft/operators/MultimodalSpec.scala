@@ -349,6 +349,16 @@ class MultimodalSpec extends SparkSpec {
     assert(RealCodecs.webmMeta(seg.array())
         .contains(Multimodal.VideoMeta(10000L, 500L)),
       "f64 duration × late TimestampScale: 5000 ticks at 2ms = 10s")
+    // a LEGAL TimestampScale coarser than 1 tick/sec (> 1e9 ns) must
+    // clamp ticks/sec to 1, never emit timescale 0 into rate math
+    val coarse = seg.array().clone()
+    // the hand-built layout puts the TimestampScale uint32 last:
+    // overwrite it with 2e9 ns per tick
+    val tsOff = coarse.length - 4
+    java.nio.ByteBuffer.wrap(coarse, tsOff, 4).putInt(2000000000)
+    assert(RealCodecs.webmMeta(coarse)
+        .contains(Multimodal.VideoMeta(10000000L, 1L)),
+      "5000 ticks at 2s each = 1e7 ms, timescale clamped to 1")
     // non-container bytes (stub blobs, MP4s, random payloads) fall back
     assert(RealCodecs.webmMeta(
       graft.tools.GenMediaFixture.blob(1000L, "video")).isEmpty)

@@ -342,6 +342,15 @@ class WriterLeaseSpec extends SparkSpec {
         ()
       }
       assert(!fs.exists(lock), "the re-created lock still releases cleanly")
+      // and the self-heal must not RESURRECT a released lock: with the
+      // 1 s beat cadence still live for several ticks after release,
+      // any heartbeat that raced the release's remove+delete must undo
+      // its own re-create (the registry re-check) — an orphaned lock
+      // here would block every maintenance op on the lineage until a
+      // stale break
+      Thread.sleep(3000L)
+      assert(!fs.exists(lock),
+        "no heartbeat tick after release may resurrect the lock")
     } finally
       spark.conf.unset("spark.graft.index.writerLeaseStaleMinutes")
   }

@@ -74,6 +74,9 @@ if "--verify-stamp" in sys.argv[1:]:
         problems.append("src/ has uncommitted changes")
     if stamp.get("skipped"):
         problems.append(f"stamp skipped gates: {stamp['skipped']}")
+    if not stamp.get("all_pass"):
+        problems.append("stamp records all_pass=false — the close "
+                        "itself did not pass")
     if problems:
         print("[close] STAMP STALE: " + "; ".join(problems) +
               " — re-run tools/round_close.py on the final tree")
@@ -180,11 +183,13 @@ def recall():
     # on this one: refusing here is what keeps a skipping close from
     # silently re-asserting a stale measurement
     db = results.get("deletion_bench", {})
-    if db.get("skipped"):
-        raise RuntimeError("deletion_bench was skipped this run — "
+    if db.get("pass") is not True:
+        state = "skipped" if db.get("skipped") else \
+            ("FAILED" if db else "absent")
+        raise RuntimeError(f"deletion_bench was {state} this run — "
                            "BENCH_delete.json is stale w.r.t. this tree; "
-                           "run the deletion bench (or skip recall too, "
-                           "explicitly)")
+                           "run the deletion bench to completion (or skip "
+                           "recall too, explicitly)")
     out = run([sys.executable, "tools/recall_gate.py"], timeout=7200)
     with open(os.path.join(REPO, "RECALL_GATE.json")) as f:
         g = json.load(f)
