@@ -387,10 +387,23 @@ class MaintenanceFuzzSpec extends SparkSpec {
     val tightK = sys.env.get("SPARK_GRAFT_FUZZ_MAXSTALE")
     tightK.foreach(k =>
       spark.conf.set("spark.graft.index.maxStaleGenerations", k))
+    // optional soak knob: SPARK_GRAFT_FUZZ_AUTOCOMPACT=<rows> arms the
+    // tombstone-debt auto-purge at a tiny threshold for the whole
+    // campaign (the named seed-53 test covers one seed; this crosses
+    // the implicit-purge timing with MAXSTALE force-retirement — purge
+    // compactions fire at fuzz-chosen moments WHILE the count bound is
+    // deleting superseded dirs, a pairing neither knob fuzzes alone)
+    val autoC = sys.env.get("SPARK_GRAFT_FUZZ_AUTOCOMPACT")
+    autoC.foreach(v =>
+      spark.conf.set("spark.graft.index.autoCompactTombstoneRows", v))
     try seeds.foreach { s =>
       info(s"extended fuzz seed $s")
       bandFuzz(s); ivfFuzz(s); pqFuzz(s)
-    } finally tightK.foreach(_ =>
-      spark.conf.unset("spark.graft.index.maxStaleGenerations"))
+    } finally {
+      tightK.foreach(_ =>
+        spark.conf.unset("spark.graft.index.maxStaleGenerations"))
+      autoC.foreach(_ =>
+        spark.conf.unset("spark.graft.index.autoCompactTombstoneRows"))
+    }
   }
 }
