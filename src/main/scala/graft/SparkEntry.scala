@@ -1578,10 +1578,25 @@ object SparkEntry {
     */
   private def q101(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(col("doc_id") < 10000)
-    graft.operators.Clusters.canonicalize(
+    // ONE text pass (the q123 move): the MinHash signature and the
+    // canonical-ranking text length are computed in the same staged
+    // projection — the pre-restructure plan scanned the text column
+    // twice (sig staging + canonicalize's length projection). Every
+    // doc in a pair has a signature, so the sig-staged rows cover all
+    // ids canonicalize ranks.
+    import graft.functions.TextFunctions
+    val sigsLen = graft.util.Checkpoints.stage(
+      spread(docs.filter(TextFunctions.hasShingles(col("text"), 3)), "doc_id")
+        .withColumn("_tk", TextFunctions.loweredTokens(col("text")))
+        .select(col("doc_id"),
+          graft.plans.MinHashSigExpr(
+            TextFunctions.shinglesFromTokens(col("_tk"), 3)).as("sig"),
+          length(col("text")).cast("long").as("n_chars")))
+    graft.operators.Clusters.canonicalizeByLen(
         graft.operators.Clusters.connectedComponents(
-          Dedup.minhashNearDupPairsPortable(docs), src = "doc_a", dst = "doc_b"),
-        docs)
+          Dedup.minhashNearDupPairsFromSigs(sigsLen.select("doc_id", "sig")),
+          src = "doc_a", dst = "doc_b"),
+        sigsLen.select(col("doc_id").as("id"), col("n_chars")))
       .orderBy("id")
   }
 
@@ -2029,18 +2044,47 @@ object SparkEntry {
     */
   private def q123(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions
-    val scored = spread(t(s, d, "documents"), "doc_id")
-      .select(col("doc_id"), col("text"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
-    val qualified = scored.filter(col("quality") >= 60)
-    val deduped   = graft.operators.Dedup.exactDedup(qualified)
-    val nearDeduped = graft.operators.Dedup.nearDedup(
-      deduped,
-      graft.operators.Dedup.minhashNearDupPairsPortable(
-        deduped.select("doc_id", "text")))
+    // ONE text pass (guide-§8 shape: decide with small rows, move heavy
+    // bytes never): quality score, exact-dedup fingerprint, token count
+    // and the MinHash signature are all computed in a single projection
+    // over the spread scan and STAGED as narrow per-doc metadata. The
+    // pre-restructure plan re-derived the text pipeline per consumer —
+    // four parquet scans of `documents` (quality kernel ×4, fingerprint
+    // agg ×2, tokenCount ×2) plus a fifth pass inside the minhash sig
+    // staging; every stage below reads the one materialization instead.
+    // Signatures are computed for exact-dup rows too (they are dropped
+    // one step later) — that waste is bounded by the duplicate rate,
+    // while the passes it buys off scale with the whole corpus.
+    val meta = graft.util.Checkpoints.stage(
+      spread(t(s, d, "documents"), "doc_id")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 60)
+        .withColumn("_tk", TextFunctions.loweredTokens(col("text")))
+        .select(col("doc_id"), col("quality"),
+          TextFunctions.fingerprint(col("text")).as("fp"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          // null when no 3-shingle exists — same rows the portable
+          // pair path's hasShingles pre-filter excluded
+          when(size(col("_tk")) >= 3,
+            graft.plans.MinHashSigExpr(
+              TextFunctions.shinglesFromTokens(col("_tk"), 3))).as("sig")))
+    // exact dedup on the staged fingerprints: min-id per fp, semi-join —
+    // identical to Dedup.exactDedup but over narrow staged rows
+    val keep = meta.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = meta.join(keep, Seq("doc_id"), "left_semi")
+    // near-dup pairs straight from the staged signatures (the q23
+    // banding + verify, minus its own sig recompute); drop list and
+    // anti-join as in Dedup.nearDedup
+    val pairs = graft.operators.Dedup.minhashNearDupPairsFromSigs(
+      deduped.filter(col("sig").isNotNull).select("doc_id", "sig"))
+    val drop = graft.operators.Clusters.duplicatesToDrop(pairs)
+    val survivors = graft.util.Checkpoints.stage(
+      deduped.join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "quality", "n_tokens"))
     val packed = graft.operators.Packing.concatPack(
-      nearDeduped.select(col("doc_id"), col("quality"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens")),
+      survivors,
       orderCol = "doc_id", weightCol = "n_tokens", budget = 4096L)
     graft.operators.Sampling.hashSplit(packed, "doc_id",
         Seq("train" -> 90, "val" -> 5, "test" -> 5))

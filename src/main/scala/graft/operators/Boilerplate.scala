@@ -30,8 +30,18 @@ object Boilerplate {
     * of an earlier document's chunk. Documents with no tokens produce
     * no row (they have no chunks).
     */
-  def dedupStats(docs: DataFrame, window: Int): DataFrame = {
-    val ch = chunkFingerprints(docs, window)
+  def dedupStats(docs: DataFrame, window: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // STAGED: `ch` is consumed twice (canonical-pick aggregate + the
+    // fingerprint join), and without materialization each consumer
+    // re-runs the whole chunking + md5 kernel over the corpus text —
+    // the plan showed two full parquet scans of the text column. One
+    // materialization of 48-byte (fp, doc_id, chunk_id) triples buys
+    // the text pass exactly once at any scale.
+    val ch = graft.util.Checkpoints.stage(
+      chunkFingerprints(docs, window),
+      checkpointDir.orElse(
+        graft.util.Checkpoints.configured(docs.sparkSession)))
     val canon = ch.groupBy("fp")
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("keep"))
     ch.join(canon, Seq("fp"))

@@ -227,11 +227,21 @@ object Clusters {
       clusters: DataFrame,
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    canonicalizeByLen(clusters,
+      docs.select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("n_chars")))
+
+  /** [[canonicalize]] from a precomputed `(id, n_chars)` length table —
+    * for callers that already carried the text length out of an earlier
+    * single pass over the corpus (e.g. alongside the MinHash
+    * signatures), so ranking does not re-scan the text column at all.
+    */
+  def canonicalizeByLen(
+      clusters: DataFrame,
+      lens: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val len = docs.select(col(idCol).as("id"),
-      length(col(textCol)).cast("long").as("n_chars"))
-    val members = clusters.join(len, "id")
+    val members = clusters.join(lens, "id")
     val w = Window.partitionBy("cluster")
       .orderBy(col("n_chars").desc, col("id").asc)
     val keep = members.withColumn("rk", row_number().over(w))

@@ -406,10 +406,35 @@ object Dedup {
       maxBucketSize: Int = 100,
       seed: Long = 7L,
       checkpointDir: Option[String] = None): DataFrame = {
-    val sigLen = bands * rows
     val sigs = Checkpoints.stage(
-      minhashSignaturesPortable(docs, shingleN, sigLen, seed),
+      minhashSignaturesPortable(docs, shingleN, bands * rows, seed),
       checkpointDir.orElse(Checkpoints.configured(docs.sparkSession)))
+    minhashNearDupPairsFromSigs(sigs, bands, rows, minEstJaccardPct,
+      maxBucketSize, checkpointDir)
+  }
+
+  /** The banding + verify half of [[minhashNearDupPairsPortable]], for
+    * callers that already hold MATERIALIZED `(doc_id, sig)` signatures
+    * (a staged frame or a persisted sig table) — e.g. a corpus-prep
+    * pipeline that computed the signatures in the same single text
+    * pass as its other per-doc signals. `sigs` is consumed three times
+    * (banding + the two per-pair verify joins), so it must be cheap to
+    * re-scan; pass a staged frame, never a raw text pipeline.
+    *
+    * The banded (doc_id, band, band_key) set is itself staged before
+    * the self-join: both join sides and the bucket-cap count read ONE
+    * materialization instead of re-running the explode + cap window
+    * per side (the pre-staging plan duplicated the whole banding
+    * pipeline under each side of the join).
+    */
+  def minhashNearDupPairsFromSigs(
+      sigs: DataFrame,
+      bands: Int = 16,
+      rows: Int = 4,
+      minEstJaccardPct: Int = 50,
+      maxBucketSize: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sigLen = bands * rows
     val banded0 = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -419,10 +444,12 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     val wBucket = Window.partitionBy("band", "band_key")
-    val banded = banded0
-      .withColumn("_bn", count(lit(1)).over(wBucket))
-      .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+    val banded = Checkpoints.stage(
+      banded0
+        .withColumn("_bn", count(lit(1)).over(wBucket))
+        .filter(col("_bn") <= maxBucketSize)
+        .drop("_bn"),
+      checkpointDir.orElse(Checkpoints.configured(sigs.sparkSession)))
     val l = banded.as("l")
     val r = banded.as("r")
     val pairs = l.join(r,
@@ -1144,7 +1171,8 @@ object Dedup {
   def compactMinhashBandIndex(
       spark: SparkSession,
       tablePrefix: String,
-      buckets: Int = 0): Unit = {
+      buckets: Int = 0,
+      force: Boolean = false): Unit = {
     foldLocks.computeIfAbsent(tablePrefix, _ => new Object).synchronized {
       if (!spark.catalog.tableExists(
           currentIndexTables(spark, tablePrefix)._1)) return
@@ -1153,6 +1181,37 @@ object Dedup {
       // re-resolve UNDER the lease: the pre-lease peek above is only
       // the cheap no-op short-circuit
       val (curBands, curSigs) = currentIndexTables(spark, tablePrefix)
+      // NO-OP SHORT-CIRCUIT (scale contract: a scheduled compaction
+      // with nothing to do must never rewrite the index). Skip the
+      // CTAS rewrite when there are no standing tombstones AND no
+      // files were appended since the last rewrite — the promote
+      // records its own post-CTAS file counts in `graft.compact.nfiles`
+      // at flip time, so a fold (file append) or delete (dels row)
+      // re-arms the next compaction, while a gen-0 lineage (no marker)
+      // always rewrites. The age-gated generation GC a scheduled
+      // compaction owes still runs. `force` is the drill escape for
+      // specs exercising the promote machinery itself.
+      if (!force && standingDels(spark, curBands).isEmpty) {
+        val props0 = spark.sql(s"SHOW TBLPROPERTIES $curBands").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        val unchanged = props0.get("graft.compact.nfiles").exists { v =>
+          v.split(",").map(_.toLong) match {
+            case Array(nb, ns) =>
+              spark.table(curBands).inputFiles.length <= nb &&
+                spark.table(curSigs).inputFiles.length <= ns
+            case _ => false
+          }
+        }
+        if (unchanged) {
+          log.info(s"compactMinhashBandIndex($tablePrefix): nothing to " +
+            "purge and no appends since the last rewrite — skipping")
+          dropGenerationsExcept(spark, tablePrefix,
+            Set(curBands.stripPrefix(s"${tablePrefix}_bands")),
+            ageGateHours = Similarity.confLong(
+              spark, "spark.graft.index.gcStaleHours", 24L))
+          return
+        }
+      }
       // buckets=0 (the default) derives the count from the standing
       // table's own bucket spec — the rewrite must preserve the layout
       // contract every fold append relies on (append fails loudly on a
@@ -1256,6 +1315,14 @@ object Dedup {
             spark.catalog.dropTempView(view)
           } finally staged.release()
         }
+      // record the fresh generation's file counts: the no-op
+      // short-circuit above compares against these, so only a fold's
+      // append (or a delete's dels row) re-arms the next rewrite
+      val newBands = s"${tablePrefix}_bands$newSfx"
+      val newSigs  = s"${tablePrefix}_sigs$newSfx"
+      spark.sql(s"ALTER TABLE $newBands SET TBLPROPERTIES(" +
+        s"'graft.compact.nfiles'='${spark.table(newBands).inputFiles.length}," +
+        s"${spark.table(newSigs).inputFiles.length}')")
       // LATE-DELS merge-forward (defense in depth below the writer
       // lease, the band-index analog of compactIvfCells' late-tombstone
       // copy): a delete landed by a writer whose lease was stale-broken
@@ -1267,7 +1334,6 @@ object Dedup {
       // did not consume into the new generation's dels table, and merge
       // the late ledger tags. One tiny probe per compaction; duplicate
       // rows are anti-join no-ops.
-      val newBands = s"${tablePrefix}_bands$newSfx"
       standingDels(spark, curBands).foreach { cur =>
         val late = delsSnapshot match {
           case Some(snap) =>
@@ -1419,11 +1485,21 @@ object Dedup {
 
   /** Oracle-checkable SimHash near-dup pairs: 4 bands of 15 bits, bucket
     * cap, exact Hamming verify via popcount of the XOR.
+    *
+    * The banded (doc_id, sig, band, band_val) set is STAGED before the
+    * self-join: without it, each join side replays the whole upstream
+    * pipeline — the parquet text scan, the fused SimHash kernel and
+    * the bucket-cap window all ran twice (the candidate join duplicates
+    * its input subtree; signatures ride the banded rows here, so unlike
+    * the MinHash path there is no staged sig frame to damp the replay).
+    * One materialization of 4 narrow rows per doc buys scan+kernel+
+    * window exactly once at any scale.
     */
   def simhashNearDupPairsPortable(
       docs: DataFrame,
       maxHamming: Int = 16,
-      maxBucketSize: Int = 100): DataFrame = {
+      maxBucketSize: Int = 100,
+      checkpointDir: Option[String] = None): DataFrame = {
     val withSig = simhashSignatures60Fused(docs)
     val banded0 = withSig.select(
       col("doc_id"), col("sig"),
@@ -1432,10 +1508,12 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
     val wBucket = Window.partitionBy("band", "band_val")
-    val banded = banded0
-      .withColumn("_bn", count(lit(1)).over(wBucket))
-      .filter(col("_bn") <= maxBucketSize)
-      .drop("_bn")
+    val banded = Checkpoints.stage(
+      banded0
+        .withColumn("_bn", count(lit(1)).over(wBucket))
+        .filter(col("_bn") <= maxBucketSize)
+        .drop("_bn"),
+      checkpointDir.orElse(Checkpoints.configured(docs.sparkSession)))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,

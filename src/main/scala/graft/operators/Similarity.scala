@@ -1341,7 +1341,8 @@ object Similarity {
     * [[buildIvfIndex]] (vector cells) and [[buildIvfPqIndex]] (code
     * cells).
     */
-  def compactIvfCells(spark: SparkSession, path: String): Unit =
+  def compactIvfCells(spark: SparkSession, path: String,
+      force: Boolean = false): Unit =
     lockFor(path).synchronized {
       WriterLease.withLease(spark, WriterLease.lockPathFor(path)) {
       recoverCells(spark, path)
@@ -1370,6 +1371,23 @@ object Similarity {
         if (fs.exists(legacyTombDir))
           fs.listStatus(legacyTombDir).toSeq.map(_.getPath)
         else Seq.empty
+      // NO-OP SHORT-CIRCUIT (the compactMinhashBandIndex contract,
+      // path-backed side): a scheduled compaction with nothing to do
+      // must never rewrite the index. Skip when there are no standing
+      // tombstones anywhere AND no cell files were appended since the
+      // last rewrite — the promote stamps its post-write data-file
+      // count in `_graft_nfiles` inside the new generation dir, so a
+      // fold (file append) or delete (tombstone) re-arms the next
+      // compaction, while a never-compacted gen-0 `cells/` (no stamp)
+      // always rewrites. recoverCells above already ran the age-gated
+      // GC a scheduled compaction owes. `force` is the drill escape.
+      if (!force && tombData.isEmpty && legacyTombFiles.isEmpty &&
+          readNFilesStamp(fs, cellsDir)
+            .exists(_ >= countCellDataFiles(fs, cellsDir))) {
+        log.info(s"compactIvfCells($path): nothing to purge and no " +
+          "appends since the last rewrite — skipping")
+        return
+      }
       val raw = spark.read.parquet(cellsDir.toString)
       val cells =
         if (tombData.isEmpty) raw
@@ -1383,6 +1401,10 @@ object Similarity {
       cells
         .repartition(math.max(c, 1), col("cent_id"))
         .write.partitionBy("cent_id").parquet(gen.toString)
+      // stamp the rewrite's own data-file count: the no-op
+      // short-circuit above compares the active generation's current
+      // count against this, so only an append re-arms the rewrite
+      writeNFilesStamp(fs, gen, countCellDataFiles(fs, gen))
       // test seam (ConcurrentMaintenanceSpec): runs between this
       // rewrite's tombstone snapshot and the manifest flip, simulating
       // a delete landed by a lease-broken or pre-lease writer exactly
@@ -1449,6 +1471,56 @@ object Similarity {
       ()
       }
     }
+
+  /** Data files of a cells generation dir (recursive), EXCLUDING the
+    * `_tombstones/` side dir and `_`/`.`-prefixed bookkeeping files —
+    * the quantity the compaction no-op short-circuit compares against
+    * its [[writeNFilesStamp]] stamp. One recursive listing; never a
+    * Spark job.
+    */
+  private def countCellDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long = {
+    val it = fs.listFiles(dir, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f    = it.next()
+      val name = f.getPath.getName
+      val inSide = f.getPath.toString.contains("/_tombstones/")
+      if (!inSide && !name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  private def nFilesStampPath(gen: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(gen, "_graft_nfiles")
+
+  /** The post-rewrite data-file count [[compactIvfCells]] stamped into
+    * its generation dir; None for a generation without one (gen-0
+    * layouts, pre-stamp binaries) — those always rewrite.
+    */
+  private def readNFilesStamp(
+      fs: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path): Option[Long] =
+    try {
+      if (!fs.exists(nFilesStampPath(gen))) None
+      else {
+        val in = fs.open(nFilesStampPath(gen))
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    } catch { case _: Exception => None }
+
+  private def writeNFilesStamp(
+      fs: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path,
+      n: Long): Unit = {
+    val out = fs.create(nFilesStampPath(gen), true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Housekeeping under the layout lock, run by every maintenance
     * entry point. With the manifest promote ([[compactIvfCells]])

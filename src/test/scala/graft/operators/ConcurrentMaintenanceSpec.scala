@@ -167,7 +167,8 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
       }, s"flip-reader-$i")
       t.setDaemon(true); t.start(); t
     }
-    try (1 to 6).foreach(_ => Similarity.compactIvfCells(spark, path))
+    try (1 to 6).foreach(_ =>
+      Similarity.compactIvfCells(spark, path, force = true))
     finally stop.set(true)
     readers.foreach(_.join(60000))
     assert(err.get() == null, s"reader failed: ${err.get()}")
@@ -193,8 +194,10 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
       .select($"doc_id").distinct().as[Long].toLocalIterator()
     val pulled = scala.collection.mutable.ArrayBuffer.empty[Long]
     if (it.hasNext) pulled += it.next()
-    Dedup.compactMinhashBandIndex(spark, prefix)
-    Dedup.compactMinhashBandIndex(spark, prefix)
+    // force: the drill needs two REAL promotes under the in-flight
+    // scan; the second would otherwise hit the no-op short-circuit
+    Dedup.compactMinhashBandIndex(spark, prefix, force = true)
+    Dedup.compactMinhashBandIndex(spark, prefix, force = true)
     assert(spark.catalog.tableExists(bt) && spark.catalog.tableExists(st),
       "age gate must keep the scan's generation through BOTH promotes")
     while (it.hasNext) pulled += it.next()
@@ -240,7 +243,11 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
       val (path, _) = Similarity.ensureIvfIndex(
         emb.filter($"vec_id" % 10 =!= 0),
         srcTag = s"genbound-${System.nanoTime()}")
-      (1 to 6).foreach(_ => Similarity.compactIvfCells(spark, path))
+      // force: the drill exercises the hot PROMOTE loop itself — the
+      // no-op short-circuit would otherwise (correctly) skip rewrites
+      // 2-6 and never stress the count bound
+      (1 to 6).foreach(_ =>
+        Similarity.compactIvfCells(spark, path, force = true))
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       val gens = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
@@ -259,7 +266,8 @@ class ConcurrentMaintenanceSpec extends SparkSpec {
       val prefix = s"graft_genbound${System.nanoTime()}"
       Dedup.ensureMinhashBandIndex(docs, prefix,
         srcTag = s"genbound-${System.nanoTime()}")
-      (1 to 6).foreach(_ => Dedup.compactMinhashBandIndex(spark, prefix))
+      (1 to 6).foreach(_ =>
+      Dedup.compactMinhashBandIndex(spark, prefix, force = true))
       val standing = spark.sessionState.catalog
         .listTables("default", s"${prefix}_bands*").map(_.table)
       assert(standing.size <= K + 1,

@@ -368,6 +368,49 @@ class DedupSpec extends SparkSpec {
       "incremental dedup output must be identical after compaction")
   }
 
+  test("compactMinhashBandIndex: a no-op compaction skips the rewrite, an append re-arms it") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text")
+    val prefix = s"graft_noopc${System.nanoTime()}"
+    Dedup.ensureMinhashBandIndex(
+      docs.filter($"doc_id" % 10 =!= 0), prefix,
+      srcTag = s"noopc-${System.nanoTime()}")
+    Dedup.foldIntoMinhashBandIndex(
+      docs.filter($"doc_id" % 10 === 0), prefix, batchTag = "nb1")
+    // first compaction: real rewrite (appends standing) → promotes
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    val (g1b, g1s) = Dedup.currentIndexTables(spark, prefix)
+    assert(g1b != s"${prefix}_bands", "setup: first compaction must promote")
+    // nothing to purge, nothing appended: the rewrite must SKIP — same
+    // generation stays active (a scheduled compact at 100 TB must not
+    // rewrite the index for nothing)
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    assert(Dedup.currentIndexTables(spark, prefix) == ((g1b, g1s)),
+      "a nothing-to-do compaction must not rewrite/promote")
+    // force overrides the short-circuit (the drill escape)
+    Dedup.compactMinhashBandIndex(spark, prefix, force = true)
+    val (g2b, _) = Dedup.currentIndexTables(spark, prefix)
+    assert(g2b != g1b, "force must re-enable the promote")
+    // an append re-arms the next compaction…
+    Dedup.foldIntoMinhashBandIndex(
+      docs.filter($"doc_id" % 10 === 0), prefix, batchTag = "nb2")
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    val (g3b, _) = Dedup.currentIndexTables(spark, prefix)
+    assert(g3b != g2b, "a fold append must re-arm the rewrite")
+    // …and a delete does too (tombstones standing)
+    Dedup.deleteFromMinhashBandIndex(
+      docs.filter($"doc_id" % 20 === 0).select("doc_id"), prefix,
+      delTag = "nd1")
+    Dedup.compactMinhashBandIndex(spark, prefix)
+    val (g4b, g4s) = Dedup.currentIndexTables(spark, prefix)
+    assert(g4b != g3b, "standing tombstones must re-arm the rewrite")
+    assert(Dedup.standingDels(spark, g4b).isEmpty,
+      "the re-armed rewrite must have purged the tombstones")
+    assert(spark.table(g4s).select("doc_id").distinct().count() ==
+      docs.filter($"doc_id" % 20 =!= 0).count(),
+      "live content after skip/rearm cycles must equal the remainder")
+  }
+
   test("auto-compaction policy: fold crosses files-per-bucket threshold, output identical") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text")

@@ -642,6 +642,42 @@ class SimilaritySpec extends SparkSpec {
     assert(cellFiles == f)
   }
 
+  test("compactIvfCells: a no-op compaction skips the rewrite, an append re-arms it") {
+    val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" % 10 =!= 0)
+    val batch  = emb.filter($"vec_id" % 10 === 0).select("vec_id", "embedding")
+    val (path, _) = Similarity.ensureIvfIndex(corpus,
+      srcTag = s"noopc-${System.nanoTime()}")
+    Similarity.foldIntoIvfIndex(batch, path, "nb1")
+    // first compaction: appends standing → real rewrite, new generation
+    Similarity.compactIvfCells(spark, path)
+    val gen1 = Similarity.activeCellsDir(spark, path)
+    assert(gen1.contains("cells.g"), "setup: first compaction must promote")
+    // nothing to purge, nothing appended since: the rewrite must SKIP
+    // (a scheduled compact at 100 TB must not rewrite the index for
+    // nothing) — the active generation stays put
+    Similarity.compactIvfCells(spark, path)
+    assert(Similarity.activeCellsDir(spark, path) == gen1,
+      "a nothing-to-do compaction must not rewrite/promote")
+    // force overrides the short-circuit (the drill escape)
+    Similarity.compactIvfCells(spark, path, force = true)
+    val gen2 = Similarity.activeCellsDir(spark, path)
+    assert(gen2 != gen1, "force must re-enable the promote")
+    // a delete re-arms the next compaction (tombstones standing)…
+    Similarity.deleteFromIvfIndex(
+      emb.filter($"vec_id" % 20 === 10).select("vec_id"), path,
+      delTag = "nd1")
+    Similarity.compactIvfCells(spark, path)
+    val gen3 = Similarity.activeCellsDir(spark, path)
+    assert(gen3 != gen2, "standing tombstones must re-arm the rewrite")
+    // …and the purged generation still answers in full
+    assert(Similarity.liveCells(spark, path).select($"vec_id")
+        .as[Long].collect().toSet ==
+      emb.filter($"vec_id" % 20 =!= 10).select($"vec_id").as[Long]
+        .collect().toSet,
+      "live content after the skip/re-arm cycle must equal the remainder")
+  }
+
   test("auto-compaction policy: fold crosses files-per-cell threshold, probes identical") {
     val emb    = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val corpus = emb.filter($"vec_id" % 10 =!= 0)
