@@ -863,8 +863,15 @@ object SparkEntry {
     * (trade measured in the operator's scaladoc and COVERAGE.md).
     */
   private def q63(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardNearDupPairsPrefix(
-      t(s, d, "documents").filter(col("doc_id") < 500), thresholdPct = 80)
+    // build the prefix index ONCE and stage it — the operator's own
+    // contract ("the pair join reads the index FOUR times … persist it
+    // first at scale"); the fused form re-tokenized the corpus per
+    // consumer (8 parquet scans in the committed before-plan)
+    Dedup.jaccardPairsFromPrefixIndex(
+      graft.util.Checkpoints.stage(
+        Dedup.buildJaccardPrefixIndex(
+          t(s, d, "documents").filter(col("doc_id") < 500))),
+      thresholdPct = 80)
       .orderBy("doc_a", "doc_b")
 
   /** Structured Streaming sessionization held to the SAME DuckDB oracle
@@ -905,8 +912,14 @@ object SparkEntry {
     */
   private def q66(s: SparkSession, d: String): DataFrame =
     graft.operators.Packing.concatPack(
-        t(s, d, "documents")
-          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        // staged (the q103 move): the two-level prefix sum consumes its
+        // input twice (bucket totals + join-back), which re-ran the
+        // tokenCount kernel over the text on both sides — materialize
+        // the 16-byte (doc_id, n_tokens) rows once
+        graft.util.Checkpoints.stage(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              TextFunctions.tokenCount(col("text")).as("n_tokens"))),
         orderCol = "doc_id", weightCol = "n_tokens", budget = 4096L)
       .select(col("doc_id"), col("n_tokens"), col("start_offset"),
         col("chunk_first"), col("chunk_last"))

@@ -93,9 +93,24 @@ object Dedup {
   def jaccardNearDupPairs(
       docs: DataFrame,
       thresholdPct: Int,
-      maxDf: Option[Long] = None): DataFrame = {
-    val words = docs
-      .select(col("doc_id"), explode(TextFunctions.wordSet(col("text"))).as("word"))
+      maxDf: Option[Long] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // VERIFIER path only (maxDf=None — bounded input by contract): the
+    // exploded (doc_id, word) stream feeds 3-4 plan subtrees (per-doc
+    // sizes, both candidate-join sides), and without materialization
+    // each re-tokenized the docs from the parquet text (4 scans in the
+    // committed q21 before-plan); the bounded input makes the staged
+    // stream bounded too. The maxDf SCALE path is deliberately NOT
+    // staged: there the stream is corpus-sized, and materializing it
+    // costs more than the whitespace re-tokenization it would save —
+    // the same economics that keep buildJaccardPrefixIndex's two
+    // token passes unstaged.
+    val rawWords = docs.select(col("doc_id"),
+      explode(TextFunctions.wordSet(col("text"))).as("word"))
+    val words =
+      if (maxDf.nonEmpty) rawWords
+      else Checkpoints.stage(rawWords,
+        checkpointDir.orElse(Checkpoints.configured(docs.sparkSession)))
     val filtered = maxDf match {
       case Some(m) =>
         val df = words.groupBy("word").agg(count(lit(1)).as("df"))
@@ -1641,11 +1656,15 @@ object Dedup {
     * never all-pairs, and the df cap bounds any single join key's fanout
     * at maxDf², independent of corpus size).
     */
-  def winnowNearDupPairs(
+  /** The kernel half of [[winnowNearDupPairs]]: df-pruned
+    * (doc_id, fp) winnow fingerprint rows. Split out (un-staged) so the
+    * plan-shape audit can probe the kernel-distribution repartition
+    * directly; callers should stage the result before any self-join.
+    */
+  def winnowPrunedFps(
       docs: DataFrame,
       k: Int = 8,
       window: Int = 4,
-      minShared: Int = 3,
       maxDf: Int = 20): DataFrame = {
     val fps = spread(docs.filter(length(col("text")) >= k), "doc_id")
       // fused native kernel (plans/WinnowFpExpr) — one pass per row,
@@ -1656,13 +1675,28 @@ object Dedup {
         explode_outer(graft.plans.WinnowFpExpr.fps(col("text"), k, window)).as("fp"))
       .filter(col("fp").isNotNull)
     // df via a window (not a count+join): pruning then costs ONE
-    // evaluation of the expensive winnow subtree, and because both
-    // self-join sides are the identical pruned subtree, the fp exchange
-    // plans once and replays as ReusedExchange (the minhash-bander trick)
-    val pruned = fps
+    // evaluation of the expensive winnow subtree
+    fps
       .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
       .filter(col("df") <= maxDf)
       .drop("df")
+  }
+
+  def winnowNearDupPairs(
+      docs: DataFrame,
+      k: Int = 8,
+      window: Int = 4,
+      minShared: Int = 3,
+      maxDf: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // STAGED before the self-join: the hoped-for ReusedExchange does
+    // NOT survive AQE's broadcast promotion of one side (the committed
+    // q55 plan showed the scan + winnow kernel + cap window duplicated
+    // under both sides), so materialize the narrow (doc_id, fp) rows
+    // once and let both sides read them.
+    val pruned = Checkpoints.stage(
+      winnowPrunedFps(docs, k, window, maxDf),
+      checkpointDir.orElse(Checkpoints.configured(docs.sparkSession)))
     val l = pruned.as("l")
     val r = pruned.as("r")
     l.join(r, col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))

@@ -48,7 +48,9 @@ class KernelPlanShapeSpec extends SparkSpec {
         "minhash sig"   -> Dedup.minhashSignaturesPortable(docs, 3, 8),
         "contamination" -> Dedup.contaminationReport(docs.filter($"doc_id" > 1),
           docs.filter($"doc_id" === 1), n = 3),
-        "winnow pairs"  -> Dedup.winnowNearDupPairs(docs))) {
+        // the kernel half: the pair fn stages it, so the returned plan
+        // would only show the staged RDD scan
+        "winnow pairs"  -> Dedup.winnowPrunedFps(docs))) {
       val reps = df.queryExecution.optimizedPlan.collect {
         case r: RepartitionByExpression => r
       }
@@ -64,7 +66,7 @@ class KernelPlanShapeSpec extends SparkSpec {
         "minhash pairs" -> Dedup.minhashNearDupPairsPortable(docs),
         "contamination" -> Dedup.contaminationReport(docs.filter($"doc_id" > 1),
           docs.filter($"doc_id" === 1), n = 3),
-        "winnow pairs"  -> Dedup.winnowNearDupPairs(docs))) {
+        "winnow pairs"  -> Dedup.winnowPrunedFps(docs))) {
       val under = belowRepartition(df.queryExecution.optimizedPlan)
       assert(!hasLambdaFilter(under),
         s"$name: a higher-order-function filter was pushed below the distribution " +
