@@ -863,14 +863,18 @@ object SparkEntry {
     * (trade measured in the operator's scaladoc and COVERAGE.md).
     */
   private def q63(s: SparkSession, d: String): DataFrame =
-    // build the prefix index ONCE and stage it — the operator's own
-    // contract ("the pair join reads the index FOUR times … persist it
-    // first at scale"); the fused form re-tokenized the corpus per
-    // consumer (8 parquet scans in the committed before-plan)
+    // build the prefix index ONCE — the operator's own contract ("the
+    // pair join reads the index FOUR times … persist it first at
+    // scale"); the fused form re-tokenized the corpus per consumer
+    // (8 parquet scans in the committed before-plan). persist(), not
+    // an eager stage: the cache materializes lazily inside the pair
+    // join's own job (all four consumers share one InMemoryRelation),
+    // where a separate staging job serialized the index build in
+    // front of the join (the Clusters.connectedComponents `sym`
+    // precedent)
     Dedup.jaccardPairsFromPrefixIndex(
-      graft.util.Checkpoints.stage(
-        Dedup.buildJaccardPrefixIndex(
-          t(s, d, "documents").filter(col("doc_id") < 500))),
+      Dedup.buildJaccardPrefixIndex(
+        t(s, d, "documents").filter(col("doc_id") < 500)).persist(),
       thresholdPct = 80)
       .orderBy("doc_a", "doc_b")
 
@@ -1598,6 +1602,8 @@ object SparkEntry {
     // doc in a pair has a signature, so the sig-staged rows cover all
     // ids canonicalize ranks.
     import graft.functions.TextFunctions
+    // eager stage, not persist() — the lazy-cache A/B lost here too
+    // (3.24 s vs 2.75 s median; see the q123 comment)
     val sigsLen = graft.util.Checkpoints.stage(
       spread(docs.filter(TextFunctions.hasShingles(col("text"), 3)), "doc_id")
         .withColumn("_tk", TextFunctions.loweredTokens(col("text")))
@@ -2068,6 +2074,12 @@ object SparkEntry {
     // Signatures are computed for exact-dup rows too (they are dropped
     // one step later) — that waste is bounded by the duplicate rate,
     // while the passes it buys off scale with the whole corpus.
+    // eager stage, not persist(): this narrow frame fans out into MANY
+    // downstream jobs (exact dedup, banding, CC rounds, packing), and
+    // the lazy-cache variant measured SLOWER here (5.10 s vs 3.96 s
+    // median — every consumer re-plans and re-derives atop the
+    // InMemoryRelation), while for the 4-consumer single-join q63 the
+    // cache won; both A/Bs are in OPTIMIZATION_r20.md
     val meta = graft.util.Checkpoints.stage(
       spread(t(s, d, "documents"), "doc_id")
         .select(col("doc_id"), col("text"),
